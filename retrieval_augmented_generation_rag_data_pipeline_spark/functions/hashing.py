@@ -1,0 +1,101 @@
+"""Portable (cross-engine deterministic) hashing & tokenization — Spark side.
+
+Every primitive here has an exactly-matching DuckDB SQL fragment in
+``functions.oracle`` so the dedup / fingerprint / LSH operators stay on the
+DuckDB-oracle-checkable path (SURVEY.md §5.1).
+
+The base hash is the first 15 hex chars of md5 parsed as a 60-bit
+non-negative int — md5 is bit-identical across engines, and 15 hex chars
+(60 bits) fit a signed 64-bit long with headroom for modular arithmetic.
+
+All min-hash arithmetic is done mod MERSENNE31 after reducing the base
+hash, so a*h+b stays well inside int64 (a < 2^20, h' < 2^31).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+# Fixed permutation parameters for MinHash (NUM_PERM odd-prime multipliers).
+MINHASH_A = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67]
+MINHASH_B = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+NUM_PERM = len(MINHASH_A)
+LSH_BANDS = 4
+LSH_ROWS = NUM_PERM // LSH_BANDS
+
+SIMHASH_BITS = 16
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit deterministic hash of a string (first 15 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens. Assumes non-empty trimmed input."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (1-based element_at, matching DuckDB list indexing)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def hash_array(arr: Column) -> Column:
+    """Apply md5_long to every element of a string array."""
+    return F.transform(arr, md5_long)
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """NUM_PERM-wide MinHash signature over a 60-bit hash array.
+
+    mh_j = min over h of ((a_j * (h mod P) + b_j) mod P); empty input
+    yields P (the max possible value) per slot so empty docs never
+    collide with real content.
+    """
+    sig = []
+    for a, b in zip(MINHASH_A, MINHASH_B):
+        permuted = F.transform(
+            hashes, lambda h, a=a, b=b: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31
+        )
+        sig.append(F.coalesce(F.array_min(permuted), F.lit(MERSENNE31)))
+    return F.array(*sig)
+
+
+def simhash16(hashes: Column) -> Column:
+    """16-bit SimHash over a 60-bit token-hash array.
+
+    bit b is set iff sum over tokens of (2*((h>>b)&1) - 1) > 0.
+    """
+    total = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        total = total + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return total
+
+
+def hyperplane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    Derived from md5 of 'p:d' — reproducible in any engine; used by the
+    sign-LSH bucketing for ANN (operators.vectors.lsh_bucket).
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2000000) / 1000000.0 - 1.0

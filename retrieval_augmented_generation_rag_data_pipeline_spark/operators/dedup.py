@@ -1,0 +1,189 @@
+"""Deduplication operators for the LLM-training-data surface.
+
+Exact hash dedup, MinHash+LSH, SimHash, and n-gram Jaccard — all built
+on the portable md5-derived hash (functions.hashing) so every one is
+DuckDB-oracle-checkable. Each returns a DataFrame (never collects).
+
+Scale notes (100 TB):
+- exact dedup: one hash-groupBy shuffle keyed on the digest;
+- MinHash LSH: signatures computed scan-side (narrow), the only shuffle
+  is the band-bucket self-join (key = (band_idx, band_signature));
+- SimHash: narrow per-row compute, group by fingerprint;
+- n-gram Jaccard: shingle-explode + equi-join on shingle hash — the
+  classic "inverted index join"; skew on stop-shingles is the risk, so
+  callers should cap shingle document frequency (df_cap) like any
+  inverted-index system.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    NUM_PERM,
+    hash_array,
+    md5_long,
+    minhash_signature,
+    simhash16,
+    tokens,
+    word_shingles,
+)
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate grouping by content digest.
+
+    Returns (doc_id, canonical_id, group_size): every doc maps to the
+    lowest id sharing its md5; group_size = copies of that content.
+    """
+    w = Window.partitionBy("_digest")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_digest"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{NUM_PERM-1}) MinHash signature over k-word shingles."""
+    sig = minhash_signature(hash_array(word_shingles(tokens(F.col(text_col)), k)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[sig[i].alias(f"mh_{i}") for i in range(NUM_PERM)],
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (doc_a < doc_b, n_bands).
+
+    Bands the NUM_PERM signature into LSH_BANDS bands of LSH_ROWS; docs
+    colliding in >= 1 band become a candidate pair. The band signature is
+    the shuffle key — no cross join anywhere.
+    """
+    sig = minhash_signature(hash_array(word_shingles(tokens(F.col(text_col)), k)))
+    sigs = df.select(F.col(id_col).alias("doc_id"), sig.alias("_sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col("_sig")[b * LSH_ROWS + r].cast("string")
+                                for r in range(LSH_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) 16-bit SimHash over token hashes."""
+    sh = simhash16(hash_array(tokens(F.col(text_col))))
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index equi-join.
+
+    Returns (doc_a, doc_b, jaccard) for every pair sharing >= 1 shingle.
+    ``df_cap`` drops shingles appearing in more than df_cap docs (skew /
+    stop-shingle control — essential at scale, off by default so the
+    oracle stays simple).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(tokens(F.col(text_col)), k)).alias("_sh"),
+    )
+    sizes = shingled.select("doc_id", F.size("_sh").alias("n_sh"))
+    inv = shingled.select("doc_id", F.explode("_sh").alias("shingle")).select(
+        "doc_id", md5_long(F.col("shingle")).alias("_h")
+    )
+    if df_cap is not None:
+        hot = inv.groupBy("_h").count().filter(F.col("count") > df_cap).select("_h")
+        inv = inv.join(F.broadcast(hot), "_h", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_inter")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos_sim).
+
+    Exact all-pairs form for oracle-checkable sizes; at scale swap the
+    self cross join for the sign-LSH bucket join (vectors.ann_lsh_topk)
+    or block on a coarse quantization key.
+    """
+    from .vectors import cosine
+
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

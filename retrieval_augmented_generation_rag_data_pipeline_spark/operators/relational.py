@@ -1,0 +1,116 @@
+"""Relational operator surface (SURVEY.md §2.2/§2.4/§2.6/§2.7).
+
+Thin, explicit, testable DataFrame->DataFrame functions. Catalyst does
+the heavy lifting (pushdown, pruning, broadcast selection, codegen);
+these wrappers exist to name each capability of the reference pipeline
+and pin its exact semantics with a citation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---- filters / projections (reference §2.2) --------------------------------
+
+def filter_suffix(df: DataFrame, col: str, suffix: str) -> DataFrame:
+    """Case-insensitive suffix predicate (reference src/aws_bucket.py:176)."""
+    return df.filter(F.lower(F.col(col)).endswith(suffix.lower()))
+
+
+def filter_nonempty(df: DataFrame, col: str) -> DataFrame:
+    """Drop rows with blank text (reference src/embedding_engine.py:64-68)."""
+    return df.filter(F.length(F.trim(F.col(col))) > 0)
+
+
+def filter_notnull(df: DataFrame, col: str) -> DataFrame:
+    """Null guard (reference src/transcription.py:200)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+def filter_year(df: DataFrame, ts_col: str, year: int) -> DataFrame:
+    """Year-equality over a timestamp (reference testing/check_bucket_files.py:112)."""
+    return df.filter(F.year(F.col(ts_col)) == year)
+
+
+def project_mb(df: DataFrame, bytes_col: str, out: str = "size_mb") -> DataFrame:
+    """Bytes -> MB arithmetic projection (reference testing/check_bucket_files.py:105)."""
+    return df.withColumn(out, F.col(bytes_col) / (1024.0 * 1024.0))
+
+
+def project_derived(df: DataFrame, path_col: str, ts_col: str) -> DataFrame:
+    """Derived columns: year / extension / stem (reference
+    testing/check_bucket_files.py:53,130; src/embedding_engine.py:60)."""
+    return df.select(
+        F.col(path_col),
+        F.year(F.col(ts_col)).alias("year"),
+        F.lower(F.regexp_extract(F.col(path_col), r"\.([^.\\/]+)$", 1)).alias("ext"),
+        F.regexp_extract(F.col(path_col), r"([^/]+?)(\.[^./]*)?$", 1).alias("stem"),
+    )
+
+
+# ---- aggregations (reference §2.4) ------------------------------------------
+
+def agg_conditional_counts(df: DataFrame, cond: Column) -> DataFrame:
+    """processed/failed counters in one pass (reference src/main.py:57-88)."""
+    return df.agg(
+        F.count(F.when(cond, 1)).alias("processed_count"),
+        F.count(F.when(~cond, 1)).alias("failed_count"),
+        F.count("*").alias("total"),
+    )
+
+
+def agg_histogram(df: DataFrame, col: str) -> DataFrame:
+    """Frequency histogram ordered by count desc (reference
+    testing/check_bucket_files.py:127-132). Tie-break: key asc."""
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(col))
+    )
+
+
+def agg_by_year(df: DataFrame, ts_col: str) -> DataFrame:
+    """Per-year counts, newest first (reference testing/check_bucket_files.py:56-86)."""
+    return (
+        df.groupBy(F.year(F.col(ts_col)).alias("year"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("year"))
+    )
+
+
+def concat_group_texts(
+    df: DataFrame, group_cols: Sequence[str], order_col: str, text_col: str
+) -> DataFrame:
+    """Ordered string-concat aggregation (reference src/transcription.py:207-208):
+    texts stripped and space-joined in explicit order — Spark groups are
+    unordered, so the ordering is materialized via sorted structs."""
+    return df.groupBy(*group_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), F.trim(F.col(text_col)).alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("text")
+    )
+
+
+# ---- set ops (reference §2.7) ------------------------------------------------
+
+def distinct_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """set() construction (reference src/aws_bucket.py:63)."""
+    return df.select(*cols).dropDuplicates(list(cols))
+
+
+def union_sources(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union-of-globs (reference src/transcription.py:431-432) as unionByName."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,187 @@
+"""Text-pipeline operators: chunking, dialogue formatting, and the
+LLM-training-data text-analysis set (language ID, quality scoring,
+token counting, fingerprinting).
+
+Everything is built-in-function only (JVM-side, whole-stage codegen) —
+no Python in the hot path — and every operator has a DuckDB-oracle twin
+in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash_array, md5_long, tokens, word_shingles
+
+# Tiny function-word profiles for the n-gram/stopword language heuristic.
+# Deterministic and engine-portable (plain array intersection counts).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "una"],
+}
+
+# A BPE-ish token regex: words, single digits, or single punctuation marks.
+BPE_ISH = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size word chunks (W3 generalized — the
+    reference chunks audio into 30s windows at src/transcription.py:157;
+    the text analog for RAG is fixed-token chunking).
+
+    Returns (doc_id, chunk_idx, chunk_text, n_words) — one row per chunk,
+    via explode (narrow, no shuffle).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / chunk_words).cast("int"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * chunk_words + 1, chunk_words), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .withColumn("n_words", F.size(F.split(F.col("chunk_text"), " ")).cast("long"))
+    )
+
+
+def format_dialogue(
+    df: DataFrame,
+    t0: str = "t_start",
+    t1: str = "t_end",
+    speaker: str = "speaker",
+    text: str = "text",
+) -> DataFrame:
+    """Dialogue line projection `[%.2f-%.2f] %s: %s`
+    (reference src/transcription.py:357-359)."""
+    return df.select(
+        F.format_string(
+            "[%.2f-%.2f] %s: %s",
+            F.col(t0),
+            F.col(t1),
+            F.col(speaker),
+            F.col(text),
+        ).alias("line")
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language function-word hit
+    rate. Returns (doc_id, pred_lang, lang_score). Deterministic
+    tie-break: higher score, then lexicographic language code."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    scores = []
+    for code, words in sorted(LANG_PROFILES.items()):
+        stop = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        scores.append(
+            F.struct(
+                (hits / n.cast("double")).alias("score"),
+                F.lit(code).alias("code"),
+            )
+        )
+    # array_max on struct orders by (score, code); flip code ordering by
+    # sorting desc on score then asc on code via a two-step reduce.
+    best = F.aggregate(
+        F.array(*scores),
+        scores[0],
+        lambda acc, s: F.when(
+            (s["score"] > acc["score"])
+            | ((s["score"] == acc["score"]) & (s["code"] < acc["code"])),
+            s,
+        ).otherwise(acc),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        best["code"].alias("pred_lang"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length -> composite score in [0,1]-ish.
+
+    Mirrors the standard pretraining-data quality filters (C4/Gopher
+    style rules) as pure column arithmetic.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(t).cast("double")
+    punct = (
+        n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    ) / F.greatest(n_chars, F.lit(1.0))
+    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n_tok
+    mean_wlen = F.aggregate(
+        toks, F.lit(0.0), lambda s, x: s + F.length(x).cast("double")
+    ) / n_tok
+    score = (
+        F.least(n_tok / 64.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.3).otherwise(0.0)
+        - punct
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace + regex token counts."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(t)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH), 0)).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Rolling-shingle-hash document fingerprint: min and max shingle hash
+    (a 1-permutation MinHash sketch — stable under reordering-free edits)."""
+    hs = hash_array(word_shingles(tokens(F.col(text_col)), k))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.array_min(hs), md5_long(F.trim(F.col(text_col)))).alias(
+            "fp_min"
+        ),
+        F.coalesce(F.array_max(hs), md5_long(F.trim(F.col(text_col)))).alias(
+            "fp_max"
+        ),
+    )

@@ -1,0 +1,141 @@
+"""Vector operators (SURVEY.md §2.3 J6, §1.1 D6).
+
+Replaces the reference's FAISS IndexFlatIP + pickle sidecar
+(reference src/embedding_engine.py:15-30,74-99) with relational operators
+over an ARRAY<FLOAT/DOUBLE> column:
+
+- exact brute-force top-k (IndexFlatIP semantics — exact inner product)
+  as a broadcast-join + per-query window top-k;
+- sign-LSH bucketing as the approximate scale path (at 100 TB the
+  bucket join replaces the O(n*m) cross join; candidates are reranked
+  exactly within buckets).
+
+All arithmetic stays JVM-side (higher-order functions, codegen) — no
+Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hyperplane_component
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (deterministic fold order —
+    bit-identical to the DuckDB oracle fragment)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+
+
+def l2_normalize(a: Column) -> Column:
+    """L2-normalize (reference normalize_embeddings=True at
+    src/embedding_engine.py:20; torch F.normalize at src/transcription.py:187)."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k similarity join (reference FAISS IndexFlatIP search,
+    src/embedding_engine.py:24-30).
+
+    queries is broadcast (the small side by construction — a query batch);
+    the corpus streams through without shuffling, each partition scoring
+    locally; the only shuffle is the per-query top-k window, whose input
+    was already cut to k rows per (query, partition) by a partial top-k.
+    Deterministic tie-break: higher sim first, then lower corpus id.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv"))
+    sim_fn = cosine if metric == "cosine" else dot
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", corpus_id, sim_fn(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "sim", "rank")
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Planes are deterministic pseudo-random (md5-derived, see
+    functions.hashing.hyperplane_component) so the bucketing is
+    reproducible in SQL for the oracle and across cluster restarts.
+    """
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(hyperplane_component(p, d)) for d in range(dim)]
+        )
+        d = dot(vec, plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket equi-join + exact rerank.
+
+    The equi-join on bucket id replaces the cross join — at 100 TB this
+    is a standard shuffle (or broadcast, if the query side is small)
+    keyed on the bucket, candidates ~ n/2^planes per bucket.
+    """
+    qb = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    )
+    cb = corpus.select(
+        F.col(corpus_id).alias(corpus_id),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "_bucket").select(
+        "query_id", corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "sim", "rank")
+    )

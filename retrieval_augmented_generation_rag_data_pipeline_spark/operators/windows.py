@@ -1,0 +1,110 @@
+"""Window / ordered operators (SURVEY.md §2.5, §2.6 L3).
+
+All are pure DataFrame compositions — lag + running sums + ordered
+aggregation — so Catalyst plans them as window exchanges partitioned by
+the grouping keys. At 100 TB the shuffle key is the partition column
+(file/user), which is the natural unit of work; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_islands(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    label_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands merge of consecutive same-label segments.
+
+    Matches the reference's speaker-merge semantics
+    (reference src/transcription.py:277-299):
+      - an island's start is its FIRST segment's start,
+      - an island's end is the NEXT island's first start,
+      - the FINAL island ends at the final segment's end (last row in
+        order, not the max end).
+
+    Returns (part_cols..., island_id, label, island_start, island_end).
+    """
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    flagged = df.withColumn(
+        "_chg",
+        F.when(
+            F.lag(label_col).over(w).isNull()
+            | (F.col(label_col) == F.lag(label_col).over(w)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    ).withColumn("_island", F.sum("_chg").over(w)).withColumn(
+        "_final_end", F.last(end_col).over(w_all)
+    )
+
+    islands = flagged.groupBy(*part_cols, "_island").agg(
+        F.min_by(start_col, order_col).alias("island_start"),
+        F.min_by(label_col, order_col).alias("label"),
+        F.min(order_col).alias("_ord"),
+        F.max("_final_end").alias("_final_end"),
+    )
+    w_isl = Window.partitionBy(*part_cols).orderBy("_ord")
+    return (
+        islands.withColumn(
+            "island_end",
+            F.coalesce(F.lead("island_start").over(w_isl), F.col("_final_end")),
+        )
+        .withColumn("island_id", F.row_number().over(w_isl) - 1)
+        .select(*part_cols, "island_id", "label", "island_start", "island_end")
+    )
+
+
+def tumbling_bucket(ts: Column, seconds: int) -> Column:
+    """Tumbling-window bucket id over event time (reference
+    src/transcription.py:157 chunked ASR windows, generalized).
+
+    floor(epoch_seconds / width) — arithmetic form so batch results are
+    oracle-checkable; streaming uses F.window() with identical boundaries.
+    """
+    return F.floor(ts.cast("double") / seconds).cast("long")
+
+
+def topn_per_group(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    n: int,
+    rank_name: str = "rn",
+) -> DataFrame:
+    """Per-group top-N via row_number (reference display-head L3)."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= n)
+    )
+
+
+def running_agg(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    agg_col: str,
+    how: str = "sum",
+) -> DataFrame:
+    """Cumulative frame aggregation (reference prefix accumulation W4)."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fn = {"sum": F.sum, "avg": F.avg, "count": F.count, "concat": None}[how]
+    if how == "concat":
+        run = F.array_join(F.collect_list(agg_col).over(w), " ")
+    else:
+        run = fn(agg_col).over(w)
+    return df.withColumn(f"running_{how}", run)

@@ -1,0 +1,49 @@
+"""Processed-file ledger (SURVEY.md §1.1 D7, §2.9 T2).
+
+The reference persists a set[str] of processed S3 keys as JSON
+(src/aws_bucket.py:55-68) and consults it to skip work (:180). Batch
+analog: an append-only Parquet ledger + left_anti join. Streaming analog:
+the Structured Streaming file-source checkpoint does this natively
+(streaming.stream.run_stream) — preferred at scale because it avoids
+a read-modify-write table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("processed_at", T.TimestampType(), True),
+    ]
+)
+
+
+def load_ledger(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.schema(LEDGER_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+
+
+def append_processed(df: DataFrame, key_col: str, path: str) -> None:
+    (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.current_timestamp().alias("processed_at"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def pending(candidates: DataFrame, ledger: DataFrame, key_col: str = "key") -> DataFrame:
+    """Candidates minus processed (reference src/aws_bucket.py:180)."""
+    return candidates.join(
+        F.broadcast(ledger.select("key").distinct()),
+        candidates[key_col] == F.col("key"),
+        "left_anti",
+    )

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import (
+    merge_islands,
+    topn_per_group,
+)
+
+SEGS = [
+    # file, seg_id, spk_start, spk_end, speaker  (FIXTURES.md segments)
+    ("a.webm", 0, 0.0, 5.0, "SPEAKER_00"),
+    ("a.webm", 1, 5.0, 9.0, "SPEAKER_00"),
+    ("a.webm", 2, 9.0, 15.0, "SPEAKER_01"),
+    ("a.webm", 3, 15.0, 18.0, "SPEAKER_00"),
+]
+COLS = ["file", "seg_id", "spk_start", "spk_end", "speaker"]
+
+
+def _islands(spark, rows):
+    df = spark.createDataFrame(rows, COLS)
+    out = merge_islands(df, ["file"], "seg_id", "speaker", "spk_start", "spk_end")
+    return sorted(
+        out.select("island_id", "label", "island_start", "island_end").collect()
+    )
+
+
+def test_islands_reference_case(spark):
+    # Matches reference src/transcription.py:277-299: island end = next
+    # island's first start; final island ends at last segment's end.
+    got = [tuple(r) for r in _islands(spark, SEGS)]
+    assert got == [
+        (0, "SPEAKER_00", 0.0, 9.0),
+        (1, "SPEAKER_01", 9.0, 15.0),
+        (2, "SPEAKER_00", 15.0, 18.0),
+    ]
+
+
+def test_islands_single_row(spark):
+    got = [tuple(r) for r in _islands(spark, [("f", 0, 1.0, 2.0, "S0")])]
+    assert got == [(0, "S0", 1.0, 2.0)]
+
+
+def test_islands_all_same_speaker(spark):
+    rows = [("f", i, float(i), float(i + 1), "S0") for i in range(4)]
+    got = [tuple(r) for r in _islands(spark, rows)]
+    assert got == [(0, "S0", 0.0, 4.0)]
+
+
+def test_islands_alternating(spark):
+    rows = [("f", i, float(i), float(i + 1), f"S{i % 2}") for i in range(4)]
+    got = [tuple(r) for r in _islands(spark, rows)]
+    assert got == [
+        (0, "S0", 0.0, 1.0),
+        (1, "S1", 1.0, 2.0),
+        (2, "S0", 2.0, 3.0),
+        (3, "S1", 3.0, 4.0),
+    ]
+
+
+def test_topn_per_group(spark):
+    rows = [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from pyspark.sql import functions as F
+
+    out = topn_per_group(df, ["g"], [F.desc("v")], 2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("g1", 8), ("g1", 9), ("g2", 1), ("g2", 2)]
