@@ -63,11 +63,14 @@ def minhash_signature(hashes: Column) -> Column:
     yields P (the max possible value) per slot so empty docs never
     collide with real content.
     """
+    def perm(a: int, b: int):
+        # factory closure: pyspark infers lambda arity from the signature,
+        # so default-arg capture would break higher-order binding
+        return lambda h: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31
+
     sig = []
     for a, b in zip(MINHASH_A, MINHASH_B):
-        permuted = F.transform(
-            hashes, lambda h, a=a, b=b: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31
-        )
+        permuted = F.transform(hashes, perm(a, b))
         sig.append(F.coalesce(F.array_min(permuted), F.lit(MERSENNE31)))
     return F.array(*sig)
 
@@ -77,14 +80,14 @@ def simhash16(hashes: Column) -> Column:
 
     bit b is set iff sum over tokens of (2*((h>>b)&1) - 1) > 0.
     """
+    def voter(b: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
     total = F.lit(0)
     for b in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, b=b: acc
-            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
+        vote = F.aggregate(hashes, F.lit(0), voter(b))
         total = total + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return total
 

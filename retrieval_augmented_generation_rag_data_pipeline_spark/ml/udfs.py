@@ -1,0 +1,142 @@
+"""Model-inference UDFs (SURVEY.md §2.10 U1-U4) as Arrow-batched pandas
+UDFs with per-executor singleton model loading.
+
+The reference loads models once per process (Whisper at
+src/transcription.py:52, pyannote at :115-118, SentenceTransformer at
+src/embedding_engine.py:11); the Spark equivalent is the
+iterator-of-batches pandas UDF, which initializes once per python
+worker and streams Arrow batches through it.
+
+Heavy deps are import-gated: `*_available()` probes let callers pick
+the deterministic fakes (plans.pipeline.mock_embed, fake_transcribe)
+when torch/transformers are absent — which is always the case in this
+container, so these UDFs are exercised via the fakes in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHUNK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("t_start", T.DoubleType()),
+            T.StructField("t_end", T.DoubleType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]
+    )
+)
+
+SEGMENT_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("spk_start", T.DoubleType()),
+            T.StructField("spk_end", T.DoubleType()),
+            T.StructField("speaker", T.StringType()),
+        ]
+    )
+)
+
+
+def _try_import(mod: str):
+    try:
+        return __import__(mod)
+    except ImportError:
+        return None
+
+
+def asr_available() -> bool:
+    return _try_import("transformers") is not None and _try_import("torch") is not None
+
+
+def embedder_available() -> bool:
+    return _try_import("sentence_transformers") is not None
+
+
+def make_asr_udf(model_name: str = "openai/whisper-large-v3-turbo", chunk_length_s: int = 30):
+    """U1: binary audio -> ARRAY<STRUCT<text,t_start,t_end,confidence>>
+    (reference src/transcription.py:155-168). One model per executor."""
+
+    @F.pandas_udf(CHUNK_SCHEMA)
+    def asr(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if not asr_available():
+            raise NotImplementedError(
+                "transformers/torch not installed — use fake_transcribe for tests"
+            )
+        import torch
+        from transformers import pipeline as hf_pipeline
+
+        model = hf_pipeline(
+            "automatic-speech-recognition",
+            model=model_name,
+            device=0 if torch.cuda.is_available() else -1,
+        )
+        for series in batches:
+            out = []
+            for blob in series:
+                res = model(
+                    bytes(blob), chunk_length_s=chunk_length_s, return_timestamps=True
+                )
+                out.append(
+                    [
+                        {
+                            "text": c["text"],
+                            "t_start": c["timestamp"][0],
+                            "t_end": c["timestamp"][1],
+                            "confidence": 1.0,
+                        }
+                        for c in res.get("chunks", [])
+                    ]
+                )
+            yield pd.Series(out)
+
+    return asr
+
+
+def make_embed_udf(model_name: str = "all-MiniLM-L6-v2", batch_size: int = 64):
+    """U4: STRING -> ARRAY<FLOAT> L2-normalized
+    (reference src/embedding_engine.py:15-22)."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if not embedder_available():
+            raise NotImplementedError(
+                "sentence-transformers not installed — use plans.pipeline.mock_embed"
+            )
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)
+        for series in batches:
+            vecs = model.encode(
+                series.tolist(), batch_size=batch_size, normalize_embeddings=True
+            )
+            yield pd.Series([v.tolist() for v in vecs])
+
+    return encode
+
+
+@F.pandas_udf(CHUNK_SCHEMA)
+def fake_transcribe(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Deterministic U1 stand-in: 1 chunk per 8 input bytes, word =
+    hex of those bytes — exercises schema/explode/alignment plumbing."""
+    for series in batches:
+        out = []
+        for blob in series:
+            b = bytes(blob or b"")
+            chunks = []
+            for i in range(0, max(len(b), 1), 8):
+                chunks.append(
+                    {
+                        "text": b[i : i + 8].hex() or "empty",
+                        "t_start": float(i),
+                        "t_end": float(i + 8),
+                        "confidence": 0.5 + (i % 4) / 8.0,
+                    }
+                )
+            out.append(chunks)
+        yield pd.Series(out)

@@ -1,0 +1,87 @@
+"""The reference pipeline (EP1, reference src/main.py:120-158) restated
+as a batch DataFrame DAG.
+
+Stages (text mode — audio models live in ml/ and are optional):
+  ingest (catalog scan + ledger anti-join)        reference src/aws_bucket.py:139-221
+  -> chunk (W3 generalized)                       reference src/transcription.py:157
+  -> embed (deterministic hash-mock U4,           reference src/embedding_engine.py:15-22
+     or a real model UDF from ml/ when available)
+  -> vector-index sink (S7)                       reference src/embedding_engine.py:74-84
+  -> top-k query capability (J6)                  reference src/embedding_engine.py:24-30
+
+Each stage is a DataFrame -> DataFrame function; `run_once` wires them.
+The streaming shell (streaming.stream.run_stream) runs the same DAG per
+micro-batch via foreachBatch, replacing the reference's poll loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..operators.text import chunk_text
+from ..operators.vectors import knn_topk, l2_normalize
+from ..sources import ledger as ledger_mod
+from ..sources import sinks
+
+EMBED_DIM = 16
+
+
+def mock_embed(col: Column, dim: int = EMBED_DIM) -> Column:
+    """Deterministic hash-based embedding (U4-mock, FIXTURES.md §2):
+    component i = md5_long(text || ':' || i) scaled to [-1, 1), then
+    L2-normalized — keeps the embed->index->search path value-checkable
+    without a model. Swap with ml.embedding.encode_udf for real vectors."""
+    comps = [
+        (
+            (md5_long(F.concat(col, F.lit(f":{i}"))) % 2000000) / 1000000.0 - 1.0
+        ).cast("double")
+        for i in range(dim)
+    ]
+    return l2_normalize(F.array(*comps))
+
+
+def embed_chunks(chunks: DataFrame, text_col: str = "chunk_text") -> DataFrame:
+    """Chunk rows -> vector-index rows (vec_id, embedding, text, source_file)."""
+    return chunks.select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        mock_embed(F.col(text_col)).alias("embedding"),
+        F.col(text_col).alias("text"),
+        F.col("doc_id").cast("string").alias("source_file"),
+    )
+
+
+def run_once(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    ledger_path: str | None = None,
+    chunk_words: int = 32,
+) -> DataFrame:
+    """One batch cycle of the reference loop (src/main.py:144-150):
+    pending docs -> chunk -> embed -> write vector index. Returns the
+    index DataFrame (also persisted to index_path)."""
+    if ledger_path:
+        led = ledger_mod.load_ledger(spark, ledger_path)
+        docs = ledger_mod.pending(
+            docs.withColumn("key", F.col("doc_id").cast("string")), led
+        )
+    chunks = chunk_text(docs, chunk_words=chunk_words)
+    index = embed_chunks(chunks)
+    sinks.write_vector_index(index, index_path)
+    if ledger_path:
+        ledger_mod.append_processed(docs.select("doc_id"), "doc_id", ledger_path)
+    return index
+
+
+def search(
+    spark: SparkSession, index_path: str, query_texts: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k retrieval over a persisted index (reference
+    src/embedding_engine.py:88-99 load + IndexFlatIP search)."""
+    index = sinks.read_vector_index(spark, index_path)
+    q = query_texts.select(
+        F.col("query_id"), mock_embed(F.col("query_text")).alias("embedding")
+    )
+    return knn_topk(q, index, k=k, metric="dot")

@@ -1,0 +1,1097 @@
+"""The driver-facing query registry (SURVEY.md §2 inventory).
+
+Each entry: name -> (spark_builder, duckdb_oracle_sql | None).
+spark_builder(spark, sf_dir) returns a DataFrame built from the engine's
+operator surface; the oracle SQL is ANSI SQL DuckDB runs over the same
+parquet (views pre-registered by the driver).
+
+Parity rules (SURVEY.md §7.4):
+- every computed column aliased identically on both sides;
+- integer outputs cast to the same width on both sides;
+- cross-partition float aggregates rounded to 6 (or 4) decimals on BOTH
+  sides; per-row arithmetic is bit-identical by construction (same fold
+  order, same doubles) and left unrounded;
+- deterministic ORDER BY tie-breaks anywhere ranking/limits matter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import oracle as O
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_PERM,
+)
+from ..operators import dedup, joins, relational, text, vectors, windows
+from ..operators.joins import asof_align
+from ..operators.windows import merge_islands, tumbling_bucket
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp, so read the raw int64 and truncate to micros —
+        # exactly what DuckDB does when it surfaces the column as a
+        # microsecond TIMESTAMP (oracle parity depends on this).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# §2.2 filters / projections
+# =====================================================================
+
+@_q(
+    "filter_suffix",
+    "SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%l'",
+)
+def filter_suffix(spark, sf):
+    return relational.filter_suffix(_t(spark, sf, "part"), "p_type", "l").select(
+        "p_partkey", "p_type"
+    )
+
+
+@_q(
+    "filter_nonempty",
+    "SELECT doc_id, n_chars FROM documents WHERE length(trim(text)) > 0",
+)
+def filter_nonempty(spark, sf):
+    return relational.filter_nonempty(_t(spark, sf, "documents"), "text").select(
+        "doc_id", "n_chars"
+    )
+
+
+@_q(
+    "filter_notnull",
+    "SELECT event_id, value FROM events WHERE props IS NOT NULL AND value IS NOT NULL",
+)
+def filter_notnull(spark, sf):
+    ev = relational.filter_notnull(_t(spark, sf, "events"), "props")
+    return relational.filter_notnull(ev, "value").select("event_id", "value")
+
+
+@_q(
+    "filter_year",
+    "SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) = 1996",
+)
+def filter_year(spark, sf):
+    return relational.filter_year(_t(spark, sf, "orders"), "o_orderdate", 1996).select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+@_q(
+    "project_arith",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              l_extendedprice / 1048576.0 AS size_mb
+       FROM lineitem""",
+)
+def project_arith(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_extendedprice") / 1048576.0).alias("size_mb"),
+    )
+
+
+@_q(
+    "project_derived",
+    r"""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year,
+               CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT) AS prio_num,
+               lower(regexp_extract(o_orderpriority, '-(.+)$', 1)) AS prio_word
+        FROM orders""",
+)
+def project_derived(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("year"),
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).cast("int").alias("prio_num"),
+        F.lower(F.regexp_extract("o_orderpriority", r"-(.+)$", 1)).alias("prio_word"),
+    )
+
+
+@_q(
+    "scan_catalog",
+    """SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+              CAST(n_chars AS BIGINT) AS length
+       FROM documents
+       WHERE lower(source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt') LIKE '%.txt'""",
+)
+def scan_catalog(spark, sf):
+    # file-inventory analog of the S3 catalog scan (S1) + suffix filter (F1)
+    d = _t(spark, sf, "documents").select(
+        F.concat(
+            F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.col("n_chars").cast("long").alias("length"),
+    )
+    return relational.filter_suffix(d, "path", ".txt")
+
+
+@_q(
+    "scan_documents",
+    "SELECT doc_id, source, text FROM documents WHERE length(trim(text)) > 0",
+)
+def scan_documents(spark, sf):
+    return relational.filter_nonempty(_t(spark, sf, "documents"), "text").select(
+        "doc_id", "source", "text"
+    )
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+@_q(
+    "agg_conditional_count",
+    """SELECT CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS processed_count,
+              CAST(count(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT) AS failed_count,
+              CAST(count(*) AS BIGINT) AS total
+       FROM orders""",
+)
+def agg_conditional_count(spark, sf):
+    return relational.agg_conditional_counts(
+        _t(spark, sf, "orders"), F.col("o_orderstatus") == "F"
+    )
+
+
+@_q(
+    "agg_multi_counter",
+    """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+              CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+              CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted
+       FROM lineitem""",
+)
+def agg_multi_counter(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+
+
+@_q(
+    "agg_by_year",
+    """SELECT CAST(year(o_orderdate) AS INT) AS year, CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY 1 ORDER BY year DESC""",
+)
+def agg_by_year(spark, sf):
+    return relational.agg_by_year(_t(spark, sf, "orders"), "o_orderdate")
+
+
+@_q(
+    "agg_histogram",
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+       FROM part GROUP BY 1 ORDER BY n DESC, p_brand ASC""",
+)
+def agg_histogram(spark, sf):
+    return relational.agg_histogram(_t(spark, sf, "part"), "p_brand")
+
+
+@_q(
+    "agg_mean",
+    """SELECT event_type, round(avg(value), 6) AS avg_value
+       FROM events GROUP BY 1 ORDER BY event_type""",
+)
+def agg_mean(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "agg_max",
+    """SELECT CAST(max(year(o_orderdate)) AS INT) AS max_year,
+              max(o_totalprice) AS max_price,
+              max(o_orderdate) AS max_date
+       FROM orders""",
+)
+def agg_max(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.agg(
+        F.max(F.year("o_orderdate")).alias("max_year"),
+        F.max("o_totalprice").alias("max_price"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@_q(
+    "agg_count",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+       FROM lineitem""",
+)
+def agg_count(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@_q(
+    "agg_concat",
+    """SELECT user_id, string_agg(event_type, ' ' ORDER BY event_id) AS text
+       FROM events GROUP BY user_id""",
+)
+def agg_concat(spark, sf):
+    return relational.concat_group_texts(
+        _t(spark, sf, "events"), ["user_id"], "event_id", "event_type"
+    )
+
+
+@_q(
+    "agg_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_extendedprice), 6) AS avg_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def agg_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-01-01")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "top_revenue_orders",
+    """SELECT o.o_orderkey, o.o_orderdate,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+)
+def top_revenue_orders(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+@_q(
+    "join_broadcast",
+    """SELECT c.c_custkey, n.n_name, r.r_name
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE c.c_custkey < 100""",
+)
+def join_broadcast(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") < 100)
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    out = joins.broadcast_lookup(c, n.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey")
+    out = joins.broadcast_lookup(out, r.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey")
+    return out.select("c_custkey", "n_name", "r_name")
+
+
+@_q(
+    "semi_join",
+    """SELECT c_custkey FROM customer c
+       WHERE c_mktsegment = 'BUILDING'
+         AND EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+)
+def semi_join(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@_q(
+    "anti_join_ledger",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def anti_join_ledger(spark, sf):
+    c = _t(spark, sf, "customer")
+    ledger = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_join_ledger(c, ledger, "c_custkey").select("c_custkey")
+
+
+@_q(
+    "join_positional",
+    """WITH lc AS (SELECT c_custkey,
+                          row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS _rn
+                   FROM customer),
+            rs AS (SELECT s_suppkey,
+                          row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS _rn
+                   FROM supplier)
+       SELECT CAST(lc._rn AS INT) AS rn, lc.c_custkey, rs.s_suppkey
+       FROM lc JOIN rs ON lc._rn = rs._rn""",
+)
+def join_positional(spark, sf):
+    wl = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wr = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    lc = _t(spark, sf, "customer").withColumn("_rn", F.row_number().over(wl)).select(
+        "_rn", "c_custkey"
+    )
+    rs = _t(spark, sf, "supplier").withColumn("_rn", F.row_number().over(wr)).select(
+        "_rn", "s_suppkey"
+    )
+    return lc.join(rs, "_rn", "inner").select(
+        F.col("_rn").alias("rn"), "c_custkey", "s_suppkey"
+    )
+
+
+# =====================================================================
+# §2.7 set ops / §2.6 sorts & limits
+# =====================================================================
+
+@_q(
+    "distinct_keys",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_keys(spark, sf):
+    return relational.distinct_keys(
+        _t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"]
+    )
+
+
+@_q(
+    "union_globs",
+    """SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%y'
+       UNION ALL
+       SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%l'""",
+)
+def union_globs(spark, sf):
+    p = _t(spark, sf, "part")
+    a = relational.filter_suffix(p, "p_type", "y").select("p_partkey", "p_type")
+    b = relational.filter_suffix(p, "p_type", "l").select("p_partkey", "p_type")
+    return relational.union_sources([a, b])
+
+
+@_q(
+    "limit_n",
+    "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 4",
+)
+def limit_n(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .limit(4)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@_q(
+    "limit_pushdown",
+    """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+       ORDER BY l_orderkey, l_linenumber LIMIT 2""",
+)
+def limit_pushdown(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(2)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "sort_desc",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+)
+def sort_desc(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "topn_per_group",
+    """SELECT * FROM (
+         SELECT CAST(year(o_orderdate) AS INT) AS year, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY year(o_orderdate)
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def topn_per_group(spark, sf):
+    o = _t(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("year"), "o_orderkey", "o_totalprice"
+    )
+    return windows.topn_per_group(
+        o, ["year"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+
+
+# =====================================================================
+# §2.5 windows + §2.3 J2 as-of
+# =====================================================================
+
+_CHUNK_TYPES = ("click", "view")
+_SEG_TYPES = ("error", "purchase")
+
+
+def _event_chunks(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("event_type").isin(*_CHUNK_TYPES))
+    w = Window.partitionBy("file").orderBy("chunk_id")
+    return (
+        ev.select(
+            F.col("user_id").alias("file"),
+            F.col("event_id").alias("chunk_id"),
+            F.col("event_type").alias("text"),
+            F.col("ts").cast("double").alias("t_end"),
+            (F.col("value") / 100.0).alias("confidence"),
+        )
+        .withColumn("t_start", F.coalesce(F.lag("t_end").over(w), F.lit(0.0)))
+    )
+
+
+def _event_segments(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("event_type").isin(*_SEG_TYPES))
+    return ev.select(
+        F.col("user_id").alias("file"),
+        F.col("event_id").alias("seg_id"),
+        F.col("event_type").alias("speaker"),
+        F.col("ts").cast("double").alias("spk_end"),
+    )
+
+
+_ASOF_SQL = r"""
+WITH c0 AS (
+  SELECT user_id AS f, event_id, event_type, epoch(ts) AS te, value/100.0 AS conf
+  FROM events WHERE event_type IN ('click','view')
+), c AS (
+  SELECT f, event_type AS ctext,
+         coalesce(lag(te) OVER (PARTITION BY f ORDER BY event_id), 0.0) AS ct0,
+         te AS ct1, conf,
+         row_number() OVER (PARTITION BY f ORDER BY event_id) - 1 AS k
+  FROM c0
+), s AS (
+  SELECT user_id AS f, event_id AS seg_id, event_type AS speaker, epoch(ts) AS ste,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS j
+  FROM events WHERE event_type IN ('error','purchase')
+), near AS (
+  SELECT s.f AS f, s.j AS j, c.k AS k,
+         row_number() OVER (PARTITION BY s.f, s.j
+                            ORDER BY abs(c.ct1 - s.ste), c.k) AS rn
+  FROM s JOIN c ON s.f = c.f
+), g AS (
+  SELECT f, j, k AS gk FROM near WHERE rn = 1
+), b AS (
+  SELECT f, j,
+         j + max(gk - j) OVER (PARTITION BY f ORDER BY j ROWS UNBOUNDED PRECEDING) AS hi
+  FROM g
+), bounds AS (
+  SELECT f, j, coalesce(lag(hi) OVER (PARTITION BY f ORDER BY j) + 1, 0) AS lo, hi
+  FROM b
+), asn AS (
+  SELECT s.f AS f, s.seg_id AS seg_id, s.speaker AS speaker,
+         c.k AS k, c.ctext AS ctext, c.ct0 AS ct0, c.ct1 AS ct1, c.conf AS conf
+  FROM bounds
+  JOIN s ON s.f = bounds.f AND s.j = bounds.j
+  JOIN c ON c.f = bounds.f AND c.k >= bounds.lo AND c.k <= bounds.hi
+)
+SELECT f AS user_id, seg_id, speaker,
+       string_agg(ctext, ' ' ORDER BY k) AS text,
+       round(arg_min(ct0, k), 6) AS t_start,
+       round(arg_max(ct1, k), 6) AS t_end,
+       round(avg(conf), 6) AS confidence
+FROM asn GROUP BY f, seg_id, speaker
+"""
+
+
+@_q("join_asof", _ASOF_SQL)
+def join_asof(spark, sf):
+    out = asof_align(_event_chunks(spark, sf), _event_segments(spark, sf))
+    return out.select(
+        F.col("file").alias("user_id"),
+        "seg_id",
+        "speaker",
+        "text",
+        F.round("t_start", 6).alias("t_start"),
+        F.round("t_end", 6).alias("t_end"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+_ISLANDS_SQL = r"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch(ts) AS t FROM events
+), f AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+), i AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS isl,
+         last_value(t) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_t
+  FROM f
+), g AS (
+  SELECT user_id, isl, arg_min(t, event_id) AS island_start,
+         arg_min(event_type, event_id) AS label,
+         min(event_id) AS ord, max(last_t) AS last_t
+  FROM i GROUP BY 1, 2
+)
+SELECT user_id, CAST(row_number() OVER w2 - 1 AS INT) AS island_id, label,
+       round(island_start, 6) AS island_start,
+       round(coalesce(lead(island_start) OVER w2, last_t), 6) AS island_end
+FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY ord)
+"""
+
+
+@_q("sessionize_islands", _ISLANDS_SQL)
+def sessionize_islands(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("double").alias("t")
+    )
+    out = merge_islands(ev, ["user_id"], "event_id", "event_type", "t", "t")
+    return out.select(
+        "user_id",
+        "island_id",
+        "label",
+        F.round("island_start", 6).alias("island_start"),
+        F.round("island_end", 6).alias("island_end"),
+    )
+
+
+@_q(
+    "window_tumbling",
+    """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+              CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+)
+def window_tumbling(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("bucket", tumbling_bucket(F.col("ts"), 300))
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+@_q(
+    "window_running",
+    """SELECT event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+       FROM events""",
+)
+def window_running(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = windows.running_agg(ev, ["user_id"], "event_id", "value", "sum")
+    return out.select("event_id", F.round("running_sum", 6).alias("running_sum"))
+
+
+@_q(
+    "format_dialogue",
+    f"""WITH aligned AS ({_ASOF_SQL})
+        SELECT printf('[%.2f-%.2f] %s: %s', t_start, t_end, speaker, text) AS line
+        FROM aligned""",
+)
+def format_dialogue(spark, sf):
+    aligned = join_asof(spark, sf)
+    return text.format_dialogue(aligned)
+
+
+# =====================================================================
+# §2.8 scalar function families
+# =====================================================================
+
+@_q(
+    "str_funcs",
+    r"""SELECT p_partkey,
+               lower(p_type) AS type_lc,
+               substr(p_name, 1, 8) AS name8,
+               CAST(length(p_name) AS INT) AS name_len,
+               concat_ws('-', p_brand, p_type) AS brand_type,
+               CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+               printf('%s:%05d', p_type, p_size) AS padded,
+               CASE WHEN lower(p_type) LIKE '%l' THEN TRUE ELSE FALSE END AS ends_l
+        FROM part""",
+)
+def str_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.format_string("%s:%05d", F.col("p_type"), F.col("p_size")).alias("padded"),
+        F.lower("p_type").endswith("l").alias("ends_l"),
+    )
+
+
+@_q(
+    "date_funcs",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(day(o_orderdate) AS INT) AS d,
+              CAST(quarter(o_orderdate) AS INT) AS q,
+              date_trunc('month', o_orderdate) AS month_start,
+              epoch(o_orderdate) AS epoch_s,
+              CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+       FROM orders""",
+)
+def date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("epoch_s"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+    )
+
+
+@_q(
+    "math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              abs(l_discount - 0.05) AS abs_diff,
+              sqrt(l_quantity) AS sqrt_qty,
+              CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+              CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+              CAST(l_partkey % 7 AS BIGINT) AS pk_mod,
+              greatest(l_discount, l_tax) AS max_rate,
+              least(l_discount, l_tax) AS min_rate,
+              CAST(sign(l_discount - l_tax) AS DOUBLE) AS rate_sign,
+              round(ln(l_quantity + 1), 6) AS log_qty
+       FROM lineitem""",
+)
+def math_funcs(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        (F.col("l_partkey") % 7).cast("long").alias("pk_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("double").alias("rate_sign"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+    )
+
+
+@_q(
+    "array_funcs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(tk) AS INT) AS n_tokens,
+               tk[1] AS first_tok,
+               tk[len(tk)] AS last_tok,
+               list_contains(tk, 'spark') AS has_spark,
+               array_to_string(tk[1:3], ' ') AS first3,
+               list_sort(tk)[1] AS min_tok,
+               CAST(len(list_distinct(tk)) AS INT) AS n_distinct
+        FROM t""",
+)
+def array_funcs(spark, sf):
+    from ..functions.hashing import tokens as tok_fn
+
+    d = _t(spark, sf, "documents").select("doc_id", tok_fn(F.col("text")).alias("tk"))
+    return d.select(
+        "doc_id",
+        F.size("tk").cast("int").alias("n_tokens"),
+        F.element_at("tk", 1).alias("first_tok"),
+        F.element_at("tk", -1).alias("last_tok"),
+        F.array_contains("tk", "spark").alias("has_spark"),
+        F.array_join(F.slice("tk", 1, 3), " ").alias("first3"),
+        F.element_at(F.array_sort("tk"), 1).alias("min_tok"),
+        F.size(F.array_distinct("tk")).cast("int").alias("n_distinct"),
+    )
+
+
+@_q(
+    "json_funcs",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+              CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod
+       FROM events WHERE props IS NOT NULL""",
+)
+def json_funcs(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id", k.alias("k_int"), (k % 10).cast("int").alias("k_mod")
+    )
+
+
+# =====================================================================
+# Vector surface (J6 + ANN scale path)
+# =====================================================================
+
+_KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+s AS (SELECT query_id, vec_id, {O.cosine('qv', 'cv')} AS sim FROM c CROSS JOIN q),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_topk", _KNN_SQL)
+def knn_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = vectors.knn_topk(q, emb, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _lsh_buckets_sql(dim: int = 64, n_planes: int = 8) -> str:
+    from ..functions.hashing import hyperplane_component
+
+    rows = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(hyperplane_component(p, d)) for d in range(dim)) + "]"
+        rows.append(f"({p}, CAST({lit} AS DOUBLE[]))")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH planes(pid, pvec) AS (VALUES
+  {values}
+), d AS (
+  SELECT e.vec_id, pl.pid, {O.dot('e.embedding', 'pl.pvec')} AS dp
+  FROM embeddings e CROSS JOIN planes pl
+)
+SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << pid ELSE 0 END) AS INT) AS bucket
+FROM d GROUP BY vec_id
+"""
+
+
+@_q("ann_lsh_buckets", _lsh_buckets_sql())
+def ann_lsh_buckets(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        vectors.lsh_bucket(F.col("embedding"), dim=64, n_planes=8).cast("int").alias("bucket"),
+    )
+
+
+_EMB_COS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {O.cosine('a.embedding', 'b.embedding')} AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+FROM p ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
+"""
+
+
+@_q("dedup_embedding_cosine", _EMB_COS_SQL)
+def dedup_embedding_cosine(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=-2.0)
+    return (
+        pairs.orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+# =====================================================================
+# Dedup surface
+# =====================================================================
+
+_CORPUS_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+)"""
+
+
+def _dup_corpus(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 25).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(dups)
+
+
+@_q(
+    "dedup_exact",
+    f"""WITH {_CORPUS_SQL}
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+        FROM corpus""",
+)
+def dedup_exact(spark, sf):
+    return dedup.dedup_exact(_dup_corpus(spark, sf))
+
+
+_HS = O.hash_array(O.word_shingles(O.tokens("text")))
+
+
+def _mh_cols() -> list[str]:
+    cols = []
+    for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
+        cols.append(
+            f"coalesce(list_min(list_transform(hs, "
+            f"h -> ({a}*(h % {MERSENNE31}) + {b}) % {MERSENNE31})), {MERSENNE31}) AS mh_{i}"
+        )
+    return cols
+
+
+_MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_HS} AS hs FROM documents)
+SELECT doc_id, {', '.join(_mh_cols())} FROM t
+"""
+
+
+@_q("dedup_minhash", _MINHASH_SQL)
+def dedup_minhash(spark, sf):
+    return dedup.minhash_signatures(_t(spark, sf, "documents"))
+
+
+def _lsh_pairs_sql() -> str:
+    band_selects = []
+    for b in range(LSH_BANDS):
+        key = " || ':' || ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_CORPUS_SQL},
+t AS (SELECT doc_id, {_HS} AS hs FROM corpus),
+sig AS (SELECT doc_id, {', '.join(_mh_cols())} FROM t),
+bands AS ({bands})
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
+@_q("dedup_lsh_pairs", _lsh_pairs_sql())
+def dedup_lsh_pairs(spark, sf):
+    return dedup.lsh_candidate_pairs(_dup_corpus(spark, sf))
+
+
+_SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {O.hash_array(O.tokens('text'))} AS hs FROM documents)
+SELECT doc_id, {O.simhash16('hs')} AS simhash FROM t
+"""
+
+
+@_q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf):
+    out = dedup.simhash_fingerprints(_t(spark, sf, "documents"))
+    return out.select("doc_id", F.col("simhash").cast("int").alias("simhash"))
+
+
+_JACCARD_SQL = f"""
+WITH d AS (SELECT doc_id, list_distinct({O.word_shingles(O.tokens('text'))}) AS sh
+           FROM documents WHERE doc_id < 40),
+sz AS (SELECT doc_id, len(sh) AS n FROM d),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
+"""
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(50)
+
+
+# =====================================================================
+# Text-analysis surface
+# =====================================================================
+
+def _lang_sql() -> str:
+    selects = []
+    for code, words in sorted(text.LANG_PROFILES.items()):
+        lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        selects.append(
+            f"SELECT doc_id, '{code}' AS code, "
+            f"len(list_filter(tk, t2 -> list_contains({lit}, t2))) / CAST(len(tk) AS DOUBLE) AS score "
+            f"FROM toks"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH toks AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+sc AS ({union}),
+r AS (SELECT doc_id, code, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) AS rn
+      FROM sc)
+SELECT doc_id, code AS pred_lang, round(score, 6) AS lang_score FROM r WHERE rn = 1
+"""
+
+
+@_q("lang_id", _lang_sql())
+def lang_id(spark, sf):
+    return text.lang_id(_t(spark, sf, "documents"))
+
+
+_EN_STOPS = "[" + ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"]) + "]"
+
+_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {O.tokens('text')} AS tk FROM documents),
+m AS (SELECT doc_id,
+        CAST(len(tk) AS DOUBLE) AS n_tok,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        (CAST(length(text) AS DOUBLE)
+           - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
+          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+        CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS mean_wlen
+      FROM t)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(punct, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(mean_wlen, 6) AS mean_word_len,
+       round(least(n_tok/64.0, 1.0)*0.4 + least(stop_ratio*4.0, 1.0)*0.3
+             + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0.3 ELSE 0.0 END)
+             - punct, 6) AS quality
+FROM m
+"""
+
+
+@_q("quality_score", _QUALITY_SQL)
+def quality_score(spark, sf):
+    return text.quality_score(_t(spark, sf, "documents"))
+
+
+_TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       CAST(len({O.tokens('text')}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+@_q("token_count", _TOKEN_COUNT_SQL)
+def token_count(spark, sf):
+    return text.token_count(_t(spark, sf, "documents"))
+
+
+_FP_SQL = f"""
+WITH t AS (SELECT doc_id, trim(text) AS tt, {_HS} AS hs FROM documents)
+SELECT doc_id,
+       coalesce(list_min(hs), {O.md5_long('tt')}) AS fp_min,
+       coalesce(list_max(hs), {O.md5_long('tt')}) AS fp_max
+FROM t
+"""
+
+
+@_q("doc_fingerprint", _FP_SQL)
+def doc_fingerprint(spark, sf):
+    return text.doc_fingerprint(_t(spark, sf, "documents"))
+
+
+_CHUNK_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id,
+             unnest(generate_series(0, CAST(floor((len(tk)-1)/32) AS INT))) AS chunk_idx,
+             tk
+      FROM t),
+x AS (SELECT doc_id, chunk_idx,
+             array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text
+      FROM c)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_words
+FROM x
+"""
+
+
+@_q("chunk_documents", _CHUNK_SQL)
+def chunk_documents(spark, sf):
+    return text.chunk_text(_t(spark, sf, "documents"))
