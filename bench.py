@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() over the result — no
+driver-side materialization of payload columns beyond the action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.plans.queries import REGISTRY
+from retrieval_augmented_generation_rag_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "agg_tpch_q1",
+    "top_revenue_orders",
+    "join_asof",
+    "sessionize_islands",
+    "window_tumbling",
+    "knn_topk",
+    "ann_lsh_buckets",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "quality_score",
+    "token_count",
+    "chunk_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # JVM + parquet-footer warmup so per-query numbers measure the
+    # queries, not session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

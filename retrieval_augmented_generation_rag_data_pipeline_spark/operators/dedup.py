@@ -31,6 +31,7 @@ from ..functions.hashing import (
     tokens,
     word_shingles,
 )
+from ..session import ensure_parallelism
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,13 +49,32 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, _h) — shingle-hash array staged in its OWN projection.
+
+    The tokenize -> shingle -> md5 pipeline is the expensive part of every
+    sketch below; inlining it into each of the NUM_PERM signature slots
+    makes Catalyst duplicate it 16x (CollapseProject only merges cheap
+    expressions, but building the whole column in one select pays the
+    16x up front). Staging it here means one evaluation per row, and the
+    downstream permutations are cheap modular math over a column ref.
+    """
+    df = ensure_parallelism(df)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        hash_array(word_shingles(tokens(F.col(text_col)), k)).alias("_h"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{NUM_PERM-1}) MinHash signature over k-word shingles."""
-    sig = minhash_signature(hash_array(word_shingles(tokens(F.col(text_col)), k)))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    sig = minhash_signature(F.col("_h"))
+    return _shingle_hashes(df, id_col, text_col, k).select(
+        "doc_id",
         *[sig[i].alias(f"mh_{i}") for i in range(NUM_PERM)],
     )
 
@@ -65,11 +85,24 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate duplicate pairs (doc_a < doc_b, n_bands).
 
     Bands the NUM_PERM signature into LSH_BANDS bands of LSH_ROWS; docs
-    colliding in >= 1 band become a candidate pair. The band signature is
-    the shuffle key — no cross join anywhere.
+    colliding in >= 1 band become a candidate pair. Instead of a
+    band-key self-join (which evaluates the signature pipeline once per
+    join side), docs are grouped by (band, key) and pairs expanded
+    inside each bucket — one signature evaluation, one shuffle keyed on
+    the band signature, no cross join. Bucket sizes are bounded by the
+    LSH collision probability; at 100 TB add a bucket-size cap upstream
+    of the expansion (standard inverted-index hygiene).
     """
-    sig = minhash_signature(hash_array(word_shingles(tokens(F.col(text_col)), k)))
-    sigs = df.select(F.col(id_col).alias("doc_id"), sig.alias("_sig"))
+    sig = minhash_signature(F.col("_h"))
+    # Docs shorter than k words have no shingles -> identical empty
+    # signatures; at scale they'd all collapse into one quadratic
+    # bucket. They can't be meaningfully MinHash-deduped, so exclude
+    # them here (exact dedup handles verbatim-identical short docs).
+    sigs = (
+        _shingle_hashes(df, id_col, text_col, k)
+        .filter(F.size("_h") > 0)
+        .select("doc_id", sig.alias("_sig"))
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -90,18 +123,24 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    left = bands.alias("l")
-    right = bands.alias("r")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    n = F.size(F.col("_ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, n),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
 
@@ -110,8 +149,11 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, simhash) 16-bit SimHash over token hashes."""
-    sh = simhash16(hash_array(tokens(F.col(text_col))))
-    return df.select(F.col(id_col).alias("doc_id"), sh.alias("simhash"))
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        hash_array(tokens(F.col(text_col))).alias("_h"),
+    )
+    return hashed.select("doc_id", simhash16(F.col("_h")).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -128,7 +170,7 @@ def ngram_jaccard_pairs(
     stop-shingle control — essential at scale, off by default so the
     oracle stays simple).
     """
-    shingled = df.select(
+    shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(tokens(F.col(text_col)), k)).alias("_sh"),
     )

@@ -89,7 +89,12 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """Heuristic language ID: argmax over per-language function-word hit
     rate. Returns (doc_id, pred_lang, lang_score). Deterministic
     tie-break: higher score, then lexicographic language code."""
-    toks = tokens(F.col(text_col))
+    # stage the token array once; the per-language scores below reference
+    # it NUM_LANGS+1 times and would otherwise re-tokenize per reference
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    toks = F.col("_tk")
     n = F.size(toks)
     scores = []
     for code, words in sorted(LANG_PROFILES.items()):
@@ -112,8 +117,8 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             s,
         ).otherwise(acc),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         best["code"].alias("pred_lang"),
         F.round(best["score"], 6).alias("lang_score"),
     )
@@ -128,8 +133,13 @@ def quality_score(
     Mirrors the standard pretraining-data quality filters (C4/Gopher
     style rules) as pure column arithmetic.
     """
-    t = F.col(text_col)
-    toks = tokens(t)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    t = F.col("_t")
+    toks = F.col("_tk")
     n_tok = F.size(toks).cast("double")
     n_chars = F.length(t).cast("double")
     punct = (
@@ -146,8 +156,8 @@ def quality_score(
         + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.3).otherwise(0.0)
         - punct
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.round(punct, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -175,13 +185,13 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Rolling-shingle-hash document fingerprint: min and max shingle hash
     (a 1-permutation MinHash sketch — stable under reordering-free edits)."""
-    hs = hash_array(word_shingles(tokens(F.col(text_col)), k))
-    return df.select(
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.coalesce(F.array_min(hs), md5_long(F.trim(F.col(text_col)))).alias(
-            "fp_min"
-        ),
-        F.coalesce(F.array_max(hs), md5_long(F.trim(F.col(text_col)))).alias(
-            "fp_max"
-        ),
+        hash_array(word_shingles(tokens(F.col(text_col)), k)).alias("_h"),
+        md5_long(F.trim(F.col(text_col))).alias("_whole"),
+    )
+    return staged.select(
+        "doc_id",
+        F.coalesce(F.array_min("_h"), F.col("_whole")).alias("fp_min"),
+        F.coalesce(F.array_max("_h"), F.col("_whole")).alias("fp_max"),
     )

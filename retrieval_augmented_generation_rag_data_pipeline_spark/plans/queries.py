@@ -940,7 +940,7 @@ def _lsh_pairs_sql() -> str:
     return f"""
 WITH {_CORPUS_SQL},
 t AS (SELECT doc_id, {_HS} AS hs FROM corpus),
-sig AS (SELECT doc_id, {', '.join(_mh_cols())} FROM t),
+sig AS (SELECT doc_id, {', '.join(_mh_cols())} FROM t WHERE len(hs) > 0),
 bands AS ({bands})
 SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
 FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id

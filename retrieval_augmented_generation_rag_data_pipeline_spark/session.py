@@ -40,3 +40,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition compute-bound inputs that arrive under-parallelized.
+
+    A small parquet file (or a single row group) scans as ONE partition,
+    serializing any expensive per-row work (sketching, hashing, UDFs)
+    onto one core. Repartition only when the input has fewer partitions
+    than the cluster's default parallelism — at scale (inputs already
+    split into thousands of tasks) this is a no-op, so the extra shuffle
+    is only ever paid on inputs small enough for it to be cheap.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df

@@ -32,7 +32,7 @@ def load_ledger(spark: SparkSession, path: str) -> DataFrame:
 def append_processed(df: DataFrame, key_col: str, path: str) -> None:
     (
         df.select(
-            F.col(key_col).alias("key"),
+            F.col(key_col).cast("string").alias("key"),
             F.current_timestamp().alias("processed_at"),
         )
         .write.mode("append")
@@ -42,8 +42,7 @@ def append_processed(df: DataFrame, key_col: str, path: str) -> None:
 
 def pending(candidates: DataFrame, ledger: DataFrame, key_col: str = "key") -> DataFrame:
     """Candidates minus processed (reference src/aws_bucket.py:180)."""
+    led = ledger.select(F.col("key").alias("_ledger_key")).distinct()
     return candidates.join(
-        F.broadcast(ledger.select("key").distinct()),
-        candidates[key_col] == F.col("key"),
-        "left_anti",
+        F.broadcast(led), candidates[key_col] == F.col("_ledger_key"), "left_anti"
     )

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (4, "completely different content about spark engines"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark, docs):
+    out = {r.doc_id: (r.canonical_id, r.group_size) for r in dedup_exact(docs).collect()}
+    assert out[1] == (1, 2)
+    assert out[2] == (1, 2)
+    assert out[3] == (3, 1)
+    assert out[4] == (4, 1)
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r.doc_id: tuple(r[i] for i in range(1, 17)) for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    # near-dup (shingle Jaccard 0.4) shares ~Jaccard*16 slots; unrelated ~0
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_near >= 4 > shared_far
+
+
+def test_lsh_pairs_find_dups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.n_bands for r in lsh_candidate_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 4  # identical -> collide in all bands
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_distance(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert sh[1] == sh[2]
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    assert ham <= 6  # near-dup -> small hamming distance
+    assert 0 <= sh[4] < 2**16
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert 0.3 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs  # no shared 3-gram shingles
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    rows = [(i, "common shingle here unique%d word%d tail%d" % (i, i, i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df).count()
+    capped = ngram_jaccard_pairs(df, df_cap=5).count()
+    assert capped < uncapped

@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import chunk_text
+from retrieval_augmented_generation_rag_data_pipeline_spark.plans.pipeline import (
+    embed_chunks,
+    mock_embed,
+    run_once,
+    search,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_text_covers_all_words(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70)))], ["doc_id", "text"]
+    )
+    chunks = chunk_text(df, chunk_words=32).collect()
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2]
+    assert [c.n_words for c in chunks] == [32, 32, 6]
+    joined = " ".join(c.chunk_text for c in sorted(chunks, key=lambda c: c.chunk_idx))
+    assert joined == " ".join(f"w{i}" for i in range(70))
+
+
+def test_mock_embed_deterministic_unit_norm(spark):
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("x",)], ["t"])
+    rows = df.select(mock_embed(F.col("t")).alias("e")).collect()
+    assert rows[0].e == rows[1].e
+    assert rows[0].e != rows[2].e
+    assert sum(v * v for v in rows[0].e) == pytest.approx(1.0)
+
+
+def test_run_once_and_search(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    index_path = str(tmp_path / "index")
+    ledger_path = str(tmp_path / "ledger")
+    index = run_once(spark, docs, index_path, ledger_path=ledger_path)
+    n = spark.read.parquet(index_path).count()
+    assert n > 50  # chunking fans out
+    # incremental: second cycle sees everything in the ledger -> no new rows
+    index2 = run_once(spark, docs, str(tmp_path / "index2"), ledger_path=ledger_path)
+    assert index2.count() == 0
+
+    # retrieval: querying with an indexed chunk's own text must return it as top hit
+    sample = spark.read.parquet(index_path).orderBy("source_file", "text").first()
+    q = spark.createDataFrame([(0, sample.text)], ["query_id", "query_text"])
+    hits = search(spark, index_path, q, k=3).collect()
+    assert hits[0].sim == pytest.approx(1.0)

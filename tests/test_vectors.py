@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+    ann_lsh_topk,
+    cosine,
+    dot,
+    knn_topk,
+    l2_normalize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 0.0, 1.0])], ["a", "b"])
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        l2_normalize(F.col("a")).alias("n"),
+        cosine(F.col("a"), F.col("a")).alias("self_cos"),
+    ).first()
+    assert row.d == 4.0
+    assert row.n == pytest.approx([1 / 3, 2 / 3, 2 / 3])
+    assert row.self_cos == pytest.approx(1.0)
+
+
+def test_knn_full_k_equals_sorted_crossjoin(spark):
+    # property (SURVEY §5.4): k = corpus size -> every (q, c) pair ranked
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 30)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_topk(q, emb, k=30)
+    assert out.count() == 3 * 30
+    # rank 1 of a query that is in the corpus must be itself (cos=1)
+    top = {r.query_id: (r.vec_id, r.sim) for r in out.filter("rank = 1").collect()}
+    for qid, (vid, sim) in top.items():
+        assert vid == qid
+        assert sim == pytest.approx(1.0)
+
+
+def test_ann_lsh_topk_self_hit(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 50)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_lsh_topk(q, emb, k=5, dim=64, n_planes=2).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # each query lands in its own bucket, so its self-match must appear
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r.rank)
+        assert best.vec_id == qid and best.sim == pytest.approx(1.0)
