@@ -74,6 +74,47 @@ def tumbling_bucket(ts: Column, seconds: int) -> Column:
     return F.floor(ts.cast("double") / seconds).cast("long")
 
 
+def sliding_windows(
+    df: DataFrame, ts_col: str, width_s: int, slide_s: int
+) -> DataFrame:
+    """Sliding (hopping) event-time windows via the built-in window()
+    generator — each event lands in width/slide windows; boundaries are
+    epoch-aligned so batch results equal the streaming operator's.
+    Adds `wstart` (epoch seconds of the window start)."""
+    return df.withColumn(
+        "wstart",
+        F.unix_timestamp(
+            F.window(F.col(ts_col), f"{width_s} seconds", f"{slide_s} seconds")[
+                "start"
+            ]
+        ),
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    ts_col: str,
+    gap_s: int,
+) -> DataFrame:
+    """Session windows (gap-based) via the built-in session_window —
+    the streaming-capable generalization of merge_islands. Adds
+    `session_start`/`session_end` epoch-second doubles; end = last
+    event + gap (Spark session semantics)."""
+    sw = F.session_window(F.col(ts_col), f"{gap_s} seconds")
+    return (
+        df.groupBy(sw.alias("_w"), *part_cols)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            *part_cols,
+            F.col("_w.start").cast("double").alias("session_start"),
+            F.col("_w.end").cast("double").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def topn_per_group(
     df: DataFrame,
     part_cols: Sequence[str],

@@ -639,6 +639,89 @@ def window_tumbling(spark, sf):
 
 
 @_q(
+    "window_sliding",
+    """WITH e AS (SELECT epoch(ts) AS t, event_type, value FROM events),
+       w AS (SELECT unnest(generate_series(
+                      CAST(floor(t/300)*300 AS BIGINT) - 300,
+                      CAST(floor(t/300)*300 AS BIGINT), 300)) AS wstart,
+                    event_type, value
+             FROM e)
+       SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 6) AS sum_value
+       FROM w GROUP BY 1, 2""",
+)
+def window_sliding(spark, sf):
+    ev = windows.sliding_windows(_t(spark, sf, "events"), "ts", 600, 300)
+    return ev.groupBy("wstart", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+@_q(
+    "window_session",
+    """WITH e AS (SELECT user_id, epoch(ts) AS t, value FROM events),
+       f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 300 THEN 1 ELSE 0 END AS new_s
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+       g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+             FROM f)
+       SELECT user_id, round(min(t), 6) AS session_start,
+              round(max(t) + 300, 6) AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 6) AS sum_value
+       FROM g GROUP BY user_id, sid""",
+)
+def window_session(spark, sf):
+    out = windows.session_windows(_t(spark, sf, "events"), ["user_id"], "ts", 300)
+    return out.select(
+        "user_id",
+        F.round("session_start", 6).alias("session_start"),
+        F.round("session_end", 6).alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@_q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(l_quantity), 4) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def agg_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@_q(
+    "argmin_nearest",
+    """SELECT user_id, event_id AS nearest_event, round(dist, 6) AS dist
+       FROM (SELECT user_id, event_id, abs(value - 50) AS dist,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY abs(value - 50), event_id) AS rn
+             FROM events) WHERE rn = 1""",
+)
+def argmin_nearest(spark, sf):
+    # L5 argmin/min-by (reference np.argmin at src/transcription.py:205):
+    # ties break to the lowest event_id via the struct ordering.
+    ev = _t(spark, sf, "events")
+    s = F.struct(
+        F.abs(F.col("value") - 50).alias("d"), F.col("event_id").alias("e")
+    )
+    return ev.groupBy("user_id").agg(
+        F.min(s).getField("e").alias("nearest_event"),
+        F.round(F.min(s).getField("d"), 6).alias("dist"),
+    )
+
+
+@_q(
     "window_running",
     """SELECT event_id,
               round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
@@ -850,6 +933,48 @@ def ann_lsh_buckets(spark, sf):
     return emb.select(
         "vec_id",
         vectors.lsh_bucket(F.col("embedding"), dim=64, n_planes=8).cast("int").alias("bucket"),
+    )
+
+
+def _ann_topk_sql(dim: int = 64, n_planes: int = 4, k: int = 5) -> str:
+    from ..functions.hashing import hyperplane_component
+
+    rows = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(hyperplane_component(p, d)) for d in range(dim)) + "]"
+        rows.append(f"({p}, CAST({lit} AS DOUBLE[]))")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH planes(pid, pvec) AS (VALUES
+  {values}
+), b AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN {O.dot('e.embedding', 'pl.pvec')} > 0
+                       THEN 1 << pid ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, e.embedding
+), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+s AS (SELECT q.query_id, c.vec_id, {O.cosine('q.qv', 'c.embedding')} AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@_q("ann_lsh_topk", _ann_topk_sql())
+def ann_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = vectors.ann_lsh_topk(q, emb, k=5, dim=64, n_planes=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -1095,3 +1220,32 @@ FROM x
 @_q("chunk_documents", _CHUNK_SQL)
 def chunk_documents(spark, sf):
     return text.chunk_text(_t(spark, sf, "documents"))
+
+
+# =====================================================================
+# Multimodal surface (binary columns + Arrow-batched mapInPandas)
+# =====================================================================
+
+@_q(
+    "multimodal_features",
+    """SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS digest
+       FROM documents""",
+)
+def multimodal_features(spark, sf):
+    # Puts the mapInPandas multimodal plumbing (ml.multimodal) on the
+    # oracle-checked path: text bytes stand in for media blobs; the
+    # byte-level digest/size must match DuckDB's over the same bytes.
+    from ..ml.multimodal import extract_features
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+    return extract_features(media).select("media_id", "n_bytes", "digest")
