@@ -97,31 +97,36 @@ def lsh_candidate_pairs(
     # Docs shorter than k words have no shingles -> identical empty
     # signatures; at scale they'd all collapse into one quadratic
     # bucket. They can't be meaningfully MinHash-deduped, so exclude
-    # them here (exact dedup handles verbatim-identical short docs).
-    sigs = (
-        _shingle_hashes(df, id_col, text_col, k)
-        .filter(F.size("_h") > 0)
-        .select("doc_id", sig.alias("_sig"))
+    # them (exact dedup handles verbatim-identical short docs).
+    #
+    # The exclusion is NOT a .filter(): a filter on size(_h) gets
+    # predicate-pushed below the ensure_parallelism repartition, so the
+    # whole tokenize->shingle->md5 pipeline would be re-evaluated on the
+    # raw (often single-partition) input — measured 4x slower at sf0.1.
+    # Instead the band array is emptied for shingle-less docs and the
+    # explode drops them, which nothing can push down.
+    sigs = _shingle_hashes(df, id_col, text_col, k).select(
+        "doc_id", (F.size("_h") > 0).alias("_ok"), sig.alias("_sig")
     )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("_sig")[b * LSH_ROWS + r].cast("string")
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    empty = F.array().cast("array<struct<band:int,key:string>>")
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col("_sig")[b * LSH_ROWS + r].cast("string")
-                                for r in range(LSH_ROWS)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.when(F.col("_ok"), band_arr).otherwise(empty)).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
     buckets = (
         bands.groupBy("band", "key")
