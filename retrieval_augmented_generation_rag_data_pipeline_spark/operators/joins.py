@@ -77,27 +77,30 @@ def asof_align(
 
     # g_j: globally nearest chunk per segment (ties -> lowest chunk index,
     # matching np.argmin first-match). Per-file pair join: |S|x|C| stays
-    # bounded per file; files parallelize across the cluster.
+    # bounded per file; files parallelize across the cluster. seg_id and
+    # speaker ride along as group keys (same cardinality as (_sfile,_j))
+    # so the segment side is scanned exactly once — no rejoin later.
     pairs = s.join(c, s["_sfile"] == c["_file"], "inner").select(
-        "_sfile", "_j", "_k", F.abs(F.col("_t1") - F.col("_te")).alias("_d")
+        "_sfile",
+        "_j",
+        "_seg_id",
+        "speaker",
+        "_k",
+        F.abs(F.col("_t1") - F.col("_te")).alias("_d"),
     )
-    nearest = pairs.groupBy("_sfile", "_j").agg(
+    nearest = pairs.groupBy("_sfile", "_j", "_seg_id", "speaker").agg(
         F.min(F.struct("_d", "_k")).getField("_k").alias("_g")
     )
 
     # b_j = j + running max(g_i - i); empty ranges drop out of the join.
     wj = Window.partitionBy("_sfile").orderBy("_j")
-    bounds = (
-        nearest.withColumn(
-            "_b",
-            F.col("_j")
-            + F.max(F.col("_g") - F.col("_j")).over(
-                wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .withColumn("_lo", F.coalesce(F.lag("_b").over(wj) + 1, F.lit(0)))
-        .join(s, ["_sfile", "_j"])
-    )
+    bounds = nearest.withColumn(
+        "_b",
+        F.col("_j")
+        + F.max(F.col("_g") - F.col("_j")).over(
+            wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("_lo", F.coalesce(F.lag("_b").over(wj) + 1, F.lit(0)))
 
     assigned = bounds.join(
         c,

@@ -879,6 +879,34 @@ def json_funcs(spark, sf):
     )
 
 
+@_q(
+    "map_funcs",
+    """SELECT p_partkey,
+              map_extract(MAP {'brand': p_brand, 'type': p_type}, 'brand')[1] AS brand_val,
+              array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS keys_csv,
+              CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_keys,
+              map_extract(map_from_entries([{'key': 'size', 'value': p_size}]), 'size')[1] AS size_val
+       FROM part""",
+)
+def map_funcs(spark, sf):
+    # §2.8 map family (reference dict build/lookup,
+    # src/embedding_engine.py:82,98; testing/check_bucket_files.py:56-59)
+    p = _t(spark, sf, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    ent = F.map_from_entries(
+        F.array(F.struct(F.lit("size").alias("key"), F.col("p_size").alias("value")))
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.element_at(ent, "size").alias("size_val"),
+    )
+
+
 # =====================================================================
 # Vector surface (J6 + ANN scale path)
 # =====================================================================

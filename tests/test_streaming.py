@@ -99,3 +99,77 @@ def test_session_window_stream(spark, events, tmp_path):
     assert len(rows) > 0
     n_events = sum(r.n_events for r in rows)
     assert n_events == spark.read.parquet(src).count()
+
+
+def test_stateful_running_totals_across_batches(spark, events, tmp_path):
+    # applyInPandasWithState: state must accumulate across micro-batches
+    # (3 source files x maxFilesPerTrigger=1 => 3 batches).
+    from retrieval_augmented_generation_rag_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "ev3")
+    ev = events.filter(F.col("user_id") < 8).select("user_id", "value")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends one row per (user, batch-it-appeared-in);
+    # the row with the max n_events per user is the final running total.
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) rn FROM totals_out) WHERE rn = 1"""
+        ).collect()
+    }
+    exp = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.streaming.stateful import (
+        first_seen_keys,
+    )
+
+    src = str(tmp_path / "keys")
+    spark.createDataFrame(
+        [("a",), ("b",)], "key string"
+    ).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("b",), ("c",)], "key string"
+    ).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = first_seen_keys(stream.withColumn("_batch_id", F.lit(0).cast("long")))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("fs_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT key FROM fs_out").collect()
+    # each key exactly once despite 'b' arriving in two batches
+    assert sorted(r.key for r in rows) == ["a", "b", "c"]
