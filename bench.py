@@ -30,6 +30,7 @@ HEADLINE = [
     "window_tumbling",
     "knn_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk",
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_exact",

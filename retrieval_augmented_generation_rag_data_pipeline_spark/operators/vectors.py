@@ -104,6 +104,80 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_centroid(cell: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random IVF centroid (offset 1000 keeps the
+    centroid family disjoint from the sign-LSH hyperplanes)."""
+    return [hyperplane_component(1000 + cell, d) for d in range(dim)]
+
+
+def _cell_rank(vec: Column, dim: int, n_cells: int) -> Column:
+    """Array of struct(-dot, cell) sorted ascending — element 1 is the
+    best cell (max dot, ties -> lowest cell id)."""
+    entries = F.array(
+        *[
+            F.struct(
+                (-dot(vec, F.array(*[F.lit(v) for v in ivf_centroid(c, dim)]))).alias(
+                    "nd"
+                ),
+                F.lit(c).alias("c"),
+            )
+            for c in range(n_cells)
+        ]
+    )
+    return F.array_sort(entries)
+
+
+def ivf_cell(vec: Column, dim: int, n_cells: int = 8) -> Column:
+    """Coarse-quantizer cell assignment: argmax dot(vec, centroid)."""
+    return F.element_at(_cell_rank(vec, dim, n_cells), 1)["c"]
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Corpus vectors are assigned to their nearest of ``n_cells`` fixed
+    centroids (the inverted lists); each query probes its ``nprobe``
+    nearest cells and reranks candidates exactly by cosine. At scale the
+    corpus is partitioned (or bucketed) by cell so a probe touches
+    ~nprobe/n_cells of the data — the same pruning FAISS IVF does, but
+    expressed as a partition-pruned equi-join. Centroids here are fixed
+    pseudo-random (deterministic for the oracle); swap in k-means
+    centroids (MLlib KMeans on a sample) for production recall.
+    """
+    cb = corpus.select(
+        F.col(corpus_id).alias(corpus_id),
+        F.col(vec_col).alias("_cv"),
+        ivf_cell(F.col(vec_col), dim, n_cells).alias("_cell"),
+    )
+    probes = F.transform(
+        F.slice(_cell_rank(F.col(vec_col), dim, n_cells), 1, nprobe), lambda s: s["c"]
+    )
+    qb = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes).alias("_cell"),
+    )
+    scored = cb.join(F.broadcast(qb), "_cell").select(
+        "query_id", corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "sim", "rank")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

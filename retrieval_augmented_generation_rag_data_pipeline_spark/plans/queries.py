@@ -1006,6 +1006,58 @@ def ann_lsh_topk(spark, sf):
     )
 
 
+def _ann_ivf_sql(dim: int = 64, n_cells: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    from ..operators.vectors import ivf_centroid
+
+    rows = []
+    for c in range(n_cells):
+        lit = "[" + ", ".join(repr(v) for v in ivf_centroid(c, dim)) + "]"
+        rows.append(f"({c}, CAST({lit} AS DOUBLE[]))")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH cent(cid, cv) AS (VALUES
+  {values}
+), d AS (
+  SELECT e.vec_id, e.embedding, c.cid, {O.dot('e.embedding', 'c.cv')} AS dp
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid ASC) AS rn
+  FROM d
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid
+  FROM ranked WHERE vec_id < 8 AND rn <= {nprobe}
+), s AS (
+  SELECT p.query_id, a.vec_id, {O.cosine('p.qv', 'a.embedding')} AS sim
+  FROM assigned a JOIN probes p ON a.cid = p.cid
+), r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM s)
+SELECT query_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@_q("ann_ivf_topk", _ann_ivf_sql())
+def ann_ivf_topk(spark, sf):
+    from ..operators.vectors import ann_ivf_topk as op
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = op(q, emb, k=5, dim=64, n_cells=8, nprobe=2)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 _EMB_COS_SQL = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

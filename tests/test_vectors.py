@@ -57,3 +57,30 @@ def test_ann_lsh_topk_self_hit(spark):
     for qid, rows in by_q.items():
         best = min(rows, key=lambda r: r.rank)
         assert best.vec_id == qid and best.sim == pytest.approx(1.0)
+
+
+def test_ivf_topk_self_hit_and_recall(spark):
+    # each query is in the corpus and always probes its own cell ->
+    # top-1 must be the query itself at sim ~= 1
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivf_topk,
+        knn_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_ivf_topk(q, emb, k=3, dim=64, n_cells=8, nprobe=2).collect()
+    top1 = {r.query_id: (r.vec_id, r.sim) for r in got if r.rank == 1}
+    assert set(top1) == {0, 1, 2, 3, 4}
+    for qid, (vid, sim) in top1.items():
+        assert vid == qid and abs(sim - 1.0) < 1e-9
+    # approximate results are a subset of the corpus scored exactly:
+    # every (q, v, sim) in IVF output matches the exact cosine from knn
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in knn_topk(q, emb, k=emb.count()).collect()
+    }
+    for r in got:
+        assert abs(exact[(r.query_id, r.vec_id)] - r.sim) < 1e-9
