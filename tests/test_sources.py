@@ -1,0 +1,111 @@
+"""Source/sink coverage (SURVEY.md §2.1 S1-S6, S9-S10).
+
+Exercises the binaryFile catalog scan (the reference's S3
+list+filter+download collapsed into one source), the multi-glob union
+scan, the wholetext document scan, and the JSON / formatted-dialogue
+sinks — all against tmp files, no cloud dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import format_dialogue
+from retrieval_augmented_generation_rag_data_pipeline_spark.sources import sinks
+from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+    scan_catalog,
+    scan_globs,
+    scan_text_documents,
+)
+
+
+def _mkfiles(tmp_path: pathlib.Path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "x.webm").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "a" / "y.mp3").write_bytes(b"\x03\x04")
+    (tmp_path / "z.webm").write_bytes(b"\x05")
+    (tmp_path / "note.txt").write_text("hello spark world")
+
+
+def test_scan_catalog_glob_and_schema(spark, tmp_path):
+    _mkfiles(tmp_path)
+    df = scan_catalog(spark, str(tmp_path), glob="*.webm")
+    rows = df.collect()
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {"x.webm", "z.webm"}
+    assert set(df.columns) == {"path", "modificationTime", "length"}
+    assert {r.length for r in rows} == {3, 1}
+
+
+def test_scan_catalog_with_content(spark, tmp_path):
+    _mkfiles(tmp_path)
+    df = scan_catalog(spark, str(tmp_path), glob="z.webm", with_content=True)
+    assert bytes(df.first().content) == b"\x05"
+
+
+def test_scan_globs_union(spark, tmp_path):
+    _mkfiles(tmp_path)
+    df = scan_globs(spark, str(tmp_path), ["*.webm", "*.mp3"])
+    assert df.count() == 3
+
+
+def test_scan_text_documents_wholetext(spark, tmp_path):
+    _mkfiles(tmp_path)
+    rows = scan_text_documents(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].text == "hello spark world"
+    assert rows[0].source_file.endswith("note.txt")
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("SPEAKER_00", "hi", 0.0, 1.5, 0.9)],
+        "speaker string, text string, t_start double, t_end double, confidence double",
+    )
+    out = str(tmp_path / "json_out")
+    sinks.write_json(df, out)
+    files = list(pathlib.Path(out).glob("*.json"))
+    assert files
+    rec = json.loads(files[0].read_text().strip())
+    assert rec == {
+        "speaker": "SPEAKER_00",
+        "text": "hi",
+        "t_start": 0.0,
+        "t_end": 1.5,
+        "confidence": 0.9,
+    }
+
+
+def test_dialogue_text_sink_format(spark, tmp_path):
+    # the reference's "[%.2f-%.2f] %s: %s" line format
+    # (src/transcription.py:353-359)
+    df = spark.createDataFrame(
+        [("SPEAKER_00", "hello there", 0.0, 1.5, 1.0)],
+        "speaker string, text string, t_start double, t_end double, confidence double",
+    )
+    out = str(tmp_path / "txt_out")
+    sinks.write_dialogue_text(format_dialogue(df), out)
+    lines = []
+    for f in pathlib.Path(out).glob("*.txt"):
+        lines += f.read_text().splitlines()
+    assert lines == ["[0.00-1.50] SPEAKER_00: hello there"]
+
+
+def test_vector_index_partitioned_by_source(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a", "f1"), (1, [0.0, 1.0], "b", "f2")],
+        "vec_id long, embedding array<double>, text string, source_file string",
+    )
+    out = str(tmp_path / "idx")
+    sinks.write_vector_index(df, out)
+    # one directory per source file, mirroring the reference's
+    # one-FAISS-index-per-file layout
+    parts = {p.name for p in pathlib.Path(out).iterdir() if p.is_dir()}
+    assert parts == {"source_file=f1", "source_file=f2"}
+    back = sinks.read_vector_index(spark, out)
+    assert back.count() == 2
+    # partition pruning: reading one source touches one partition
+    one = back.filter(F.col("source_file") == "f1")
+    assert one.count() == 1
