@@ -156,6 +156,30 @@ def broadcast_lookup(
     return facts.join(F.broadcast(dim), key, how)
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: fact keys salted into ``salt`` sub-keys,
+    the dimension side replicated once per salt value.
+
+    For hot keys (one key = one straggler task in a plain shuffle join)
+    this spreads each key over ``salt`` reducers at the cost of a
+    ``salt``x dimension replication — the classic remedy when AQE's
+    skew-join split isn't available (e.g. the skewed side feeds an
+    aggregation that blocks the AQE rewrite). Keys must be non-null on
+    the fact side (null never matches an equi-join anyway).
+    """
+    f = facts.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
 def positional_zip_join(left: DataFrame, right: DataFrame) -> DataFrame:
     """Pair rows by position (reference src/main.py:75 ``zip``).
 

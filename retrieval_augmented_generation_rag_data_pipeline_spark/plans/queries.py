@@ -306,6 +306,33 @@ def agg_tpch_q1(spark, sf):
 
 
 @_q(
+    "agg_tpch_q6",
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+         AND l_shipdate < TIMESTAMP '1995-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def agg_tpch_q6(spark, sf):
+    # pure scan-efficiency query: every predicate must reach the parquet
+    # reader (PushedFilters) and only 4 columns may be read
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
     "top_revenue_orders",
     """SELECT o.o_orderkey, o.o_orderdate,
               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue

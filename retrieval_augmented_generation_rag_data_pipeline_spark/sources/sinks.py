@@ -30,6 +30,31 @@ def write_vector_index(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     df.write.mode(mode).partitionBy("source_file").parquet(path)
 
 
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned parquet sink for event streams.
+
+    Hive-style `event_date=YYYY-MM-DD/` directories let Catalyst prune
+    whole partitions for time-range predicates (the reference's
+    year-filter diagnosis at testing/check_bucket_files.py:112 becomes a
+    metadata-only operation instead of a full scan). Files within a
+    partition are range-sorted on the timestamp so min/max row-group
+    stats prune within the partition too.
+    """
+    (
+        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .repartition(F.col("event_date"))
+        .sortWithinPartitions(ts_col)
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
 def read_vector_index(spark: SparkSession, path: str) -> DataFrame:
     """Vector-index load (S8, reference src/embedding_engine.py:88-99).
     Partition pruning on source_file replaces the per-file .faiss open."""

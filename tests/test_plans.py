@@ -103,6 +103,20 @@ def test_lsh_pairs_evaluates_hash_pipeline_once(spark):
     assert len(lines_with_pipeline) == 1, plan[: plan.index("(1)")]
 
 
+def test_tpch_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "agg_tpch_q6")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, pushed
+    # only the 4 referenced columns may be scanned
+    assert "l_comment" not in plan and "l_orderkey" not in plan
+
+
 @pytest.mark.parametrize("name", ["agg_by_year", "window_tumbling"])
 def test_aggregations_read_only_needed_columns(spark, name):
     plan = plan_of(spark, name)

@@ -1,0 +1,68 @@
+"""Scale-technique operators: salted join and time-partitioned storage.
+
+These don't change WHAT is computed — the tests pin that they compute
+the same rows as the plain formulation — only HOW it distributes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import salted_join
+from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+    write_time_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{SF}/nation.parquet").select("n_nationkey", "n_name")
+    dim = n.withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = {
+        (r.c_custkey, r.n_name) for r in c.join(dim, "c_nationkey").collect()
+    }
+    salted = {
+        (r.c_custkey, r.n_name)
+        for r in salted_join(c, dim, "c_nationkey", salt=4).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_skewed_key(spark):
+    # one hot key (90% of facts) — exactly the shape salting exists for
+    facts = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id") % 5).alias("k"),
+        F.col("id"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    out = salted_join(facts, dim, "k", salt=8)
+    assert out.count() == 1000
+    assert out.filter(F.col("k") == 7).count() == 900
+
+
+def test_time_partitioned_write_prunes(spark, tmp_path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    path = str(tmp_path / "ev_parts")
+    write_time_partitioned(ev, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+
+    one_day = back.filter(F.col("event_date") == "2024-01-01")
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = one_day._jdf.queryExecution().explainString(mode)
+    # the date predicate must be a partition filter (metadata pruning),
+    # never a data filter
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    exp = ev.filter(F.to_date("ts") == "2024-01-01").count()
+    assert one_day.count() == exp

@@ -66,9 +66,14 @@ def test_json_sink_roundtrip(spark, tmp_path):
     )
     out = str(tmp_path / "json_out")
     sinks.write_json(df, out)
-    files = list(pathlib.Path(out).glob("*.json"))
-    assert files
-    rec = json.loads(files[0].read_text().strip())
+    lines = [
+        ln
+        for f in pathlib.Path(out).glob("*.json")
+        for ln in f.read_text().splitlines()
+        if ln.strip()
+    ]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
     assert rec == {
         "speaker": "SPEAKER_00",
         "text": "hi",
