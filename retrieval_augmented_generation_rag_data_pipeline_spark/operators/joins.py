@@ -19,8 +19,14 @@ Derivation (why this is NOT a sequential loop):
   assigned to segment j iff b_{j-1} < k <= b_j, and segments whose
   range is empty (transcript exhausted -> reference breaks) emit no row.
 
-This keeps alignment distributed (parallel across files, window + range
-join within a file) with zero driver-side iteration.
+Both lookups are sorted merges, not joins: g_j comes from a union of
+chunk-ends and segment-ends with predecessor/successor window fills
+(the nearest sorted value is always one of the two), and the chunk ->
+segment assignment exploits that b_j is strictly increasing, so each
+chunk's owner is the first boundary >= its index — another union +
+forward fill. Cost is O((S+C) log(S+C)) per file instead of the naive
+|S|x|C| pair join; files parallelize across the cluster and there is
+zero driver-side iteration.
 """
 
 from __future__ import annotations
@@ -76,38 +82,136 @@ def asof_align(
     )
 
     # g_j: globally nearest chunk per segment (ties -> lowest chunk index,
-    # matching np.argmin first-match). Per-file pair join: |S|x|C| stays
-    # bounded per file; files parallelize across the cluster. seg_id and
-    # speaker ride along as group keys (same cardinality as (_sfile,_j))
-    # so the segment side is scanned exactly once — no rejoin later.
-    pairs = s.join(c, s["_sfile"] == c["_file"], "inner").select(
-        "_sfile",
-        "_j",
-        "_seg_id",
-        "speaker",
-        "_k",
-        F.abs(F.col("_t1") - F.col("_te")).alias("_d"),
+    # matching np.argmin first-match). NOT an |S|x|C| pair join — since
+    # chunk ends are non-decreasing, the nearest end is either the
+    # predecessor (last end <= te) or the successor (first end > te), so
+    # a sorted merge (union + window fills) finds it in O((S+C) log) per
+    # file. Tie (equidistant) -> predecessor, whose index is smaller;
+    # equal end values -> the run's first index via the per-value min_k.
+    ce = c.select("_file", "_k", "_t1")
+    first_k = ce.groupBy("_file", "_t1").agg(F.min("_k").alias("_fk"))
+    merged = ce.select(
+        "_file",
+        F.col("_t1").alias("_t"),
+        F.lit(0).alias("_typ"),
+        F.col("_t1").alias("_ce"),
+        F.lit(None).cast("long").alias("_j"),
+        F.lit(None).cast("long").alias("_seg_id"),
+        F.lit(None).cast("string").alias("speaker"),
+    ).unionByName(
+        s.select(
+            F.col("_sfile").alias("_file"),
+            F.col("_te").alias("_t"),
+            F.lit(1).alias("_typ"),
+            F.lit(None).cast(c.schema["_t1"].dataType).alias("_ce"),
+            "_j",
+            F.col("_seg_id").cast("long").alias("_seg_id"),
+            "speaker",
+        )
     )
-    nearest = pairs.groupBy("_sfile", "_j", "_seg_id", "speaker").agg(
-        F.min(F.struct("_d", "_k")).getField("_k").alias("_g")
+    # chunks sort before segments at equal time (_typ 0 < 1), so an
+    # end == te lands on the predecessor side (distance 0, lowest index)
+    wm = Window.partitionBy("_file").orderBy("_t", "_typ")
+    pred = F.last("_ce", ignorenulls=True).over(
+        wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    succ = F.first("_ce", ignorenulls=True).over(
+        wm.rowsBetween(1, Window.unboundedFollowing)
+    )
+    seg_near = (
+        merged.withColumn("_pred", pred)
+        .withColumn("_succ", succ)
+        .filter(F.col("_typ") == 1)
+        .select(
+            "_file",
+            "_j",
+            "_seg_id",
+            "speaker",
+            F.when(F.col("_pred").isNull(), F.col("_succ"))
+            .when(F.col("_succ").isNull(), F.col("_pred"))
+            .when(
+                (F.col("_t") - F.col("_pred")) <= (F.col("_succ") - F.col("_t")),
+                F.col("_pred"),
+            )
+            .otherwise(F.col("_succ"))
+            .alias("_t1"),
+        )
+    )
+    # segments in chunk-less files have a null _t1 -> dropped by the
+    # inner join, matching the reference's no-transcript break
+    nearest = seg_near.join(first_k, ["_file", "_t1"]).select(
+        "_file", "_j", "_seg_id", "speaker", F.col("_fk").alias("_g")
     )
 
-    # b_j = j + running max(g_i - i); empty ranges drop out of the join.
-    wj = Window.partitionBy("_sfile").orderBy("_j")
+    # b_j = j + running max(g_i - i): consumed-prefix boundary per segment.
+    wj = Window.partitionBy("_file").orderBy("_j")
     bounds = nearest.withColumn(
         "_b",
         F.col("_j")
         + F.max(F.col("_g") - F.col("_j")).over(
             wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).withColumn("_lo", F.coalesce(F.lag("_b").over(wj) + 1, F.lit(0)))
+    )
 
-    assigned = bounds.join(
-        c,
-        (bounds["_sfile"] == c["_file"])
-        & (c["_k"] >= bounds["_lo"])
-        & (c["_k"] <= bounds["_b"]),
-        "inner",
+    # b is strictly increasing (b_j - b_{j-1} >= 1), so the segment
+    # ranges (prev_b, b] tile the chunk indices contiguously and each
+    # chunk's owner is the first segment with b >= k — again a sorted
+    # merge, not a range join. Chunks past the last boundary stay
+    # unassigned (reference: leftovers after the final segment are
+    # dropped), as are chunk-less segments (empty range -> no rows).
+    bm = c.select(
+        "_file",
+        F.col("_k").alias("_pos"),
+        F.lit(0).alias("_typ"),
+        "_k",
+        "_text",
+        "_t0",
+        "_t1",
+        "_conf",
+        F.lit(None).cast("long").alias("_j"),
+        F.lit(None).cast("long").alias("_seg_id"),
+        F.lit(None).cast("string").alias("speaker"),
+    ).unionByName(
+        bounds.select(
+            "_file",
+            F.col("_b").alias("_pos"),
+            F.lit(1).alias("_typ"),
+            F.lit(None).cast("long").alias("_k"),
+            F.lit(None).cast("string").alias("_text"),
+            F.lit(None).cast(c.schema["_t0"].dataType).alias("_t0"),
+            F.lit(None).cast(c.schema["_t1"].dataType).alias("_t1"),
+            F.lit(None).cast("double").alias("_conf"),
+            "_j",
+            "_seg_id",
+            "speaker",
+        )
+    )
+    wb = Window.partitionBy("_file").orderBy("_pos", "_typ")
+    owner = F.struct(
+        F.first("_j", ignorenulls=True).over(
+            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ).alias("_j"),
+        F.first("_seg_id", ignorenulls=True).over(
+            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ).alias("_seg_id"),
+        F.first("speaker", ignorenulls=True).over(
+            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ).alias("speaker"),
+    )
+    assigned = (
+        bm.withColumn("_own", owner)
+        .filter((F.col("_typ") == 0) & F.col("_own._j").isNotNull())
+        .select(
+            F.col("_file").alias("_sfile"),
+            F.col("_own._j").alias("_j"),
+            F.col("_own._seg_id").alias("_seg_id"),
+            F.col("_own.speaker").alias("speaker"),
+            "_k",
+            "_text",
+            "_t0",
+            "_t1",
+            "_conf",
+        )
     )
 
     return (
