@@ -4,6 +4,14 @@ Exact hash dedup, MinHash+LSH, SimHash, and n-gram Jaccard — all built
 on the portable md5-derived hash (functions.hashing) so every one is
 DuckDB-oracle-checkable. Each returns a DataFrame (never collects).
 
+Algorithms follow the published formulations: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997), banded LSH for candidate generation (Leskovec/Rajaraman/Ullman,
+"Mining of Massive Datasets" ch. 3), and SimHash fingerprints
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+2002) — the same family used for web-scale near-dedup in Gyawali et al.
+and the C4/RefinedWeb data pipelines.
+
 Scale notes (100 TB):
 - exact dedup: one hash-groupBy shuffle keyed on the digest;
 - MinHash LSH: signatures computed scan-side (narrow), the only shuffle

@@ -8,6 +8,8 @@ schema'd, and splittable.
 
 from __future__ import annotations
 
+import pathlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,3 +61,30 @@ def read_vector_index(spark: SparkSession, path: str) -> DataFrame:
     """Vector-index load (S8, reference src/embedding_engine.py:88-99).
     Partition pruning on source_file replaces the per-file .faiss open."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 256,
+) -> int:
+    """Rewrite a parquet dataset into ~target_mb files (small-files
+    maintenance).
+
+    Streaming ingest with per-trigger rate caps (the reference writes one
+    output per file per cycle) accumulates thousands of tiny files; at
+    scale that degrades listing, scheduling, and scan throughput. Sizing
+    comes from the actual on-disk bytes, so the pass is a single
+    shuffle-free coalesce when shrinking the file count. Returns the
+    number of output files.
+    """
+    df = spark.read.parquet(path)
+    # local-fs sizing; on an object store derive bytes from the catalog
+    # listing (scan_catalog's length column) instead
+    total_bytes = sum(
+        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
+    )
+    n = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df.coalesce(int(n)).write.mode("overwrite").parquet(out_path)
+    return int(n)

@@ -66,3 +66,20 @@ def test_time_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_date" in plan
     exp = ev.filter(F.to_date("ts") == "2024-01-01").count()
     assert one_day.count() == exp
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        compact_parquet,
+    )
+    import pathlib
+
+    src = str(tmp_path / "many")
+    # simulate streaming ingest: 16 tiny files
+    spark.range(10000).repartition(16).write.parquet(src)
+    assert len(list(pathlib.Path(src).glob("part-*.parquet"))) == 16
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_mb=256)
+    assert n == 1
+    assert len(list(pathlib.Path(out).glob("part-*.parquet"))) == 1
+    assert spark.read.parquet(out).count() == 10000
