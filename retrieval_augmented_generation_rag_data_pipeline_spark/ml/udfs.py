@@ -120,6 +120,129 @@ def make_embed_udf(model_name: str = "all-MiniLM-L6-v2", batch_size: int = 64):
     return encode
 
 
+def diarizer_available() -> bool:
+    return _try_import("pyannote") is not None
+
+
+def make_decode_udf(sample_rate: int = 16000):
+    """U2: binary media -> ARRAY<FLOAT> mono PCM, L2-normalized
+    (reference src/transcription.py:176-188: ffmpeg_read + torch
+    normalize). Gated on torch/ffmpeg presence."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def decode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if not asr_available():
+            raise NotImplementedError(
+                "torch/transformers not installed — use fake_decode for tests"
+            )
+        import numpy as np
+        from transformers.pipelines.audio_utils import ffmpeg_read
+
+        for series in batches:
+            out = []
+            for blob in series:
+                pcm = ffmpeg_read(bytes(blob), sample_rate).astype("float32")
+                norm = float(np.linalg.norm(pcm)) or 1.0
+                out.append((pcm / norm).tolist())
+            yield pd.Series(out)
+
+    return decode
+
+
+def make_diarize_udf(
+    model_name: str = "pyannote/speaker-diarization-3.1",
+    min_speakers: int = 1,
+    max_speakers: int = 5,
+):
+    """U3: waveform -> ARRAY<STRUCT<spk_start,spk_end,speaker>>
+    (reference src/transcription.py:238-312). One pipeline per executor;
+    per-row failures fall back to a single full-length SPEAKER_00
+    segment exactly like the reference's error path (:266-275,303-312).
+    """
+
+    @F.pandas_udf(SEGMENT_SCHEMA)
+    def diarize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if not diarizer_available():
+            raise NotImplementedError(
+                "pyannote not installed — use fake_diarize for tests"
+            )
+        import torch
+        from pyannote.audio import Pipeline as PyannotePipeline
+
+        pipeline = PyannotePipeline.from_pretrained(model_name)
+        for series in batches:
+            out = []
+            for wave in series:
+                try:
+                    w = torch.tensor([list(wave)], dtype=torch.float32)
+                    dia = pipeline(
+                        {"waveform": w, "sample_rate": 16000},
+                        min_speakers=min_speakers,
+                        max_speakers=max_speakers,
+                    )
+                    segs = [
+                        {
+                            "spk_start": float(turn.start),
+                            "spk_end": float(turn.end),
+                            "speaker": str(speaker),
+                        }
+                        for turn, _track, speaker in dia.itertracks(yield_label=True)
+                    ]
+                except Exception:
+                    segs = []
+                if not segs:
+                    segs = [
+                        {
+                            "spk_start": 0.0,
+                            "spk_end": float(len(wave)) / 16000.0,
+                            "speaker": "SPEAKER_00",
+                        }
+                    ]
+                out.append(segs)
+            yield pd.Series(out)
+
+    return diarize
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def fake_decode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Deterministic U2 stand-in: bytes -> [-1,1) floats, one sample per
+    byte — keeps the binary->waveform->diarize chain executable."""
+    for series in batches:
+        out = []
+        for blob in series:
+            b = bytes(blob or b"")
+            out.append([x / 128.0 - 1.0 for x in b])
+        yield pd.Series(out)
+
+
+@F.pandas_udf(SEGMENT_SCHEMA)
+def fake_diarize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Deterministic U3 stand-in: alternating 2-speaker segments every 16
+    samples; empty waveform -> the reference's single-speaker fallback
+    (src/transcription.py:266-275)."""
+    for series in batches:
+        out = []
+        for wave in series:
+            n = 0 if wave is None else len(wave)
+            if n == 0:
+                out.append(
+                    [{"spk_start": 0.0, "spk_end": 0.0, "speaker": "SPEAKER_00"}]
+                )
+                continue
+            segs = []
+            for i in range(0, n, 16):
+                segs.append(
+                    {
+                        "spk_start": float(i),
+                        "spk_end": float(min(i + 16, n)),
+                        "speaker": f"SPEAKER_0{(i // 16) % 2}",
+                    }
+                )
+            out.append(segs)
+        yield pd.Series(out)
+
+
 @F.pandas_udf(CHUNK_SCHEMA)
 def fake_transcribe(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Deterministic U1 stand-in: 1 chunk per 8 input bytes, word =

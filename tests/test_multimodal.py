@@ -66,3 +66,56 @@ def test_fake_transcribe_plumbing(spark, media):
     for r in out:
         assert r.t_end == r.t_start + 8.0
         assert isinstance(r.text, str) and len(r.text) > 0
+
+
+def test_audio_pipeline_end_to_end_with_fakes(spark):
+    """EP1 step 4 shape (reference src/main.py:55-95): binary audio ->
+    decode (U2) -> transcribe (U1) -> diarize (U3) -> islands (W1) ->
+    as-of align (J2), all over deterministic fakes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.ml.udfs import (
+        fake_decode,
+        fake_diarize,
+        fake_transcribe,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        asof_align,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import (
+        merge_islands,
+    )
+
+    media = spark.createDataFrame(
+        [("f1", bytes(range(64))), ("f2", bytes(range(32)))],
+        "file string, content binary",
+    )
+    decoded = media.select("file", "content", fake_decode("content").alias("wave"))
+
+    chunks = (
+        media.select("file", F.explode(fake_transcribe("content")).alias("c"))
+        .select("file", "c.text", "c.t_start", "c.t_end", "c.confidence")
+        .withColumn(
+            "chunk_id",
+            F.row_number().over(Window.partitionBy("file").orderBy("t_start")),
+        )
+    )
+    segs = decoded.select("file", F.explode(fake_diarize("wave")).alias("s")).select(
+        "file", "s.spk_start", "s.spk_end", "s.speaker"
+    )
+    islands = merge_islands(segs, ["file"], "spk_start", "speaker", "spk_start", "spk_end")
+    segments = islands.select(
+        "file",
+        F.col("island_id").alias("seg_id"),
+        F.col("label").alias("speaker"),
+        F.col("island_end").alias("spk_end"),
+    )
+    aligned = asof_align(chunks, segments)
+    rows = aligned.collect()
+    # f1: 64 bytes -> 8 transcript chunks, 4 alternating-speaker islands
+    # merge to 4 segments; every chunk must be consumed exactly once
+    total_words = sum(len(r.text.split()) for r in rows)
+    assert total_words == 8 + 4  # f1 chunks + f2 chunks
+    assert {r.file for r in rows} == {"f1", "f2"}
+    assert all(r.confidence > 0 for r in rows)
