@@ -407,6 +407,24 @@ def anti_join_ledger(spark, sf):
 
 
 @_q(
+    "join_salted",
+    """SELECT o.o_orderkey, c.c_mktsegment
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_orderstatus = 'O'""",
+)
+def join_salted(spark, sf):
+    # skew-resistant form must emit exactly the plain join's rows — the
+    # plain SQL IS the oracle
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return joins.salted_join(o, c, "c_custkey", salt=8).select(
+        "o_orderkey", "c_mktsegment"
+    )
+
+
+@_q(
     "join_positional",
     """WITH lc AS (SELECT c_custkey,
                           row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS _rn

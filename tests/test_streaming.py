@@ -173,3 +173,57 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     rows = spark.sql("SELECT key FROM fs_out").collect()
     # each key exactly once despite 'b' arriving in two batches
     assert sorted(r.key for r in rows) == ["a", "b", "c"]
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving after the watermark passed its window must be dropped.
+    The watermark persists in the checkpoint across restarts, so the
+    three runs form one logical stream."""
+    import datetime as dt
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out_path = str(tmp_path / "wm_out")
+
+    def run(_qname):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_events(stream, window_seconds=300)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_path).collect()
+
+    t = lambda h, m: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    # run 1: two on-time events in [10:00,10:05) + one at 11:00 that
+    # advances the watermark to 10:50
+    write_file("a", [(t(10, 0), "x", 1.0), (t(10, 4), "x", 1.0), (t(11, 0), "x", 1.0)])
+    run("wm1")
+    # run 2: a LATE event for the already-closed 10:00 window
+    write_file("b", [(t(10, 1), "x", 100.0), (t(11, 30), "x", 1.0)])
+    rows2 = run("wm2")
+    # run 3: far-future event flushes every remaining window
+    write_file("c", [(t(12, 30), "x", 1.0)])
+    rows3 = run("wm3")
+
+    out = {}
+    for r in rows3:
+        out[r.window_start] = (r.n, r.sum_value)
+    w10 = out[t(10, 0)]
+    # the late 100.0 event was dropped: 2 events, sum 2.0 — not 3/102
+    assert w10 == (2, 2.0)
+    assert out[t(11, 0)] == (1, 1.0)
+    assert out[t(11, 30)] == (1, 1.0)
