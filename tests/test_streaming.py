@@ -227,3 +227,49 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert w10 == (2, 2.0)
     assert out[t(11, 0)] == (1, 1.0)
     assert out[t(11, 30)] == (1, 1.0)
+
+
+def test_full_pipeline_as_stream(spark, tmp_path):
+    """EP1 restated (reference src/main.py:133-158): the batch DAG
+    (chunk -> embed -> vector-index) runs per micro-batch via
+    foreachBatch; the checkpoint replaces the JSON ledger, so every doc
+    is indexed exactly once across triggers."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        chunk_text,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.plans.pipeline import (
+        embed_chunks,
+    )
+
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    docs.repartition(3).write.parquet(src)
+    index_path = str(tmp_path / "stream_index")
+
+    def index_batch(batch_df, _epoch):
+        chunks = chunk_text(batch_df, chunk_words=32)
+        embed_chunks(chunks).write.mode("append").parquet(index_path)
+
+    q = run_stream(
+        read_document_stream(spark, src, max_files_per_trigger=1),
+        index_batch,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(180)
+
+    index = spark.read.parquet(index_path)
+    indexed_docs = {r.source_file for r in index.select("source_file").distinct().collect()}
+    expected = {
+        str(r.doc_id)
+        for r in docs.filter(F.length(F.trim("text")) > 0).select("doc_id").collect()
+    }
+    assert indexed_docs == expected
+    # restart: checkpoint knows every file — no duplicate indexing
+    n_before = index.count()
+    q2 = run_stream(
+        read_document_stream(spark, src),
+        index_batch,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(index_path).count() == n_before
