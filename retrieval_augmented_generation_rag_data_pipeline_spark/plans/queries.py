@@ -306,6 +306,33 @@ def agg_tpch_q1(spark, sf):
 
 
 @_q(
+    "agg_percentile",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+              round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+              round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def agg_percentile(spark, sf):
+    # exact interpolated percentiles: Spark `percentile` and DuckDB
+    # quantile_cont share the linear-interpolation definition. At scale
+    # exact percentiles sort per group — swap to approx_percentile
+    # (t-digest, no sort) when a tolerance is acceptable.
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias(
+                "p99_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
     "agg_tpch_q6",
     """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
               CAST(count(*) AS BIGINT) AS n
@@ -742,6 +769,23 @@ def agg_rollup(spark, sf):
         F.grouping_id().cast("int").alias("gid"),
         F.count("*").alias("n"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@_q(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(l_extendedprice), 4) AS sum_price
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def agg_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
     )
 
 
