@@ -110,13 +110,23 @@ def asof_align(
         )
     )
     # chunks sort before segments at equal time (_typ 0 < 1), so an
-    # end == te lands on the predecessor side (distance 0, lowest index)
+    # end == te lands on the predecessor side (distance 0, lowest index).
+    #
+    # Both fills use GROWING frames (unboundedPreceding..currentRow),
+    # which Spark evaluates incrementally in O(n); the successor comes
+    # from a reverse-ordered growing frame because a
+    # (offset, unboundedFollowing) frame re-scans to the partition end
+    # for every row — O(n^2), measured 74s on a single 30k-row file.
+    # The segment's own row holds a null _ce, so including currentRow in
+    # the reverse frame is harmless, and equal-time chunks sort after
+    # the segment in reverse order, keeping the successor strictly later.
     wm = Window.partitionBy("_file").orderBy("_t", "_typ")
+    wm_rev = Window.partitionBy("_file").orderBy(F.desc("_t"), F.desc("_typ"))
     pred = F.last("_ce", ignorenulls=True).over(
         wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    succ = F.first("_ce", ignorenulls=True).over(
-        wm.rowsBetween(1, Window.unboundedFollowing)
+    succ = F.last("_ce", ignorenulls=True).over(
+        wm_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     seg_near = (
         merged.withColumn("_pred", pred)
@@ -186,17 +196,17 @@ def asof_align(
             "speaker",
         )
     )
-    wb = Window.partitionBy("_file").orderBy("_pos", "_typ")
-    owner = F.struct(
-        F.first("_j", ignorenulls=True).over(
-            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        ).alias("_j"),
-        F.first("_seg_id", ignorenulls=True).over(
-            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        ).alias("_seg_id"),
-        F.first("speaker", ignorenulls=True).over(
-            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        ).alias("speaker"),
+    # same O(n) reverse-growing-frame trick as the nearest-end fill: the
+    # owning boundary (first bound with b >= k in forward order) is the
+    # last non-null in reverse order; at equal pos the bound sorts first
+    # in reverse, so a chunk exactly on a boundary is assigned to it.
+    # One struct-valued last() instead of three scalar fills.
+    wb_rev = Window.partitionBy("_file").orderBy(F.desc("_pos"), F.desc("_typ"))
+    own_src = F.when(
+        F.col("_typ") == 1, F.struct("_j", "_seg_id", "speaker")
+    )
+    owner = F.last(own_src, ignorenulls=True).over(
+        wb_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     assigned = (
         bm.withColumn("_own", owner)

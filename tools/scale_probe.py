@@ -1,0 +1,129 @@
+"""Scale probe: time the nonlinear-risk operators at Nx the bench scale.
+
+sf0.1 correctness runs hide super-linear behavior (everything fits in a
+few tasks). This probe synthesizes bigger inputs by unioning id-shifted
+copies of the sf0.1 tables and times the operators whose complexity
+depends on data shape, printing one JSON line per probe:
+
+  asof_long_file   one file with ~N*2k chunks / ~N*1k segments — the
+                   sorted-merge alignment must stay n log n
+  lsh_pairs        N*5k docs through MinHash banding + bucket expansion
+  knn_corpus       exact kNN, 8 queries x N*2k corpus vectors
+  sessionize       islands over N*100k events
+
+Usage: python tools/scale_probe.py [N]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators import dedup, vectors, windows
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import asof_align
+from retrieval_augmented_generation_rag_data_pipeline_spark.session import get_spark
+
+SF = "/root/testdata/sf0.1"
+
+
+def replicate(df, n, id_cols):
+    """n id-shifted copies (ids stay distinct across copies)."""
+    out = []
+    for i in range(n):
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * 10_000_000))
+        out.append(c)
+    u = out[0]
+    for c in out[1:]:
+        u = u.unionByName(c)
+    return u
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    results = {}
+
+    # ---- asof on ONE long file: the per-file ordering worst case
+    base = ev.filter(F.col("event_type").isin("click", "view")).limit(2000)
+    chunks = replicate(
+        base.select(
+            F.lit("f").alias("file"),
+            F.col("event_id").alias("chunk_id"),
+            F.col("event_type").alias("text"),
+            F.col("ts").cast("double").alias("t_end"),
+            (F.col("value") / 100.0).alias("confidence"),
+        ),
+        n,
+        ["chunk_id"],
+    ).withColumn("t_end", F.col("t_end") + (F.col("chunk_id") / 1e6)).withColumn(
+        "t_start", F.col("t_end") - 1.0
+    )
+    segs = replicate(
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .limit(1000)
+        .select(
+            F.lit("f").alias("file"),
+            F.col("event_id").alias("seg_id"),
+            F.col("event_type").alias("speaker"),
+            F.col("ts").cast("double").alias("spk_end"),
+        ),
+        n,
+        ["seg_id"],
+    )
+    t0 = time.time()
+    nrows = asof_align(chunks, segs).count()
+    results["asof_long_file"] = {
+        "chunks": 2000 * n, "segments": 1000 * n,
+        "out_rows": nrows, "sec": round(time.time() - t0, 2),
+    }
+
+    # ---- MinHash LSH at Nx docs
+    big_docs = replicate(docs.select("doc_id", "text"), n, ["doc_id"])
+    t0 = time.time()
+    npairs = dedup.lsh_candidate_pairs(big_docs).count()
+    results["lsh_pairs"] = {
+        "docs": 5000 * n, "pairs": npairs, "sec": round(time.time() - t0, 2)
+    }
+
+    # ---- exact kNN at Nx corpus
+    big_emb = replicate(emb.select("vec_id", "embedding"), n, ["vec_id"])
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    vectors.knn_topk(q, big_emb, k=5).count()
+    results["knn_corpus"] = {
+        "corpus": 2000 * n, "sec": round(time.time() - t0, 2)
+    }
+
+    # ---- islands at Nx events
+    big_ev = replicate(
+        ev.select("user_id", "event_id", "event_type", F.col("ts").cast("double").alias("t")),
+        n,
+        ["user_id", "event_id"],
+    )
+    t0 = time.time()
+    windows.merge_islands(big_ev, ["user_id"], "event_id", "event_type", "t", "t").count()
+    results["sessionize"] = {
+        "events": 100_000 * n, "sec": round(time.time() - t0, 2)
+    }
+
+    print(json.dumps({"scale_multiplier": n, "probes": results}))
+
+
+if __name__ == "__main__":
+    main()
