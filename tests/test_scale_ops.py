@@ -83,3 +83,35 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n == 1
     assert len(list(pathlib.Path(out).glob("part-*.parquet"))) == 1
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    write_bucketed(c, "b_cust", str(tmp_path / "b_cust"), "c_custkey", 4)
+    write_bucketed(o, "b_ord", str(tmp_path / "b_ord"), "c_custkey", 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join strategy decision to depend on bucketing alone
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_cust").join(spark.table("b_ord"), "c_custkey")
+        jvm = spark.sparkContext._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        # and it still computes the right thing
+        exp = c.join(o, "c_custkey").count()
+        assert joined.count() == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
