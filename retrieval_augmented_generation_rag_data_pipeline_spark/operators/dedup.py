@@ -217,6 +217,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "doc_id",
+    edge_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: (doc_id, component_id) where
+    component_id = min doc_id reachable through candidate-pair edges.
+
+    Iterative min-label propagation with pointer jumping: each round
+    every vertex takes the min of its own, its neighbors', and its
+    label's label (path halving), so convergence is O(log diameter)
+    rounds — not O(diameter) as plain propagation would be on chain
+    graphs. Each round is two shuffles keyed on the vertex; lineage is
+    truncated per round with a local checkpoint so the plan doesn't grow
+    with iterations. The driver sees only a changed-row count per round
+    — no data collects.
+    """
+    a, b = edge_cols
+    und = edges.select(F.col(a).alias("_src"), F.col(b).alias("_dst")).unionByName(
+        edges.select(F.col(b).alias("_src"), F.col(a).alias("_dst"))
+    )
+    labels = vertices.select(
+        F.col(vertex_col).alias("doc_id"), F.col(vertex_col).alias("component_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels, und["_src"] == labels["doc_id"], "inner"
+        ).select(F.col("_dst").alias("doc_id"), "component_id")
+        hop = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+        )
+        # pointer jump: comp(v) := comp(comp(v)) — labels are always
+        # existing doc ids, so the self-join resolves every label
+        lab_map = hop.select(
+            F.col("doc_id").alias("component_id"),
+            F.col("component_id").alias("_cc"),
+        )
+        new_labels = (
+            hop.join(lab_map, "component_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("_cc", "component_id").alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

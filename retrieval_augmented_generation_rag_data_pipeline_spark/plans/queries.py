@@ -1223,7 +1223,9 @@ def dedup_minhash(spark, sf):
     return dedup.minhash_signatures(_t(spark, sf, "documents"))
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_ctes() -> str:
+    """The corpus -> shingle-hash -> signature -> band CTE chain shared
+    by the LSH-pairs and dedup-clusters oracles."""
     band_selects = []
     for b in range(LSH_BANDS):
         key = " || ':' || ".join(
@@ -1231,11 +1233,15 @@ def _lsh_pairs_sql() -> str:
         )
         band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
     bands = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH {_CORPUS_SQL},
+    return f"""{_CORPUS_SQL},
 t AS (SELECT doc_id, {_HS} AS hs FROM corpus),
 sig AS (SELECT doc_id, {', '.join(_mh_cols())} FROM t WHERE len(hs) > 0),
-bands AS ({bands})
+bands AS ({bands})"""
+
+
+def _lsh_pairs_sql() -> str:
+    return f"""
+WITH {_lsh_ctes()}
 SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
 FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 GROUP BY 1, 2
@@ -1245,6 +1251,35 @@ GROUP BY 1, 2
 @_q("dedup_lsh_pairs", _lsh_pairs_sql())
 def dedup_lsh_pairs(spark, sf):
     return dedup.lsh_candidate_pairs(_dup_corpus(spark, sf))
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure of LSH candidate pairs via recursive CTE —
+    min reachable doc_id = the component label."""
+    return f"""
+WITH RECURSIVE {_lsh_ctes()},
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+reach(v, lab) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT u.o, r.lab
+  FROM reach r
+  JOIN (SELECT doc_a AS i, doc_b AS o FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs) u ON u.i = r.v
+)
+SELECT v AS doc_id, min(lab) AS component_id FROM reach GROUP BY v
+"""
+
+
+@_q("dedup_clusters", _dedup_clusters_sql())
+def dedup_clusters(spark, sf):
+    corpus = _dup_corpus(spark, sf)
+    pairs = dedup.lsh_candidate_pairs(corpus).select("doc_a", "doc_b")
+    return dedup.connected_components(corpus.select("doc_id"), pairs)
 
 
 _SIMHASH_SQL = f"""

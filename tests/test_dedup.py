@@ -69,3 +69,35 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
     uncapped = ngram_jaccard_pairs(df).count()
     capped = ngram_jaccard_pairs(df, df_cap=5).count()
     assert capped < uncapped
+
+
+def test_connected_components_toy_graph(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 8]], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    # a long path graph exercises multi-round propagation + convergence
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 40
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(verts, edges).collect()
+    assert {r.component_id for r in rows} == {0}
+    assert len(rows) == n
