@@ -88,7 +88,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (doc_a < doc_b, n_bands).
 
@@ -97,9 +101,14 @@ def lsh_candidate_pairs(
     band-key self-join (which evaluates the signature pipeline once per
     join side), docs are grouped by (band, key) and pairs expanded
     inside each bucket — one signature evaluation, one shuffle keyed on
-    the band signature, no cross join. Bucket sizes are bounded by the
-    LSH collision probability; at 100 TB add a bucket-size cap upstream
-    of the expansion (standard inverted-index hygiene).
+    the band signature, no cross join.
+
+    ``max_bucket_size`` drops buckets larger than the cap before pair
+    expansion (None = unlimited, keeps the oracle exact). A bucket of
+    size m emits m(m-1)/2 pairs, so one degenerate template/boilerplate
+    bucket can dominate the whole job at scale — capping is standard
+    inverted-index hygiene; near-identical docs that large share plenty
+    of other buckets or are caught by exact dedup.
     """
     sig = minhash_signature(F.col("_h"))
     # Docs shorter than k words have no shingles -> identical empty
@@ -141,6 +150,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     n = F.size(F.col("_ids"))
     pairs = F.flatten(
         F.transform(

@@ -101,3 +101,20 @@ def test_connected_components_chain_needs_iterations(spark):
     rows = connected_components(verts, edges).collect()
     assert {r.component_id for r in rows} == {0}
     assert len(rows) == n
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    # 20 identical boilerplate docs (one giant bucket) + 1 real dup pair
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(20)]
+    real = [(100, "a unique document about spark engines"),
+            (101, "a unique document about spark engines")]
+    df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+    uncapped = lsh_candidate_pairs(df).count()
+    assert uncapped == (20 * 19) // 2 + 1
+    capped = lsh_candidate_pairs(df, max_bucket_size=5).collect()
+    # the degenerate bucket is gone; the real pair survives
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
