@@ -118,3 +118,25 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     capped = lsh_candidate_pairs(df, max_bucket_size=5).collect()
     # the degenerate bucket is gone; the real pair survives
     assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # every doc shares the stop-shingle "the quick fox"; only 1-2 truly overlap
+    docs = [
+        (1, "the quick fox alpha beta gamma"),
+        (2, "the quick fox alpha beta delta"),
+        (3, "the quick fox zeta eta theta"),
+        (4, "the quick fox iota kappa lam"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df).collect()
+    assert len(uncapped) == 6  # all pairs share the stop-shingle
+    # cap at df=3: the shingle hitting all 4 docs is dropped, so only the
+    # pair with a genuine extra overlap ("quick fox alpha"/"fox alpha beta")
+    # remains
+    capped = ngram_jaccard_pairs(df, df_cap=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(1, 2)}
