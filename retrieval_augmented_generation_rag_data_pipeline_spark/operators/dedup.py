@@ -212,11 +212,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("_inter"))
     )
+    # sizes has corpus cardinality — never force-broadcast it (billions
+    # of docs at scale); AQE broadcasts when it actually fits
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

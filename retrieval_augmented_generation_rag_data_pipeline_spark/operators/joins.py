@@ -255,11 +255,12 @@ def anti_join_ledger(
 ) -> DataFrame:
     """Skip already-processed keys (reference src/aws_bucket.py:180).
 
-    left_anti against the ledger; the ledger side is broadcast when small
-    (Catalyst/AQE decides; at 100 TB keep the ledger compact or switch to
-    the streaming checkpoint which tracks files natively).
+    left_anti against the ledger. No broadcast hint: a ledger grows
+    without bound (every key ever processed), so AQE must pick the
+    strategy — broadcast while it fits, shuffle join after. At 100 TB
+    prefer the streaming checkpoint, which tracks files natively.
     """
-    return candidates.join(F.broadcast(ledger.select(key).distinct()), key, "left_anti")
+    return candidates.join(ledger.select(key).distinct(), key, "left_anti")
 
 
 def broadcast_lookup(

@@ -41,8 +41,11 @@ def append_processed(df: DataFrame, key_col: str, path: str) -> None:
 
 
 def pending(candidates: DataFrame, ledger: DataFrame, key_col: str = "key") -> DataFrame:
-    """Candidates minus processed (reference src/aws_bucket.py:180)."""
+    """Candidates minus processed (reference src/aws_bucket.py:180).
+
+    No broadcast hint — the ledger grows without bound, so AQE picks
+    broadcast only while it fits."""
     led = ledger.select(F.col("key").alias("_ledger_key")).distinct()
     return candidates.join(
-        F.broadcast(led), candidates[key_col] == F.col("_ledger_key"), "left_anti"
+        led, candidates[key_col] == F.col("_ledger_key"), "left_anti"
     )
