@@ -373,9 +373,11 @@ def top_revenue_orders(spark, sf):
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # no broadcast hint on customer: it scales with the fact tables
+    # (1.5B rows at SF10k), so AQE must pick broadcast vs shuffle
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
