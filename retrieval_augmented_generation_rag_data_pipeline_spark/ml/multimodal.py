@@ -54,17 +54,20 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
             feats, digests, sizes = [], [], []
             for blob in pdf["content"]:
                 b = bytes(blob or b"")
                 digests.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
-                hist = [0.0] * feature_dim
-                for byte in b:
-                    hist[byte % feature_dim] += 1.0
-                total = sum(hist) or 1.0
-                feats.append([h / total for h in hist])
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(
+                    arr % feature_dim, minlength=feature_dim
+                ).astype("float64")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
