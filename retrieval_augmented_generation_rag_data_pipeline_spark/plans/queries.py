@@ -1051,7 +1051,7 @@ def ann_lsh_buckets(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return emb.select(
         "vec_id",
-        vectors.lsh_bucket(F.col("embedding"), dim=64, n_planes=8).cast("int").alias("bucket"),
+        vectors.lsh_bucket("embedding", dim=64, n_planes=8).cast("int").alias("bucket"),
     )
 
 
