@@ -56,23 +56,22 @@ def hash_array(arr: Column) -> Column:
     return F.transform(arr, md5_long)
 
 
-def minhash_signature(hashes: Column) -> Column:
-    """NUM_PERM-wide MinHash signature over a 60-bit hash array.
+def minhash_signature(hashes_col: str) -> Column:
+    """NUM_PERM-wide MinHash signature over a 60-bit hash array column
+    (referenced by NAME — the expression is emitted as one SQL string;
+    the Column-API equivalent costs ~400 py4j calls to build, which
+    dominates the query's own runtime at bench scale).
 
     mh_j = min over h of ((a_j * (h mod P) + b_j) mod P); empty input
     yields P (the max possible value) per slot so empty docs never
     collide with real content.
     """
-    def perm(a: int, b: int):
-        # factory closure: pyspark infers lambda arity from the signature,
-        # so default-arg capture would break higher-order binding
-        return lambda h: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31
-
-    sig = []
-    for a, b in zip(MINHASH_A, MINHASH_B):
-        permuted = F.transform(hashes, perm(a, b))
-        sig.append(F.coalesce(F.array_min(permuted), F.lit(MERSENNE31)))
-    return F.array(*sig)
+    slots = ", ".join(
+        f"coalesce(array_min(transform({hashes_col}, "
+        f"h -> ({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31})), {MERSENNE31}L)"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return F.expr(f"array({slots})")
 
 
 def simhash16(hashes: Column) -> Column:

@@ -80,7 +80,7 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{NUM_PERM-1}) MinHash signature over k-word shingles."""
-    sig = minhash_signature(F.col("_h"))
+    sig = minhash_signature("_h")
     return _shingle_hashes(df, id_col, text_col, k).select(
         "doc_id",
         *[sig[i].alias(f"mh_{i}") for i in range(NUM_PERM)],
@@ -110,7 +110,7 @@ def lsh_candidate_pairs(
     inverted-index hygiene; near-identical docs that large share plenty
     of other buckets or are caught by exact dedup.
     """
-    sig = minhash_signature(F.col("_h"))
+    sig = minhash_signature("_h")
     # Docs shorter than k words have no shingles -> identical empty
     # signatures; at scale they'd all collapse into one quadratic
     # bucket. They can't be meaningfully MinHash-deduped, so exclude
