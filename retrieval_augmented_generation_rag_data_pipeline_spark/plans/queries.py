@@ -1455,3 +1455,43 @@ def multimodal_features(spark, sf):
         F.lit(None).cast("double").alias("duration_s"),
     )
     return extract_features(media).select("media_id", "n_bytes", "digest")
+
+
+# =====================================================================
+# Registry ordering (driver correctness-window rotation)
+# =====================================================================
+# The driver records correctness rows for the first 50 registry entries
+# in insertion order. Round 1 covered entries 1-50, leaving the 14
+# entries below (registry positions 51-64) with no driver row, so this
+# round rotates them to the FRONT. Previously-green entries keep their
+# relative order after them; whichever fall past position 50 already
+# have a green row in CORRECTNESS_r01.json.
+_PRIORITY_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "chunk_documents",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_features",
+]
+
+
+def _reorder_registry(first: list[str]) -> None:
+    unknown = [n for n in first if n not in REGISTRY]
+    if unknown:
+        raise KeyError(f"priority queries missing from REGISTRY: {unknown}")
+    ordered = {n: REGISTRY[n] for n in first}
+    ordered.update({n: v for n, v in REGISTRY.items() if n not in ordered})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry(_PRIORITY_QUERIES)
