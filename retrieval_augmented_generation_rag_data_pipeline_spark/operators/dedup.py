@@ -253,8 +253,17 @@ def connected_components(
     und = edges.select(F.col(a).alias("_src"), F.col(b).alias("_dst")).unionByName(
         edges.select(F.col(b).alias("_src"), F.col(a).alias("_dst"))
     )
-    labels = vertices.select(
-        F.col(vertex_col).alias("doc_id"), F.col(vertex_col).alias("component_id")
+    # seed labels from vertices UNION edge endpoints: a dangling
+    # endpoint absent from `vertices` would otherwise never get its own
+    # label, be invisible to the convergence check (inner join on old
+    # labels), and could freeze the loop early with a wrong component
+    seeds = (
+        vertices.select(F.col(vertex_col).alias("doc_id"))
+        .unionByName(und.select(F.col("_src").alias("doc_id")))
+        .distinct()
+    )
+    labels = seeds.select(
+        "doc_id", F.col("doc_id").alias("component_id")
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = und.join(
@@ -297,23 +306,65 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos_sim).
 
-    Exact all-pairs form for oracle-checkable sizes; at scale swap the
-    self cross join for the sign-LSH bucket join (vectors.ann_lsh_topk)
-    or block on a coarse quantization key.
-    """
-    from .vectors import cosine
+    DEFAULT (blocked, the 100 TB path): each vector gets ``n_tables``
+    sign-LSH bucket keys (vectors.lsh_band_keys); a pair is a candidate
+    iff it collides in >= 1 table, candidates are deduped and scored by
+    EXACT cosine, then thresholded. One shuffle keyed on (tbl, bkt) for
+    the bucket equi-join + one pair-dedup aggregation — candidate count
+    ~ n^2 / (2^n_planes * n) per table, never the O(n^2) cross join.
+    Recall for a pair at angle theta is
+    1 - (1 - (1-theta/pi)^n_planes)^n_tables (~0.97 at cos 0.9, 4x4);
+    raise n_tables for more recall, n_planes for fewer candidates.
 
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+    ``exact=True`` keeps the all-pairs self-join — the verification /
+    small-n mode (and the only mode that guarantees recall 1.0).
+    """
+    from .vectors import cosine, lsh_band_keys
+
+    if exact:
+        a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+        b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+        return (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        .filter(F.col("cos_sim") >= threshold)
+
+    if dim is None:
+        raise ValueError(
+            "embedding_near_dup_pairs: dim is required for the blocked "
+            "(default) path; pass exact=True for the all-pairs form"
+        )
+    keyed = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn(
+        "_bk", F.explode(lsh_band_keys("_v", dim, n_tables, n_planes))
     )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        # dedup pairs colliding in several tables BEFORE scoring; the
+        # vectors ride along (identical per group, first() is exact)
+        .groupBy(F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"))
+        .agg(F.first("a._v").alias("_va"), F.first("b._v").alias("_vb"))
+    )
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

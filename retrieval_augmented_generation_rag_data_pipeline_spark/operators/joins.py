@@ -72,6 +72,9 @@ def asof_align(
         )
     )
 
+    # preserve the caller's seg-id dtype through the unions below — a
+    # hard cast to long would null out string/decimal seg ids
+    seg_dt = segments.schema[seg_order].dataType
     ws = Window.partitionBy(file_col).orderBy(seg_order)
     s = segments.withColumn("_j", F.row_number().over(ws) - 1).select(
         F.col(file_col).alias("_sfile"),
@@ -96,7 +99,7 @@ def asof_align(
         F.lit(0).alias("_typ"),
         F.col("_t1").alias("_ce"),
         F.lit(None).cast("long").alias("_j"),
-        F.lit(None).cast("long").alias("_seg_id"),
+        F.lit(None).cast(seg_dt).alias("_seg_id"),
         F.lit(None).cast("string").alias("speaker"),
     ).unionByName(
         s.select(
@@ -105,7 +108,7 @@ def asof_align(
             F.lit(1).alias("_typ"),
             F.lit(None).cast(c.schema["_t1"].dataType).alias("_ce"),
             "_j",
-            F.col("_seg_id").cast("long").alias("_seg_id"),
+            "_seg_id",
             "speaker",
         )
     )
@@ -179,7 +182,7 @@ def asof_align(
         "_t1",
         "_conf",
         F.lit(None).cast("long").alias("_j"),
-        F.lit(None).cast("long").alias("_seg_id"),
+        F.lit(None).cast(seg_dt).alias("_seg_id"),
         F.lit(None).cast("string").alias("speaker"),
     ).unionByName(
         bounds.select(
@@ -271,6 +274,12 @@ def broadcast_lookup(
     return facts.join(F.broadcast(dim), key, how)
 
 
+# Joins where replicating the dim side `salt` times cannot duplicate
+# output rows: every dim row's copies either all match the same fact
+# sub-keys (inner/left/semi) or are never emitted on their own.
+_SALT_SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi"}
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,
@@ -287,7 +296,18 @@ def salted_join(
     skew-join split isn't available (e.g. the skewed side feeds an
     aggregation that blocks the AQE rewrite). Keys must be non-null on
     the fact side (null never matches an equi-join anyway).
+
+    ``how`` is restricted to fact-preserving joins (inner/left/
+    left_semi): any join that can emit unmatched DIM rows (right/full/
+    left_anti-of-dim) would emit each one ``salt`` times because the dim
+    side is replicated — a silent row duplication, so it raises.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"{salt}x (dim side is replicated per salt); use one of "
+            f"{sorted(_SALT_SAFE_HOW)} or an AQE skew join instead"
+        )
     f = facts.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -295,15 +315,74 @@ def salted_join(
     return f.join(d, [key, "_salt"], how).drop("_salt")
 
 
-def positional_zip_join(left: DataFrame, right: DataFrame) -> DataFrame:
+def global_index(
+    df: DataFrame,
+    order_cols: list,
+    index_col: str = "_rn",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """1-based global row index in ``order_cols`` order — distributed.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels
+    every row through a single task (Exchange SinglePartition) — the
+    classic scale killer. Instead: range-repartition on the ordering
+    (the same exchange any global sort pays), take a per-partition
+    row_number, and add per-partition prefix-sum offsets. Only the
+    per-partition COUNTS reach the driver (one long per partition) —
+    the zipWithIndex trick restated for DataFrames.
+
+    The range exchange is pinned with a local checkpoint so the count
+    job and the downstream query read the same materialized partitions
+    (partition ids must agree between the two jobs).
+    """
+    spark = df.sparkSession
+    n = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_part"]: r["_cnt"]
+        for r in parted.groupBy("_part").agg(F.count("*").alias("_cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if offsets:
+        off = F.element_at(
+            F.create_map(
+                *[F.lit(v) for p in sorted(offsets) for v in (p, offsets[p])]
+            ),
+            F.col("_part"),
+        )
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("_part").orderBy(*order_cols)
+    return parted.withColumn(
+        index_col, (off + F.row_number().over(w)).cast("long")
+    ).drop("_part")
+
+
+def positional_zip_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: list | None = None,
+    right_order: list | None = None,
+) -> DataFrame:
     """Pair rows by position (reference src/main.py:75 ``zip``).
 
-    Generic distributed form: monotonically-ordered row_number on both
-    sides + equi-join. Requires an explicit ordering column on each side
-    named '_ord'; callers who have a natural key should join on it
-    instead (carrying the key beats positional pairing at scale).
+    Both sides get a distributed global index (``global_index``: range
+    exchange + per-partition window + driver-side prefix offsets — no
+    single-partition stage anywhere in the plan) and are equi-joined on
+    it. Order defaults to a '_ord' column on each side; callers who
+    have a natural key should join on it instead (carrying the key
+    beats positional pairing at scale).
     """
-    wl = Window.orderBy("_ord")
-    l = left.withColumn("_rn", F.row_number().over(wl))
-    r = right.withColumn("_rn", F.row_number().over(wl))
-    return l.join(r.withColumnRenamed("_ord", "_ord_r"), "_rn", "inner")
+    l = global_index(left, left_order if left_order is not None else ["_ord"])
+    r = global_index(right, right_order if right_order is not None else ["_ord"])
+    if "_ord" in l.columns and "_ord" in r.columns:
+        r = r.withColumnRenamed("_ord", "_ord_r")
+    return l.join(r, "_rn", "inner")

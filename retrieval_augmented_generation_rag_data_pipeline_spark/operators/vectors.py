@@ -104,6 +104,37 @@ def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8) -> Column:
     return F.expr(terms)
 
 
+# Offset keeps the multi-table near-dup plane family disjoint from the
+# single-table ANN planes (0..) and the IVF centroids (1000..).
+LSH_TABLE_OFFSET = 2000
+
+
+def lsh_band_keys(
+    vec_col: str, dim: int, n_tables: int = 4, n_planes: int = 4
+) -> Column:
+    """Array of (tbl, bkt) multi-table sign-LSH keys — one bucket id per
+    hash table, each table built from its own ``n_planes`` hyperplanes.
+
+    Multi-table banding is the standard recall amplifier for sign-LSH
+    (Indyk/Motwani LSH; Leskovec/Rajaraman/Ullman ch. 3): a pair at
+    angle theta collides in one table with prob (1 - theta/pi)^n_planes
+    and is MISSED by all tables with prob
+    (1 - (1-theta/pi)^n_planes)^n_tables — e.g. cos >= 0.9 with 4x4
+    tables is found with ~0.97 probability. Takes the vector COLUMN
+    NAME; emitted as one SQL string (py4j-cheap, see lsh_bucket).
+    """
+    entries = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN "
+            f"{_dot_sql(vec_col, [hyperplane_component(LSH_TABLE_OFFSET + t * n_planes + p, d) for d in range(dim)])}"
+            f" > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        entries.append(f"named_struct('tbl', {t}, 'bkt', {terms})")
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
 def ivf_centroid(cell: int, dim: int) -> list[float]:
     """Deterministic pseudo-random IVF centroid (offset 1000 keeps the
     centroid family disjoint from the sign-LSH hyperplanes)."""

@@ -465,16 +465,19 @@ def join_salted(spark, sf):
        FROM lc JOIN rs ON lc._rn = rs._rn""",
 )
 def join_positional(spark, sf):
-    wl = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    wr = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    lc = _t(spark, sf, "customer").withColumn("_rn", F.row_number().over(wl)).select(
-        "_rn", "c_custkey"
+    # distributed positional zip: range exchange + per-partition
+    # row_number + driver-side prefix offsets — no single-partition
+    # global Window/Sort anywhere in the plan (the zipWithIndex trick)
+    lc = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    rs = _t(spark, sf, "supplier").select("s_suppkey", "s_acctbal")
+    out = joins.positional_zip_join(
+        lc,
+        rs,
+        left_order=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        right_order=[F.desc("s_acctbal"), F.asc("s_suppkey")],
     )
-    rs = _t(spark, sf, "supplier").withColumn("_rn", F.row_number().over(wr)).select(
-        "_rn", "s_suppkey"
-    )
-    return lc.join(rs, "_rn", "inner").select(
-        F.col("_rn").alias("rn"), "c_custkey", "s_suppkey"
+    return out.select(
+        F.col("_rn").cast("int").alias("rn"), "c_custkey", "s_suppkey"
     )
 
 
@@ -1149,20 +1152,52 @@ def ann_ivf_topk(spark, sf):
     )
 
 
-_EMB_COS_SQL = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {O.cosine('a.embedding', 'b.embedding')} AS cos_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+def _emb_blocked_sql(dim: int = 64, n_tables: int = 4, n_planes: int = 4) -> str:
+    """Oracle mirror of the BLOCKED near-dup path: same multi-table
+    sign-LSH bucket join (vectors.lsh_band_keys planes), same exact
+    cosine rerank — not the all-pairs form, so the driver checks the
+    production plan's semantics, not a weaker stand-in."""
+    from ..functions.hashing import hyperplane_component
+    from ..operators.vectors import LSH_TABLE_OFFSET
+
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            lit = "[" + ", ".join(
+                repr(hyperplane_component(LSH_TABLE_OFFSET + t * n_planes + p, d))
+                for d in range(dim)
+            ) + "]"
+            rows.append(f"({t}, {p}, CAST({lit} AS DOUBLE[]))")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH planes(tbl, pid, pvec) AS (VALUES
+  {values}
+), e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+d AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(sum(CASE WHEN {O.dot('e.embedding', 'pl.pvec')} > 0
+                       THEN 1 << pl.pid ELSE 0 END) AS INT) AS bkt
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM d a JOIN d b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.vec_a, c.vec_b, {O.cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
+)
 SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
 FROM p ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
 """
 
 
-@_q("dedup_embedding_cosine", _EMB_COS_SQL)
+@_q("dedup_embedding_cosine", _emb_blocked_sql())
 def dedup_embedding_cosine(spark, sf):
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    pairs = dedup.embedding_near_dup_pairs(emb, threshold=-2.0)
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=-2.0, dim=64)
     return (
         pairs.orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)

@@ -158,3 +158,19 @@ def test_property_matches_reference_loop(spark, ends, seg_ends):
     ]
     segs = [("f", j, f"S{j % 2}", float(t)) for j, t in enumerate(seg_ends)]
     check(spark, chunks, segs)
+
+
+def test_string_seg_ids_preserved(spark):
+    # seg ids are opaque to the algorithm — a string id must come back
+    # verbatim, not be nulled by a numeric cast in the internal unions
+    chunks = spark.createDataFrame(
+        [("a", 0, "hello", 0.0, 4.8, 0.95), ("a", 1, "world", 4.8, 9.5, 0.85)],
+        ["file", "chunk_id", "text", "t_start", "t_end", "confidence"],
+    )
+    segs = spark.createDataFrame(
+        [("a", "seg-x", "S0", 5.0), ("a", "seg-y", "S1", 10.0)],
+        ["file", "seg_id", "speaker", "spk_end"],
+    )
+    out = asof_align(chunks, segs).collect()
+    assert sorted(r.seg_id for r in out) == ["seg-x", "seg-y"]
+    assert dict(out[0].asDict())["seg_id"] in ("seg-x", "seg-y")

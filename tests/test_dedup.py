@@ -140,3 +140,45 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
     # remains
     capped = ngram_jaccard_pairs(df, df_cap=3).collect()
     assert {(r.doc_a, r.doc_b) for r in capped} == {(1, 2)}
+
+
+def test_blocked_near_dup_is_subset_of_exact_with_same_scores(spark):
+    import random
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dups: tiny perturbations of vectors 0..4
+    rows += [(100 + i, [x + 0.01 for x in base[i]]) for i in range(5)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r.vec_a, r.vec_b): round(r.cos_sim, 9)
+        for r in embedding_near_dup_pairs(emb, 0.99, exact=True).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): round(r.cos_sim, 9)
+        for r in embedding_near_dup_pairs(emb, 0.99, dim=16).collect()
+    }
+    # every blocked pair is a true pair with the identical exact score
+    for pair, sim in blocked.items():
+        assert exact[pair] == sim
+    # the planted near-identical pairs must be recalled
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= set(blocked), f"missed {planted - set(blocked)}"
+
+
+def test_connected_components_handles_dangling_endpoints(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(1,), (2,), (5,)], ["doc_id"])
+    # edge endpoint 9 is absent from verts; 2-9 and 9-5 chain 2,5,9 together
+    edges = spark.createDataFrame([(2, 9), (9, 5)], ["doc_a", "doc_b"])
+    out = {r.doc_id: r.component_id for r in connected_components(verts, edges).collect()}
+    assert out == {1: 1, 2: 2, 5: 2, 9: 2}

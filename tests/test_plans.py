@@ -121,3 +121,23 @@ def test_tpch_q6_all_predicates_pushed(spark):
 def test_aggregations_read_only_needed_columns(spark, name):
     plan = plan_of(spark, name)
     assert "ReadSchema" in plan
+
+
+def test_positional_join_has_no_single_partition_stage(spark):
+    # row_number() OVER (ORDER BY ...) with no PARTITION BY would show
+    # an Exchange SinglePartition — the one-task global sort bottleneck.
+    # The distributed index (range exchange + per-partition window +
+    # driver-side prefix offsets) must never produce one.
+    plan = plan_of(spark, "join_positional")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_is_bucket_blocked(spark):
+    # the near-dup default must be the multi-table LSH bucket equi-join,
+    # never the O(n^2) all-pairs join (vec_a < vec_b as the ONLY
+    # condition -> nested-loop/cartesian)
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bk" in plan  # bucket struct is a join key

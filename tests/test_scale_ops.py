@@ -115,3 +115,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_cust")
         spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    f = spark.range(10).withColumnRenamed("id", "k")
+    d = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="duplicate unmatched dim rows"):
+            salted_join(f, d, "k", salt=4, how=how)
+    # safe hows still work
+    assert salted_join(f, d, "k", salt=4, how="left_semi").count() == 5
