@@ -23,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, sum_value double"
 FIRST_SEEN_SCHEMA = "key string, first_seen_batch long"
+FIRST_SEEN_TTL_SCHEMA = "key string, first_seen_ts timestamp"
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -63,7 +64,25 @@ def first_seen_keys(keyed: DataFrame, key_col: str = "key") -> DataFrame:
     """Streaming first-seen dedup: emit each key the first micro-batch it
     appears in, drop every later occurrence (the ledger semantics of
     reference src/aws_bucket.py:180 as a stateful operator — no external
-    ledger table, exactly-once via the checkpoint)."""
+    ledger table, exactly-once via the checkpoint).
+
+    Input contract: ``keyed`` must carry ``key_col`` AND a long
+    ``_batch_id`` column (e.g. ``F.lit(batch_id)`` stamped in
+    foreachBatch, or a monotonic source batch marker) — it records
+    WHICH batch first saw the key. Validated up front so a missing
+    column fails at plan time, not inside the executor state function.
+
+    State NEVER expires (NoTimeout): these are exact ledger semantics —
+    every key ever seen is remembered, so the store grows with distinct
+    keys without bound. That is the correct contract for a processed-
+    file ledger (bounded by files, not events), but for high-cardinality
+    keys at 100 TB use ``first_seen_keys_ttl`` — bounded state, keys
+    re-emit after the TTL horizon."""
+    if key_col not in keyed.columns or "_batch_id" not in keyed.columns:
+        raise ValueError(
+            f"first_seen_keys requires columns [{key_col!r}, '_batch_id']; "
+            f"got {keyed.columns}"
+        )
 
     def op(
         key: tuple[Any, ...],
@@ -86,4 +105,80 @@ def first_seen_keys(keyed: DataFrame, key_col: str = "key") -> DataFrame:
         stateStructType="first_batch long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def first_seen_keys_ttl(
+    keyed: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    ttl_minutes: int = 60,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """First-seen dedup with BOUNDED state: watermark-driven TTL.
+
+    The scale default for high-cardinality keys: a key's state expires
+    ``ttl_minutes`` of EVENT TIME after its last sighting
+    (EventTimeTimeout — the timeout fires once the watermark, set here
+    as ``withWatermark(ts_col, watermark_delay)``, passes
+    last_seen + ttl). The state store therefore holds only keys seen
+    within the sliding TTL horizon instead of every key ever — bounded
+    by arrival rate x ttl, not by lifetime distinct keys. The trade: a
+    key that reappears after expiry re-emits (dedup is exact only
+    within the horizon); use ``first_seen_keys`` when exact unbounded
+    ledger semantics are required.
+
+    Input contract: ``keyed`` carries ``key_col`` and an event-time
+    timestamp ``ts_col``. Output: (key, first_seen_ts) in update mode,
+    re-emitted with a fresh first_seen_ts after each expiry.
+    """
+    if key_col not in keyed.columns or ts_col not in keyed.columns:
+        raise ValueError(
+            f"first_seen_keys_ttl requires columns [{key_col!r}, {ts_col!r}]; "
+            f"got {keyed.columns}"
+        )
+    ttl_ms = ttl_minutes * 60_000
+
+    def op(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last_seen + ttl with no new sightings:
+            # forget the key so a later arrival re-emits
+            state.remove()
+            return
+        ts_min = None
+        ts_max = None
+        for pdf in pdfs:
+            if len(pdf):
+                lo, hi = pdf[ts_col].min(), pdf[ts_col].max()
+                ts_min = lo if ts_min is None else min(ts_min, lo)
+                ts_max = hi if ts_max is None else max(ts_max, hi)
+        first = not state.exists
+        if ts_max is None:
+            return
+        last_ms = int(pd.Timestamp(ts_max).value // 1_000_000)
+        state.update((last_ms,))
+        # EventTimeTimeout requires a timestamp beyond the current
+        # watermark; late data can put last_seen+ttl behind it
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if first:
+            yield pd.DataFrame(
+                {"key": [key[0]], "first_seen_ts": [pd.Timestamp(ts_min)]}
+            )
+
+    return (
+        keyed.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            op,
+            outputStructType=FIRST_SEEN_TTL_SCHEMA,
+            stateStructType="last_seen_ms long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

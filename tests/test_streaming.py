@@ -273,3 +273,64 @@ def test_full_pipeline_as_stream(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(index_path).count() == n_before
+
+
+def test_first_seen_ttl_expires_and_reemits(spark, tmp_path):
+    """Bounded-state first-seen dedup: key state expires ttl after its
+    last sighting (event time), so the key RE-emits when it reappears
+    past the horizon — and within-horizon duplicates still dedup."""
+    import datetime as dt
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.streaming.stateful import (
+        first_seen_keys_ttl,
+    )
+
+    src = str(tmp_path / "ttl_src")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    schema = "key string, ts timestamp"
+    t = lambda h, m: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(qname):
+        # memory sink can't recover from a checkpoint; collect via
+        # foreachBatch so the three runs form one logical stream
+        emitted = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = first_seen_keys_ttl(
+            stream, ttl_minutes=30, watermark_delay="10 minutes"
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _eid: emitted.extend(
+                    (r.key, r.first_seen_ts) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return emitted
+
+    # run 1: 'a' first seen 10:00 (dup at 10:05 dedups); 'adv' at 11:00
+    # pushes the watermark to 10:50 > a's timeout of 10:30
+    write_file([("a", t(10, 0)), ("a", t(10, 5)), ("adv", t(11, 0))])
+    r1 = run("ttl1")
+    assert sorted(k for k, _ in r1) == ["a", "adv"]
+    assert dict(r1)["a"] == t(10, 0)
+
+    # run 2: unrelated key -> the batch processes a's pending timeout
+    # (a key with data in the same batch would NOT time out)
+    write_file([("other", t(11, 10))])
+    r2 = run("ttl2")
+    assert sorted(k for k, _ in r2) == ["other"]
+
+    # run 3: 'a' reappears past the horizon -> re-emits with a new ts
+    write_file([("a", t(11, 30))])
+    r3 = run("ttl3")
+    assert ("a", t(11, 30)) in r3
