@@ -137,8 +137,49 @@ def lsh_band_keys(
 
 def ivf_centroid(cell: int, dim: int) -> list[float]:
     """Deterministic pseudo-random IVF centroid (offset 1000 keeps the
-    centroid family disjoint from the sign-LSH hyperplanes)."""
+    centroid family disjoint from the sign-LSH hyperplanes). The ORACLE
+    quantizer — reproducible in SQL; production recall wants
+    ``train_ivf_centroids`` instead."""
     return [hyperplane_component(1000 + cell, d) for d in range(dim)]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """k-means IVF centroids trained on (a sample of) the corpus — the
+    production coarse quantizer (FAISS trains its IVF the same way;
+    reference src/embedding_engine.py:15-30 uses a flat index, this is
+    the scale path beyond it).
+
+    MLlib KMeans runs distributed over the executors; only the
+    ``n_cells x dim`` centroid floats come back to the driver —
+    metadata-sized, exactly like any broadcast dimension. Centroids are
+    L2-normalized so the argmax-dot cell assignment (``ivf_cell``)
+    ranks them by cosine. At 100 TB train on ``sample_fraction`` (a few
+    million vectors is plenty for k-means) — never the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    cents: list[list[float]] = []
+    for c in model.clusterCenters():
+        v = [float(x) for x in c]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        cents.append([x / n for x in v])
+    return cents
 
 
 def _dot_sql(col_name: str, values: list[float]) -> str:
@@ -151,27 +192,45 @@ def _dot_sql(col_name: str, values: list[float]) -> str:
     )
 
 
-def _cell_rank_sql(col_name: str, dim: int, n_cells: int) -> str:
+def _cell_rank_sql(
+    col_name: str,
+    dim: int,
+    n_cells: int,
+    centroids: list[list[float]] | None = None,
+) -> str:
     """SQL text for the sorted cell ranking.
 
     Built as ONE SQL string parsed JVM-side: the equivalent Column-API
     tree needs ~n_cells*dim py4j calls for the literals, which costs
     more wall-clock to BUILD (1.6s measured for 8x64 used twice) than
     the query takes to run. Element 1 = best cell (max dot, ties ->
-    lowest cell id).
+    lowest cell id). ``centroids`` overrides the fixed pseudo-random
+    family (pass ``train_ivf_centroids`` output for production recall).
     """
+    cents = (
+        centroids
+        if centroids is not None
+        else [ivf_centroid(c, dim) for c in range(n_cells)]
+    )
     cells = ", ".join(
-        f"named_struct('nd', -({_dot_sql(col_name, ivf_centroid(c, dim))}), 'c', {c})"
-        for c in range(n_cells)
+        f"named_struct('nd', -({_dot_sql(col_name, cents[c])}), 'c', {c})"
+        for c in range(len(cents))
     )
     return f"array_sort(array({cells}))"
 
 
-def ivf_cell(vec_col: str, dim: int, n_cells: int = 8) -> Column:
+def ivf_cell(
+    vec_col: str,
+    dim: int,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> Column:
     """Coarse-quantizer cell assignment: argmax dot(vec, centroid).
     Takes the vector COLUMN NAME (the expression is generated as SQL
     text — see _cell_rank_sql)."""
-    return F.expr(f"element_at({_cell_rank_sql(vec_col, dim, n_cells)}, 1).c")
+    return F.expr(
+        f"element_at({_cell_rank_sql(vec_col, dim, n_cells, centroids)}, 1).c"
+    )
 
 
 def ann_ivf_topk(
@@ -184,23 +243,31 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 8,
     nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
-    Corpus vectors are assigned to their nearest of ``n_cells`` fixed
+    Corpus vectors are assigned to their nearest of ``n_cells``
     centroids (the inverted lists); each query probes its ``nprobe``
     nearest cells and reranks candidates exactly by cosine. At scale the
     corpus is partitioned (or bucketed) by cell so a probe touches
     ~nprobe/n_cells of the data — the same pruning FAISS IVF does, but
-    expressed as a partition-pruned equi-join. Centroids here are fixed
-    pseudo-random (deterministic for the oracle); swap in k-means
-    centroids (MLlib KMeans on a sample) for production recall.
+    expressed as a partition-pruned equi-join.
+
+    Default centroids are fixed pseudo-random (deterministic for the
+    SQL oracle); pass ``centroids=train_ivf_centroids(corpus, ...)``
+    for the production path — trained cells track the data's density,
+    measurably better recall at every nprobe (see
+    tests/test_vectors.py::test_trained_centroids_beat_fixed). Probing
+    all cells (nprobe = n_cells) degenerates to exact search.
     """
+    if centroids is not None:
+        n_cells = len(centroids)
     cb = corpus.select(
         F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv")
-    ).withColumn("_cell", ivf_cell("_cv", dim, n_cells))
+    ).withColumn("_cell", ivf_cell("_cv", dim, n_cells, centroids))
     probes = F.expr(
-        f"transform(slice({_cell_rank_sql('_qv', dim, n_cells)}, 1, {nprobe}), s -> s.c)"
+        f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
     )
     qb = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")

@@ -84,3 +84,48 @@ def test_ivf_topk_self_hit_and_recall(spark):
     }
     for r in got:
         assert abs(exact[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+
+
+def test_trained_centroids_beat_fixed(spark):
+    """train_ivf_centroids (MLlib KMeans) is the production quantizer:
+    at the same nprobe its recall vs exact kNN must beat the fixed
+    pseudo-random centroids, and probing every cell must be exact.
+
+    The synthetic embeddings are near-isotropic (mean pairwise cosine
+    ~0), which caps ANY 8-cell IVF around ~0.5 recall@5 at nprobe=2 —
+    real-world embedding corpora are clustered, where trained cells is
+    where the win compounds. The assertions here pin the structural
+    properties, not a corpus-dependent absolute."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivf_topk,
+        knn_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_topk(queries, emb, k=5).collect()
+    }
+    trained = train_ivf_centroids(emb, n_cells=8)
+    assert len(trained) == 8 and len(trained[0]) == 64
+
+    def recall(centroids, nprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_ivf_topk(
+                queries, emb, k=5, dim=64, n_cells=8,
+                nprobe=nprobe, centroids=centroids,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_trained = recall(trained, 2)
+    r_fixed = recall(None, 2)
+    assert r_trained > r_fixed, (r_trained, r_fixed)
+    assert r_trained >= 0.45  # well above the 2/8 random-probe floor
+    # probing every cell degenerates to exact search
+    assert recall(trained, 8) == 1.0
