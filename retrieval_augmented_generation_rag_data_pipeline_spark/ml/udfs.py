@@ -58,9 +58,32 @@ def embedder_available() -> bool:
     return _try_import("sentence_transformers") is not None
 
 
-def make_asr_udf(model_name: str = "openai/whisper-large-v3-turbo", chunk_length_s: int = 30):
+# Reference generation parameters, verbatim (src/transcription.py:158-166).
+ASR_GENERATE_KWARGS = {
+    "max_length": 448,
+    "num_beams": 3,
+    "temperature": 0.2,
+    "no_repeat_ngram_size": 3,
+    "length_penalty": 1.0,
+}
+
+
+def make_asr_udf(
+    model_name: str = "openai/whisper-large-v3-turbo",
+    chunk_length_s: int = 30,
+    batch_size: int = 8,
+    generate_kwargs: dict | None = None,
+):
     """U1: binary audio -> ARRAY<STRUCT<text,t_start,t_end,confidence>>
-    (reference src/transcription.py:155-168). One model per executor."""
+    (reference src/transcription.py:152-168). One model per executor.
+
+    Call parity with the reference: ``batch_size=8``, the
+    ``generate_kwargs`` beam/temperature/length set (ASR_GENERATE_KWARGS,
+    src/transcription.py:158-166), fp16 + TF32 on CUDA with a
+    flash-attention-2 attempt and TypeError fallback
+    (src/transcription.py:28-58).
+    """
+    gen_kwargs = dict(ASR_GENERATE_KWARGS if generate_kwargs is None else generate_kwargs)
 
     @F.pandas_udf(CHUNK_SCHEMA)
     def asr(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -71,16 +94,43 @@ def make_asr_udf(model_name: str = "openai/whisper-large-v3-turbo", chunk_length
         import torch
         from transformers import pipeline as hf_pipeline
 
-        model = hf_pipeline(
-            "automatic-speech-recognition",
-            model=model_name,
-            device=0 if torch.cuda.is_available() else -1,
-        )
+        use_cuda = torch.cuda.is_available()
+        if use_cuda:
+            torch.backends.cuda.matmul.allow_tf32 = True
+            torch.backends.cudnn.allow_tf32 = True
+        pipeline_kwargs = {
+            "task": "automatic-speech-recognition",
+            "model": model_name,
+            "torch_dtype": torch.float16 if use_cuda else torch.float32,
+            "device": 0 if use_cuda else "cpu",
+        }
+        model_kwargs = {}
+        if use_cuda:
+            try:
+                from transformers.utils import is_flash_attn_2_available
+
+                if is_flash_attn_2_available():
+                    model_kwargs["use_flash_attention_2"] = True
+            except ImportError:
+                pass
+        try:
+            model = hf_pipeline(
+                **pipeline_kwargs,
+                **({"model_kwargs": model_kwargs} if model_kwargs else {}),
+            )
+        except TypeError:
+            if not model_kwargs:
+                raise
+            model = hf_pipeline(**pipeline_kwargs)
         for series in batches:
             out = []
             for blob in series:
                 res = model(
-                    bytes(blob), chunk_length_s=chunk_length_s, return_timestamps=True
+                    bytes(blob),
+                    chunk_length_s=chunk_length_s,
+                    batch_size=batch_size,
+                    return_timestamps=True,
+                    generate_kwargs=gen_kwargs,
                 )
                 out.append(
                     [
@@ -95,6 +145,10 @@ def make_asr_udf(model_name: str = "openai/whisper-large-v3-turbo", chunk_length
                 )
             yield pd.Series(out)
 
+    # surface the plumbed call parameters for parity inspection/tests
+    asr.generate_kwargs = gen_kwargs
+    asr.batch_size = batch_size
+    asr.chunk_length_s = chunk_length_s
     return asr
 
 
@@ -151,13 +205,21 @@ def make_decode_udf(sample_rate: int = 16000):
 
 def make_diarize_udf(
     model_name: str = "pyannote/speaker-diarization-3.1",
+    num_speakers: int = 2,
     min_speakers: int = 1,
-    max_speakers: int = 5,
+    max_speakers: int = 4,
+    auth_token: str | None = None,
 ):
     """U3: waveform -> ARRAY<STRUCT<spk_start,spk_end,speaker>>
     (reference src/transcription.py:238-312). One pipeline per executor;
     per-row failures fall back to a single full-length SPEAKER_00
     segment exactly like the reference's error path (:266-275,303-312).
+
+    Call parity: the pipeline receives ``num_speakers=2`` plus the
+    min/max bounds exactly like the reference's ``_run_diarization``
+    defaults (src/transcription.py:238-244), and model loading retries
+    the dual token-kwarg API (use_auth_token -> token) the same way its
+    3-way loader does (:106-129).
     """
 
     @F.pandas_udf(SEGMENT_SCHEMA)
@@ -169,7 +231,18 @@ def make_diarize_udf(
         import torch
         from pyannote.audio import Pipeline as PyannotePipeline
 
-        pipeline = PyannotePipeline.from_pretrained(model_name)
+        pipeline = None
+        if auth_token is not None:
+            # older/newer pyannote disagree on the token kwarg name;
+            # retry across the API variants like the reference loader
+            for kwargs in ({"use_auth_token": auth_token}, {"token": auth_token}):
+                try:
+                    pipeline = PyannotePipeline.from_pretrained(model_name, **kwargs)
+                    break
+                except TypeError:
+                    continue
+        if pipeline is None:
+            pipeline = PyannotePipeline.from_pretrained(model_name)
         for series in batches:
             out = []
             for wave in series:
@@ -177,6 +250,7 @@ def make_diarize_udf(
                     w = torch.tensor([list(wave)], dtype=torch.float32)
                     dia = pipeline(
                         {"waveform": w, "sample_rate": 16000},
+                        num_speakers=num_speakers,
                         min_speakers=min_speakers,
                         max_speakers=max_speakers,
                     )
@@ -201,6 +275,11 @@ def make_diarize_udf(
                 out.append(segs)
             yield pd.Series(out)
 
+    diarize.speaker_bounds = {
+        "num_speakers": num_speakers,
+        "min_speakers": min_speakers,
+        "max_speakers": max_speakers,
+    }
     return diarize
 
 

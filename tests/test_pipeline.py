@@ -49,3 +49,35 @@ def test_run_once_and_search(spark, tmp_path):
     q = spark.createDataFrame([(0, sample.text)], ["query_id", "query_text"])
     hits = search(spark, index_path, q, k=3).collect()
     assert hits[0].sim == pytest.approx(1.0)
+
+
+def test_asr_and_diarize_call_parity():
+    """The model-call parameters must match the reference verbatim
+    (src/transcription.py:152-168 generation set + batch size;
+    :238-244 speaker bounds) — pinned via the attributes the factories
+    expose, so parity survives refactors even though the heavy models
+    never load in this container."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.ml.udfs import (
+        ASR_GENERATE_KWARGS,
+        make_asr_udf,
+        make_diarize_udf,
+    )
+
+    asr = make_asr_udf()
+    assert asr.generate_kwargs == {
+        "max_length": 448,
+        "num_beams": 3,
+        "temperature": 0.2,
+        "no_repeat_ngram_size": 3,
+        "length_penalty": 1.0,
+    }
+    assert asr.generate_kwargs == ASR_GENERATE_KWARGS
+    assert asr.batch_size == 8
+    assert asr.chunk_length_s == 30
+
+    dia = make_diarize_udf()
+    assert dia.speaker_bounds == {
+        "num_speakers": 2,
+        "min_speakers": 1,
+        "max_speakers": 4,
+    }
