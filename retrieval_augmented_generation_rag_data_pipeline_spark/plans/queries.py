@@ -1493,6 +1493,55 @@ def multimodal_features(spark, sf):
 
 
 # =====================================================================
+# S10: artifact-existence probe
+# =====================================================================
+
+_ARTIFACT_SQL = r"""
+WITH expected AS (
+  SELECT doc_id, 'audio/' || CAST(doc_id AS VARCHAR) || '.webm' AS path
+  FROM documents
+), derived AS (
+  SELECT doc_id,
+         regexp_replace(path, '\.[^./]+$', '') || '.json' AS artifact_path
+  FROM expected
+), inv AS (
+  SELECT 'audio/' || CAST(doc_id AS VARCHAR) || '.json' AS path
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT d.doc_id, d.artifact_path
+FROM derived d
+WHERE NOT EXISTS (SELECT 1 FROM inv WHERE inv.path = d.artifact_path)
+"""
+
+
+@_q("artifact_probe", _ARTIFACT_SQL)
+def artifact_probe(spark, sf):
+    # S10 (reference src/main.py:81-83): which inputs still lack their
+    # derived sibling artifact — one anti join vs the inventory listing,
+    # not a per-file exists() loop
+    from ..sources.probe import derive_artifact, probe_artifacts
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    expected = derive_artifact(
+        docs.withColumn(
+            "path",
+            F.concat(F.lit("audio/"), F.col("doc_id").cast("string"), F.lit(".webm")),
+        ),
+        "path",
+        ".json",
+    )
+    inv = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("audio/"), F.col("doc_id").cast("string"), F.lit(".json")
+        ).alias("path")
+    )
+    _present, missing = probe_artifacts(
+        expected.select("doc_id", "artifact_path"), inv
+    )
+    return missing.select("doc_id", "artifact_path")
+
+
+# =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
 # The driver records correctness rows for the first 50 registry entries
@@ -1516,6 +1565,8 @@ _PRIORITY_QUERIES = [
     "token_count",
     "doc_fingerprint",
     "multimodal_features",
+    # new this round — must land inside the window on first appearance
+    "artifact_probe",
 ]
 
 

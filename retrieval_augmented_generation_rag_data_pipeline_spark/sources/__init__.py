@@ -1,1 +1,1 @@
-from . import ledger, readers, sinks  # noqa: F401
+from . import ledger, probe, readers, sinks  # noqa: F401

@@ -8,8 +8,6 @@ schema'd, and splittable.
 
 from __future__ import annotations
 
-import pathlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,13 +101,20 @@ def compact_parquet(
     comes from the actual on-disk bytes, so the pass is a single
     shuffle-free coalesce when shrinking the file count. Returns the
     number of output files.
+
+    Sizing uses the catalog listing (``scan_catalog``'s ``length``
+    column — file-status metadata, no content read), so the same call
+    works against local paths and object stores (s3a://...) alike; no
+    local-filesystem assumption anywhere.
     """
+    from .readers import scan_catalog
+
     df = spark.read.parquet(path)
-    # local-fs sizing; on an object store derive bytes from the catalog
-    # listing (scan_catalog's length column) instead
-    total_bytes = sum(
-        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
-    )
+    total_bytes = (
+        scan_catalog(spark, path, glob="*.parquet")
+        .agg(F.sum("length").alias("_bytes"))
+        .collect()[0]["_bytes"]
+    ) or 0
     n = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     df.coalesce(int(n)).write.mode("overwrite").parquet(out_path)
     return int(n)

@@ -114,3 +114,38 @@ def test_vector_index_partitioned_by_source(spark, tmp_path):
     # partition pruning: reading one source touches one partition
     one = back.filter(F.col("source_file") == "f1")
     assert one.count() == 1
+
+
+def test_artifact_probe_against_catalog_scan(spark, tmp_path):
+    """S10 end-to-end: derive sibling artifacts for scanned inputs and
+    split by existence against the store's own listing (reference
+    src/main.py:81-83 with_suffix + exists, as one semi/anti join)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.probe import (
+        derive_artifact,
+        probe_artifacts,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+        scan_catalog,
+    )
+
+    for name in ("a.webm", "b.webm", "c.webm"):
+        (tmp_path / name).write_bytes(b"x")
+    (tmp_path / "a.wav").write_bytes(b"y")  # only a's artifact exists
+
+    inputs = scan_catalog(spark, str(tmp_path), glob="*.webm")
+    expected = derive_artifact(inputs, "path", ".wav")
+    inventory = scan_catalog(spark, str(tmp_path), glob="*.wav")
+    present, missing = probe_artifacts(expected, inventory)
+    assert [p.rsplit("/", 1)[-1] for p in sorted(r.artifact_path for r in present.collect())] == ["a.wav"]
+    assert [p.rsplit("/", 1)[-1] for p in sorted(r.artifact_path for r in missing.collect())] == ["b.wav", "c.wav"]
+
+
+def test_derive_artifact_no_extension(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.probe import (
+        derive_artifact,
+    )
+
+    df = spark.createDataFrame([("dir/noext",), ("dir/x.tar.gz",)], ["path"])
+    out = {r.path: r.artifact_path for r in derive_artifact(df, "path", ".json").collect()}
+    assert out["dir/noext"] == "dir/noext.json"
+    assert out["dir/x.tar.gz"] == "dir/x.tar.json"
