@@ -2,8 +2,16 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <warm total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "cold_value": <first-run total>,
+   "cold_queries": {...}, "sf": <sf>}
+
+Protocol: two passes per query. "cold" = the first pass (includes
+whole-stage-codegen compilation and any page-cache misses); "warm" =
+min of the two (the steady-state cost estimator on a shared box —
+single runs vary up to 3x with noisy neighbors). BOTH totals are
+emitted so the headline `value` (warm) is never silently flattered by
+the protocol; compare like with like.
 
 Each query is executed to completion (count() over the result — no
 driver-side materialization of payload columns beyond the action).
@@ -34,6 +42,11 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "join_positional",
     "quality_score",
     "token_count",
     "chunk_documents",
@@ -49,27 +62,27 @@ def main() -> None:
     # queries, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # best-of-2 per query: the first pass pays whole-stage codegen
-    # compilation and absorbs host noise; min is the standard estimator
-    # for "what the query costs" on a shared box.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for rnd in range(2):
         for name in HEADLINE:
             fn, _sql = REGISTRY[name]
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            if rnd == 0:
+                cold[name] = dt
+            warm[name] = min(warm.get(name, dt), dt)
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": total,
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_value": round(sum(cold.values()), 3),
+                "cold_queries": cold,
                 "sf": float(sf),
             }
         )
