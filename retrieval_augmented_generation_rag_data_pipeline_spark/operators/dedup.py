@@ -250,8 +250,14 @@ def connected_components(
     — no data collects.
     """
     a, b = edge_cols
-    und = edges.select(F.col(a).alias("_src"), F.col(b).alias("_dst")).unionByName(
-        edges.select(F.col(b).alias("_src"), F.col(a).alias("_dst"))
+    # materialize the edge list ONCE: without this every iteration
+    # re-executes the upstream pipeline that produced the edges (for
+    # LSH candidate pairs that is the whole tokenize->minhash->band
+    # join — measured 5x the loop's own cost at sf0.1)
+    und = (
+        edges.select(F.col(a).alias("_src"), F.col(b).alias("_dst"))
+        .unionByName(edges.select(F.col(b).alias("_src"), F.col(a).alias("_dst")))
+        .localCheckpoint(eager=True)
     )
     # seed labels from vertices UNION edge endpoints: a dangling
     # endpoint absent from `vertices` would otherwise never get its own
