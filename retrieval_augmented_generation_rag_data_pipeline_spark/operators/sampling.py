@@ -1,0 +1,69 @@
+"""Deterministic sampling operators for data mixing.
+
+Training-data pipelines resample sources into mixtures (per-domain /
+per-language rates). Doing that with `rand()` makes every rerun a
+different dataset; these operators key the keep/drop decision on a
+content hash instead, so a sample is reproducible across runs, engines
+(DuckDB-oracle-checkable), cluster sizes, and repartitioning — and a
+row's fate never depends on which partition it landed in.
+
+Scale: the predicate is a narrow per-row hash on the scan side —
+no shuffle, no RNG state, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+# hash-bucket resolution: rates are quantized to 1/RESOLUTION steps
+RESOLUTION = 1_000_000
+
+
+def _keep_expr(stratum: Column, row_id: Column, fraction: float, seed: int) -> Column:
+    bucket = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), stratum.cast("string"), row_id.cast("string"))
+    ) % RESOLUTION
+    return bucket < int(fraction * RESOLUTION)
+
+
+def sample_deterministic(
+    df: DataFrame,
+    fraction: float,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by hash(seed:id) — the
+    reproducible Bernoulli sample."""
+    return df.filter(_keep_expr(F.lit(""), F.col(id_col), fraction, seed))
+
+
+def sample_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fraction: float | dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the mixture-weights operator).
+
+    ``fraction`` is either one rate for every stratum or a dict
+    {stratum_value: rate}; strata missing from the dict are DROPPED
+    (rate 0) — matching how mixture specs are written. The hash keys on
+    (seed, stratum, id), so changing one stratum's rate never reshuffles
+    which rows another stratum keeps.
+    """
+    stratum = F.col(stratum_col)
+    if isinstance(fraction, dict):
+        rate = F.lit(0.0)
+        for value, fr in sorted(fraction.items()):
+            rate = F.when(stratum.cast("string") == str(value), F.lit(float(fr))).otherwise(rate)
+        bucket = md5_long(
+            F.concat_ws(
+                ":", F.lit(str(seed)), stratum.cast("string"), F.col(id_col).cast("string")
+            )
+        ) % RESOLUTION
+        return df.filter(bucket < (rate * RESOLUTION).cast("long"))
+    return df.filter(_keep_expr(stratum, F.col(id_col), float(fraction), seed))

@@ -195,3 +195,73 @@ def doc_fingerprint(
         F.coalesce(F.array_min("_h"), F.col("_whole")).alias("fp_min"),
         F.coalesce(F.array_max("_h"), F.col("_whole")).alias("fp_max"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: documents
+    dominated by repeated n-grams are low-quality): the duplicate
+    fraction 1 - distinct/total for 1/2/3-word grams, per document.
+
+    Pure per-row array arithmetic (tokens -> shingles -> distinct
+    counts) — narrow, scan-side, no shuffle; empty/short docs yield 0.
+    """
+    toks = tokens(F.col(text_col))
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            F.round(
+                (n - F.size(F.array_distinct(arr))) / n.cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t1"),
+        word_shingles(toks, 2).alias("_t2"),
+        word_shingles(toks, 3).alias("_t3"),
+    )
+    return staged.select(
+        "doc_id",
+        dup_frac(F.col("_t1")).alias("dup_unigram_frac"),
+        dup_frac(F.col("_t2")).alias("dup_bigram_frac"),
+        dup_frac(F.col("_t3")).alias("dup_trigram_frac"),
+    )
+
+
+# PII patterns — deliberately RE2-compatible (no backrefs/lookarounds)
+# so the same regex runs in Spark (Java) and DuckDB (RE2) verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9() -]{7,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers, keeping
+    per-doc counts of what was removed (the audit trail a training-data
+    pipeline needs before text leaves the boundary).
+
+    Order matters: emails first (their domains would otherwise partially
+    match the phone charset), then IPs, then phones. All JVM-side
+    regexp_replace / regexp_extract_all — narrow, no UDF.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
+    )

@@ -30,7 +30,7 @@ from ..functions.hashing import (
     MINHASH_B,
     NUM_PERM,
 )
-from ..operators import dedup, joins, relational, text, vectors, windows
+from ..operators import dedup, joins, relational, sampling, text, vectors, windows
 from ..operators.joins import asof_align
 from ..operators.windows import merge_islands, tumbling_bucket
 
@@ -1542,6 +1542,84 @@ def artifact_probe(spark, sf):
 
 
 # =====================================================================
+# Data-mixing / text-hygiene surface
+# =====================================================================
+
+_MIX_RATES = {"click": 0.5, "view": 0.25, "purchase": 1.0}  # error: dropped
+
+_SAMPLE_SQL = f"""
+SELECT event_id, event_type FROM events
+WHERE ({O.md5_long("'7' || ':' || event_type || ':' || CAST(event_id AS VARCHAR)")}) % 1000000
+      < CAST((CASE event_type WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.25
+                              WHEN 'purchase' THEN 1.0 ELSE 0.0 END) * 1000000 AS BIGINT)
+"""
+
+
+@_q("sample_stratified", _SAMPLE_SQL)
+def sample_stratified(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = sampling.sample_stratified(ev, "event_type", "event_id", _MIX_RATES, seed=7)
+    return out.select("event_id", "event_type")
+
+
+_REP_T1 = O.tokens("text")
+_REP_SQL = f"""
+WITH t AS (SELECT doc_id, {_REP_T1} AS t1,
+                  {O.word_shingles(_REP_T1, 2)} AS t2,
+                  {O.word_shingles(_REP_T1, 3)} AS t3
+           FROM documents)
+SELECT doc_id,
+  CASE WHEN len(t1) > 0 THEN round((len(t1) - len(list_distinct(t1))) / CAST(len(t1) AS DOUBLE), 6) ELSE 0.0 END AS dup_unigram_frac,
+  CASE WHEN len(t2) > 0 THEN round((len(t2) - len(list_distinct(t2))) / CAST(len(t2) AS DOUBLE), 6) ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(t3) > 0 THEN round((len(t3) - len(list_distinct(t3))) / CAST(len(t3) AS DOUBLE), 6) ELSE 0.0 END AS dup_trigram_frac
+FROM t
+"""
+
+
+@_q("repetition_metrics", _REP_SQL)
+def repetition_metrics(spark, sf):
+    return text.repetition_metrics(_t(spark, sf, "documents"))
+
+
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "+1 (555) 010-' || CAST(doc_id AS VARCHAR) || ' at 10.0.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR)"
+)
+
+_PII_SQL = rf"""
+WITH w AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{text.PII_IPV4}', '<IP>', 'g'),
+           '{text.PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{text.PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{text.PII_PHONE}')) AS BIGINT) AS n_phones
+FROM w
+"""
+
+
+@_q("pii_scrub", _PII_SQL)
+def pii_scrub(spark, sf):
+    docs = _t(spark, sf, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(with_pii)
+
+
+# =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
 # The driver records correctness rows for the first 50 registry entries
@@ -1567,6 +1645,9 @@ _PRIORITY_QUERIES = [
     "multimodal_features",
     # new this round — must land inside the window on first appearance
     "artifact_probe",
+    "sample_stratified",
+    "repetition_metrics",
+    "pii_scrub",
 ]
 
 

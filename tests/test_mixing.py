@@ -1,0 +1,72 @@
+"""Data-mixing / text-hygiene operators: deterministic sampling,
+repetition metrics, PII scrubbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+    sample_deterministic,
+    sample_stratified,
+)
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+    pii_scrub,
+    repetition_metrics,
+)
+
+
+def test_sample_deterministic_is_stable_and_partition_independent(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in sample_deterministic(df, 0.3, "k", seed=1).collect())
+    b = sorted(
+        r.k
+        for r in sample_deterministic(df.repartition(13), 0.3, "k", seed=1).collect()
+    )
+    assert a == b  # same rows regardless of partitioning / run
+    assert 0.25 < len(a) / 2000 < 0.35
+    c = sorted(r.k for r in sample_deterministic(df, 0.3, "k", seed=2).collect())
+    assert a != c  # seed changes the sample
+
+
+def test_sample_stratified_rates_and_missing_strata_dropped(spark):
+    rows = [(i, "a" if i % 2 == 0 else ("b" if i % 4 == 1 else "c")) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = sample_stratified(df, "s", "k", {"a": 1.0, "b": 0.5}).groupBy("s").count()
+    got = {r.s: r["count"] for r in out.collect()}
+    assert got["a"] == 2000  # rate 1.0 keeps everything
+    assert 400 < got["b"] < 600  # ~0.5 of 1000
+    assert "c" not in got  # absent stratum -> dropped
+
+
+def test_repetition_metrics_flags_repeated_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all these words appear exactly once here"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert out[1].dup_unigram_frac > 0.8 and out[1].dup_bigram_frac > 0.7
+    assert out[2].dup_unigram_frac == 0.0 and out[2].dup_trigram_frac == 0.0
+    assert out[3].dup_unigram_frac == 0.0  # empty doc -> zeros, no nulls
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or call +1 (555) 123-4567"),
+            (2, "server 192.168.001.042 is fine; no pii otherwise"),
+            (3, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert "<EMAIL>" in out[1].clean_text and "<PHONE>" in out[1].clean_text
+    assert "jo.doe" not in out[1].clean_text and "555" not in out[1].clean_text
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert out[2].clean_text == "server <IP> is fine; no pii otherwise"
+    assert out[2].n_ips == 1
+    assert out[3].clean_text == "clean text"
+    assert out[3].n_emails == out[3].n_ips == out[3].n_phones == 0
