@@ -329,6 +329,15 @@ def embedding_near_dup_pairs(
     1 - (1 - (1-theta/pi)^n_planes)^n_tables (~0.97 at cos 0.9, 4x4);
     raise n_tables for more recall, n_planes for fewer candidates.
 
+    SIZE n_planes TO THE CORPUS: buckets per table = 2^n_planes, and a
+    table's candidate count is ~ sum over buckets of m^2/2, so the
+    4-plane default (16 buckets — right for the oracle's ~10^2-10^3
+    rows) goes quadratic on big corpora. Keep expected bucket size
+    bounded: n_planes ~ log2(n / target_bucket), e.g. 20k vectors ->
+    12 planes, 1B -> ~27; add tables to buy back the recall the extra
+    planes cost (each plane multiplies per-table recall by
+    (1-theta/pi)). tools/scale_probe.py measures the 20k config.
+
     ``exact=True`` keeps the all-pairs self-join — the verification /
     small-n mode (and the only mode that guarantees recall 1.0).
     """
@@ -359,18 +368,22 @@ def embedding_near_dup_pairs(
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")),
-        )
-        # dedup pairs colliding in several tables BEFORE scoring; the
-        # vectors ride along (identical per group, first() is exact)
-        .groupBy(F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"))
-        .agg(F.first("a._v").alias("_va"), F.first("b._v").alias("_vb"))
+    # Score at the collision site, THEN threshold, THEN dedup pairs that
+    # collided in several tables. Scoring first keeps the heavy payload
+    # (2 x dim doubles per pair) OUT of the pair-dedup shuffle — only
+    # (ids, score) rows move, and the threshold filter already dropped
+    # the non-dups, so the exchange carries near-dups only. A pair's
+    # score is identical in every colliding table, so first() is exact.
+    scored = a.join(
+        b,
+        (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("vec_a"),
+        F.col("b._id").alias("vec_b"),
+        cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
     )
-    return cand.select(
-        "vec_a",
-        "vec_b",
-        cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    return (
+        scored.filter(F.col("cos_sim") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+    )

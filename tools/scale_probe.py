@@ -122,6 +122,35 @@ def main() -> None:
         "events": 100_000 * n, "sec": round(time.time() - t0, 2)
     }
 
+    # ---- blocked embedding near-dup at Nx corpus (the path that
+    # replaced the O(n^2) all-pairs join). Planes sized to the corpus
+    # per the operator's contract: bucket count ~ n / 8.
+    import math
+
+    n_planes = max(4, int(math.log2(max(2000 * n, 16) / 8)))
+    t0 = time.time()
+    npairs = dedup.embedding_near_dup_pairs(
+        big_emb, threshold=0.9, dim=64, n_tables=4, n_planes=n_planes
+    ).count()
+    results["embedding_near_dup"] = {
+        "vectors": 2000 * n, "n_planes": n_planes, "pairs": npairs,
+        "sec": round(time.time() - t0, 2),
+    }
+
+    # ---- distributed positional zip at Nx rows (replaced the
+    # single-partition global window)
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        positional_zip_join,
+    )
+
+    lhs = big_ev.select(F.col("event_id").alias("_ord"), "user_id")
+    rhs = big_ev.select(F.col("event_id").alias("_ord"), "event_type")
+    t0 = time.time()
+    positional_zip_join(lhs, rhs).count()
+    results["positional_zip"] = {
+        "rows": 100_000 * n, "sec": round(time.time() - t0, 2)
+    }
+
     print(json.dumps({"scale_multiplier": n, "probes": results}))
 
 
