@@ -307,6 +307,61 @@ def connected_components(
     return labels
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end corpus dedup policy: one call from raw docs to a
+    keep/drop decision per document.
+
+    Composes the pieces a training-data pipeline otherwise hand-wires
+    (the policy the reference applies per-file via its processed-ledger,
+    /root/reference/src/transcription.py:60-80, generalized to
+    content-level dedup):
+
+      1. exact-duplicate edges — md5 digest groups (``dedup_exact``);
+         these also cover docs too short to shingle, which LSH skips;
+      2. near-duplicate candidate edges — MinHash banded LSH
+         (``lsh_candidate_pairs``);
+      3. transitive closure over the union of both edge sets
+         (``connected_components``), so A~B, B~C collapse even when
+         A,C never collide directly;
+      4. survivor selection: keep the lowest doc_id per component.
+
+    Returns (doc_id, component_id, keep): ``keep`` is true for exactly
+    one doc per duplicate cluster.  Kept corpus = ``.filter("keep")``;
+    drop list = ``.filter(~F.col("keep"))``.
+
+    Scale notes (100 TB): exact edges are star-shaped (canonical -> each
+    copy, no quadratic bucket expansion); near edges inherit the banded
+    LSH shuffle + ``max_bucket_size`` skew cap; the closure is
+    pointer-jumping min-label, O(log diameter) rounds. No stage sees
+    more than (id, id) edge rows after the LSH bucket join.
+    """
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    exact_edges = (
+        dedup_exact(docs)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(
+            F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    near_edges = lsh_candidate_pairs(
+        docs, k=k, max_bucket_size=max_bucket_size
+    ).select("doc_a", "doc_b")
+    comp = connected_components(
+        docs.select("doc_id"), exact_edges.unionByName(near_edges)
+    )
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

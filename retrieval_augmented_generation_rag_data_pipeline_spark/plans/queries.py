@@ -1319,6 +1319,40 @@ def dedup_clusters(spark, sf):
     return dedup.connected_components(corpus.select("doc_id"), pairs)
 
 
+def _dedup_corpus_sql() -> str:
+    """Oracle for the end-to-end keep/drop policy: exact-digest edges
+    UNION LSH candidate edges -> recursive-CTE closure -> keep the min
+    doc_id per component."""
+    return f"""
+WITH RECURSIVE {_lsh_ctes()},
+exact_pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM corpus l JOIN corpus r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
+),
+near_pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (SELECT doc_a, doc_b FROM exact_pairs UNION SELECT doc_a, doc_b FROM near_pairs),
+reach(v, lab) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT u.o, r.lab
+  FROM reach r
+  JOIN (SELECT doc_a AS i, doc_b AS o FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs) u ON u.i = r.v
+)
+SELECT v AS doc_id, min(lab) AS component_id, v = min(lab) AS keep
+FROM reach GROUP BY v
+"""
+
+
+@_q("dedup_corpus", _dedup_corpus_sql())
+def dedup_corpus(spark, sf):
+    return dedup.dedup_corpus(_dup_corpus(spark, sf))
+
+
 _SIMHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {O.hash_array(O.tokens('text'))} AS hs FROM documents)
 SELECT doc_id, {O.simhash16('hs')} AS simhash FROM t
@@ -1623,31 +1657,34 @@ def pii_scrub(spark, sf):
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
 # The driver records correctness rows for the first 50 registry entries
-# in insertion order. Round 1 covered entries 1-50, leaving the 14
-# entries below (registry positions 51-64) with no driver row, so this
-# round rotates them to the FRONT. Previously-green entries keep their
-# relative order after them; whichever fall past position 50 already
-# have a green row in CORRECTNESS_r01.json.
+# in insertion order. Round 1 covered entries 1-50; round 2 rotated the
+# then-unchecked 18 to the front, which pushed 18 round-1-only queries
+# past the window. Round 3 rotates THOSE back to the front so every
+# registry query has driver evidence no older than one round. Entries
+# falling past position 50 this round all have green rows in
+# CORRECTNESS_r02.json.
 _PRIORITY_QUERIES = [
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_lsh_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "ann_ivf_topk",
-    "chunk_documents",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_features",
     # new this round — must land inside the window on first appearance
-    "artifact_probe",
-    "sample_stratified",
-    "repetition_metrics",
-    "pii_scrub",
+    "dedup_corpus",
+    # r1-only set (green in CORRECTNESS_r01.json, rotated out in r2)
+    "agg_cube",
+    "agg_rollup",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "argmin_nearest",
+    "array_funcs",
+    "date_funcs",
+    "format_dialogue",
+    "json_funcs",
+    "knn_topk",
+    "map_funcs",
+    "math_funcs",
+    "sessionize_islands",
+    "str_funcs",
+    "window_running",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
 ]
 
 

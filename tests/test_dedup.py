@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+    dedup_corpus,
     dedup_exact,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -182,3 +183,27 @@ def test_connected_components_handles_dangling_endpoints(spark):
     edges = spark.createDataFrame([(2, 9), (9, 5)], ["doc_a", "doc_b"])
     out = {r.doc_id: r.component_id for r in connected_components(verts, edges).collect()}
     assert out == {1: 1, 2: 2, 5: 2, 9: 2}
+
+
+def test_dedup_corpus_collapses_exact_and_near_dups(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1 (shares 18/19 shingles)
+        (4, "totally unrelated words about nothing in particular today"),
+        (5, "hi"),  # too short to shingle — LSH skips it
+        (6, "hi"),  # exact dup of 5: digest edge must still collapse it
+    ]
+    out = dedup_corpus(spark.createDataFrame(rows, ["doc_id", "text"]))
+    got = {r.doc_id: (r.component_id, r.keep) for r in out.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)  # exact dup collapses
+    assert got[3] == (1, False)  # near dup joins through an LSH edge
+    assert got[4] == (4, True)
+    assert got[5] == (5, True)
+    assert got[6] == (5, False)  # shingle-less exact dup collapses
+    assert sorted(d for d, (_c, k) in got.items() if k) == [1, 4, 5]
