@@ -336,7 +336,18 @@ def global_index(
     (partition ids must agree between the two jobs).
     """
     spark = df.sparkSession
-    n = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_parts:
+        n = num_parts
+    else:
+        # the conf can be non-numeric ('auto' under AQE auto-optimized
+        # shuffle on some platforms) — fall back to the input's own
+        # parallelism, then the cluster default
+        conf = spark.conf.get("spark.sql.shuffle.partitions", "")
+        n = (
+            int(conf)
+            if conf.isdigit()
+            else (df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism)
+        )
     parted = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_part", F.spark_partition_id())

@@ -22,11 +22,21 @@ from ..functions.hashing import md5_long
 RESOLUTION = 1_000_000
 
 
+def quantize(fraction: float) -> int:
+    """Rate -> integer hash-bucket threshold, rounded (not truncated) in
+    Python BEFORE any engine sees it. Rates whose product with
+    RESOLUTION isn't exactly representable (0.29 -> 289999.9999...)
+    would otherwise truncate in Spark (cast long) but round in DuckDB
+    (CAST AS BIGINT), disagreeing by one bucket. Quantizing driver-side
+    makes both engines compare against the same literal integer."""
+    return int(round(float(fraction) * RESOLUTION))
+
+
 def _keep_expr(stratum: Column, row_id: Column, fraction: float, seed: int) -> Column:
     bucket = md5_long(
         F.concat_ws(":", F.lit(str(seed)), stratum.cast("string"), row_id.cast("string"))
     ) % RESOLUTION
-    return bucket < int(fraction * RESOLUTION)
+    return bucket < quantize(fraction)
 
 
 def sample_deterministic(
@@ -57,13 +67,15 @@ def sample_stratified(
     """
     stratum = F.col(stratum_col)
     if isinstance(fraction, dict):
-        rate = F.lit(0.0)
+        threshold = F.lit(0).cast("long")
         for value, fr in sorted(fraction.items()):
-            rate = F.when(stratum.cast("string") == str(value), F.lit(float(fr))).otherwise(rate)
+            threshold = F.when(
+                stratum.cast("string") == str(value), F.lit(quantize(fr)).cast("long")
+            ).otherwise(threshold)
         bucket = md5_long(
             F.concat_ws(
                 ":", F.lit(str(seed)), stratum.cast("string"), F.col(id_col).cast("string")
             )
         ) % RESOLUTION
-        return df.filter(bucket < (rate * RESOLUTION).cast("long"))
+        return df.filter(bucket < threshold)
     return df.filter(_keep_expr(stratum, F.col(id_col), float(fraction), seed))

@@ -249,19 +249,30 @@ def pii_scrub(
     Order matters: emails first (their domains would otherwise partially
     match the phone charset), then IPs, then phones. All JVM-side
     regexp_replace / regexp_extract_all — narrow, no UDF.
+
+    Each count is taken on the PREVIOUS stage's text (emails on the
+    original, IPs on the email-scrubbed text, phones on the IP-scrubbed
+    text), so counts equal actual replacements: an IP-shaped substring
+    inside an email (user@1.2.3.4) is consumed by <EMAIL> and is not
+    double-counted as an IP. Each stage lives in its own projection and
+    is referenced twice downstream, which keeps CollapseProject from
+    inlining (and re-evaluating) the regex chain.
     """
-    t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        scrubbed.alias("clean_text"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).cast("long").alias("n_ips"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t0"))
+        .select(
+            "doc_id", "_t0",
+            F.regexp_replace("_t0", PII_EMAIL, "<EMAIL>").alias("_t1"),
+        )
+        .select(
+            "doc_id", "_t0", "_t1",
+            F.regexp_replace("_t1", PII_IPV4, "<IP>").alias("_t2"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace("_t2", PII_PHONE, "<PHONE>").alias("clean_text"),
+            F.size(F.regexp_extract_all("_t0", F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all("_t1", F.lit(PII_IPV4), 0)).cast("long").alias("n_ips"),
+            F.size(F.regexp_extract_all("_t2", F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
+        )
     )

@@ -1581,11 +1581,15 @@ def artifact_probe(spark, sf):
 
 _MIX_RATES = {"click": 0.5, "view": 0.25, "purchase": 1.0}  # error: dropped
 
+# thresholds quantized to integers in Python (sampling.quantize) so the
+# oracle compares against the same literals as the Spark plan — no
+# engine-specific float->int rounding on either side
 _SAMPLE_SQL = f"""
 SELECT event_id, event_type FROM events
 WHERE ({O.md5_long("'7' || ':' || event_type || ':' || CAST(event_id AS VARCHAR)")}) % 1000000
-      < CAST((CASE event_type WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.25
-                              WHEN 'purchase' THEN 1.0 ELSE 0.0 END) * 1000000 AS BIGINT)
+      < (CASE event_type {' '.join(
+          f"WHEN '{k}' THEN {sampling.quantize(v)}" for k, v in sorted(_MIX_RATES.items())
+      )} ELSE 0 END)
 """
 
 
@@ -1621,17 +1625,21 @@ _PII_SUFFIX_SQL = (
     "|| CAST(doc_id % 256 AS VARCHAR)"
 )
 
+# counts mirror the operator's sequential semantics: emails counted on
+# the original text, IPs on the email-scrubbed text, phones on the
+# IP-scrubbed text — counts equal actual replacements
 _PII_SQL = rf"""
-WITH w AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+WITH w AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '{text.PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM w),
+s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '{text.PII_IPV4}', '<IP>', 'g') AS t2 FROM s1)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-           '{text.PII_EMAIL}', '<EMAIL>', 'g'),
-           '{text.PII_IPV4}', '<IP>', 'g'),
-           '{text.PII_PHONE}', '<PHONE>', 'g') AS clean_text,
-       CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{text.PII_IPV4}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(text, '{text.PII_PHONE}')) AS BIGINT) AS n_phones
-FROM w
+       regexp_replace(t2, '{text.PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t0, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{text.PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{text.PII_PHONE}')) AS BIGINT) AS n_phones
+FROM s2
 """
 
 

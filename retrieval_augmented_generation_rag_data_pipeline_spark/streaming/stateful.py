@@ -138,6 +138,17 @@ def first_seen_keys_ttl(
             f"got {keyed.columns}"
         )
     ttl_ms = ttl_minutes * 60_000
+    # applyInPandasWithState hands the worker tz-NAIVE timestamps
+    # rendered in spark.sql.session.timeZone, but the timeout horizon
+    # (setTimeoutTimestamp / getCurrentWatermarkMs) is epoch ms.
+    # Treating the naive value as UTC (pd.Timestamp(...).value) skews
+    # the TTL by the session-tz offset, so capture the session tz at
+    # build time and localize before converting. Spark's legacy
+    # 'GMT+08:00'-style ids aren't pandas-parseable; their offset
+    # suffix ('+08:00') is.
+    tz = keyed.sparkSession.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    if tz[:3].upper() == "GMT" and len(tz) > 3 and tz[3] in "+-":
+        tz = tz[3:]
 
     def op(
         key: tuple[Any, ...],
@@ -159,7 +170,12 @@ def first_seen_keys_ttl(
         first = not state.exists
         if ts_max is None:
             return
-        last_ms = int(pd.Timestamp(ts_max).value // 1_000_000)
+        last_ms = int(
+            pd.Timestamp(ts_max)
+            .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+            .value
+            // 1_000_000
+        )
         state.update((last_ms,))
         # EventTimeTimeout requires a timestamp beyond the current
         # watermark; late data can put last_seen+ttl behind it

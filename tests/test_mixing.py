@@ -70,3 +70,30 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[2].n_ips == 1
     assert out[3].clean_text == "clean text"
     assert out[3].n_emails == out[3].n_ips == out[3].n_phones == 0
+
+
+def test_pii_scrub_counts_match_replacements_on_overlaps(spark):
+    # an IP-shaped substring inside an email is consumed by <EMAIL> and
+    # must NOT also count as an IP; same for a phone-shaped tail
+    df = spark.createDataFrame(
+        [(1, "ping user@1.2.3.4.example.com and 10.0.0.7 today")],
+        ["doc_id", "text"],
+    )
+    row = pii_scrub(df).collect()[0]
+    assert row.clean_text == "ping <EMAIL> and <IP> today"
+    assert row.n_emails == 1
+    assert row.n_ips == 1  # only the standalone IP, not the email's host
+    assert row.n_phones == 0
+
+
+def test_sample_stratified_non_exact_rate_quantizes_consistently(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        quantize,
+    )
+
+    assert quantize(0.29) == 290000  # rounds, never truncates
+    rows = [(i, "a") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    via_dict = sorted(r.k for r in sample_stratified(df, "s", "k", {"a": 0.29}).collect())
+    via_scalar = sorted(r.k for r in sample_stratified(df, "s", "k", 0.29).collect())
+    assert via_dict == via_scalar  # both paths use the same quantized threshold

@@ -334,3 +334,62 @@ def test_first_seen_ttl_expires_and_reemits(spark, tmp_path):
     write_file([("a", t(11, 30))])
     r3 = run("ttl3")
     assert ("a", t(11, 30)) in r3
+
+
+def test_first_seen_ttl_honors_non_utc_session_tz(spark, tmp_path):
+    """Regression: applyInPandasWithState delivers tz-naive timestamps
+    rendered in the session tz; converting them as UTC skews the TTL
+    horizon by the tz offset (-8 h here), which expires keys almost
+    immediately and re-emits within-horizon duplicates."""
+    import datetime as dt
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.streaming.stateful import (
+        first_seen_keys_ttl,
+    )
+
+    src = str(tmp_path / "ttl_tz_src")
+    ckpt = str(tmp_path / "ttl_tz_ckpt")
+    schema = "key string, ts timestamp"
+    t = lambda h, m: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+
+        def write_file(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        def run():
+            emitted = []
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = first_seen_keys_ttl(
+                stream, ttl_minutes=30, watermark_delay="5 minutes"
+            )
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda df, _eid: emitted.extend(
+                        (r.key, r.first_seen_ts) for r in df.collect()
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return emitted
+
+        # batch 1: 'a' at 10:00; 'adv' pushes the watermark to 10:10
+        write_file([("a", t(10, 0)), ("adv", t(10, 15))])
+        r1 = run()
+        assert sorted(k for k, _ in r1) == ["a", "adv"]
+
+        # batch 2: watermark (10:10) is inside a's 30-min horizon, so a
+        # duplicate must still dedup. With the UTC-skew bug a's timeout
+        # lands ~8 h in the past, the key expires, and 'a' re-emits.
+        write_file([("a", t(10, 15)), ("adv2", t(10, 20))])
+        r2 = run()
+        assert sorted(k for k, _ in r2) == ["adv2"], f"dup re-emitted: {r2}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
