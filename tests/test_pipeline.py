@@ -81,3 +81,16 @@ def test_asr_and_diarize_call_parity():
         "min_speakers": 1,
         "max_speakers": 4,
     }
+
+
+def test_vec_ids_reproducible_across_runs_and_partitioning(spark, tmp_path):
+    """Rebuilding an index over the same docs must yield identical
+    (vec_id, text) pairs — vec_id is content-keyed, not assignment-order
+    -keyed, so persisted indexes stay joinable across runs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    a = run_once(spark, docs, str(tmp_path / "ix_a"))
+    b = run_once(spark, docs.repartition(7), str(tmp_path / "ix_b"))
+    pa = sorted((r.vec_id, r.text) for r in a.collect())
+    pb = sorted((r.vec_id, r.text) for r in b.collect())
+    assert pa == pb
+    assert len({v for v, _ in pa}) == len(pa)  # no vec_id collisions
