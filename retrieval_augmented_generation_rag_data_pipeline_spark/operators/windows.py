@@ -96,22 +96,30 @@ def session_windows(
     part_cols: Sequence[str],
     ts_col: str,
     gap_s: int,
+    aggs: Sequence[Column] | None = None,
 ) -> DataFrame:
     """Session windows (gap-based) via the built-in session_window —
     the streaming-capable generalization of merge_islands. Adds
     `session_start`/`session_end` epoch-second doubles; end = last
-    event + gap (Spark session semantics)."""
+    event + gap (Spark session semantics).
+
+    ``aggs``: per-session aggregate expressions (already aliased);
+    default keeps the historical count/sum-of-``value`` pair, which
+    requires a ``value`` column in ``df``.
+    """
+    if aggs is None:
+        aggs = [
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ]
     sw = F.session_window(F.col(ts_col), f"{gap_s} seconds")
-    return (
-        df.groupBy(sw.alias("_w"), *part_cols)
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
-        .select(
-            *part_cols,
-            F.col("_w.start").cast("double").alias("session_start"),
-            F.col("_w.end").cast("double").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
+    grouped = df.groupBy(sw.alias("_w"), *part_cols).agg(*aggs)
+    agg_out = [c for c in grouped.columns if c != "_w" and c not in part_cols]
+    return grouped.select(
+        *part_cols,
+        F.col("_w.start").cast("double").alias("session_start"),
+        F.col("_w.end").cast("double").alias("session_end"),
+        *agg_out,
     )
 
 

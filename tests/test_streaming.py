@@ -393,3 +393,127 @@ def test_first_seen_ttl_honors_non_utc_session_tz(spark, tmp_path):
         assert sorted(k for k, _ in r2) == ["adv2"], f"dup re-emitted: {r2}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _multi_batch_stream(spark, src, ckpt, schema, build, collect_cols):
+    """Run one availableNow pass over `src` against a persistent
+    checkpoint, in APPEND mode via foreachBatch — only windows the
+    watermark has finalized are emitted, accumulated across calls."""
+    emitted = []
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        build(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _eid: emitted.extend(
+                tuple(r[c] for c in collect_cols) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return emitted
+
+
+def test_tumbling_stream_multi_batch_matches_batch(spark, tmp_path):
+    """Cross-micro-batch window accumulation: events for one window
+    arriving in different files (runs) must merge, finalize exactly once
+    when the watermark passes, and equal the batch tumbling aggregation."""
+    import datetime as dt
+
+    src = str(tmp_path / "tmb_src")
+    ckpt = str(tmp_path / "tmb_ckpt")
+    schema = "user_id long, event_type string, ts timestamp, value double"
+    t = lambda h, m: dt.datetime(2024, 5, 1, h, m)  # noqa: E731
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: _multi_batch_stream(  # noqa: E731
+        spark, src, ckpt, schema,
+        lambda s: windowed_events(s, window_seconds=3600),
+        ["window_start", "event_type", "n", "sum_value"],
+    )
+
+    # run 1: hour-10 events only — nothing finalizes (wm 10:30 < 11:00)
+    write_file([(1, "click", t(10, 0), 1.0), (2, "view", t(10, 20), 2.0),
+                (1, "click", t(10, 40), 3.0)])
+    got = run()
+    assert got == []
+    # run 2: more hour-10 data (merges into the open window) + hour-12
+    # data that pushes the watermark past 11:00 -> hour-10 finalizes
+    write_file([(3, "click", t(10, 50), 5.0), (1, "view", t(12, 0), 7.0)])
+    got += run()
+    assert {(ws.hour, et) for ws, et, _n, _s in got} == {(10, "click"), (10, "view")}
+    # run 3: far-future flush finalizes everything else
+    write_file([(9, "flush", t(18, 0), 0.0)])
+    got += run()
+
+    events = spark.read.parquet(src).filter(F.col("event_type") != "flush")
+    batch = {
+        (r.bucket, r.event_type): (r.n, r.s)
+        for r in events.withColumn("bucket", tumbling_bucket(F.col("ts"), 3600))
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    streamed = {
+        (int(ws.timestamp()) // 3600, et): (n, s)
+        for ws, et, n, s in got
+        if et != "flush"
+    }
+    assert streamed == batch  # every window emitted once, values equal
+
+
+def test_session_stream_multi_batch_matches_batch(spark, tmp_path):
+    """A session spanning two micro-batches must merge before
+    finalizing, and the finalized stream output must equal the batch
+    session_windows operator on the same data."""
+    import datetime as dt
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import (
+        session_windows,
+    )
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "user_id long, event_type string, ts timestamp, value double"
+    t = lambda h, m: dt.datetime(2024, 5, 1, h, m)  # noqa: E731
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: _multi_batch_stream(  # noqa: E731
+        spark, src, ckpt, schema,
+        lambda s: sessionized_events(s, gap="5 minutes"),
+        ["user_id", "session_start", "session_end", "n_events", "sum_value"],
+    )
+
+    # run 1: user 1 session opens; user 2 isolated session
+    write_file([(1, "e", t(10, 0), 1.0), (1, "e", t(10, 2), 2.0),
+                (2, "e", t(10, 1), 4.0)])
+    got = run()
+    # run 2: user 1's session EXTENDS across the batch boundary (10:04
+    # is within the 5-min gap of 10:02); user 1 later starts a new one
+    write_file([(1, "e", t(10, 4), 8.0), (1, "e", t(11, 0), 16.0)])
+    got += run()
+    # run 3: flush far past everything
+    write_file([(9, "flush", t(18, 0), 0.0)])
+    got += run()
+
+    events = spark.read.parquet(src).filter(F.col("event_type") != "flush")
+    batch = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in session_windows(events, ["user_id"], "ts", gap_s=300).collect()
+    }
+    streamed = {
+        (u, ss.timestamp(), se.timestamp()): (n, s)
+        for u, ss, se, n, s in got
+        if u != 9
+    }
+    assert streamed == batch
+    # the cross-batch merge produced ONE 3-event session for user 1
+    assert (1, t(10, 0).timestamp(), t(10, 9).timestamp()) in streamed
+    assert streamed[(1, t(10, 0).timestamp(), t(10, 9).timestamp())] == (3, 11.0)

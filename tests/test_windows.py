@@ -64,3 +64,36 @@ def test_topn_per_group(spark):
     out = topn_per_group(df, ["g"], [F.desc("v")], 2)
     got = sorted((r.g, r.v) for r in out.collect())
     assert got == [("g1", 8), ("g1", 9), ("g2", 1), ("g2", 2)]
+
+
+def test_session_windows_custom_aggregations(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import (
+        session_windows,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [("u1", t(0), 5.0), ("u1", t(1), 7.0), ("u1", t(30), 1.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = session_windows(
+        df,
+        ["user_id"],
+        "ts",
+        gap_s=300,
+        aggs=[
+            F.max("value").alias("max_value"),
+            F.min("ts").cast("double").alias("first_ts"),
+        ],
+    ).orderBy("session_start")
+    rows = out.collect()
+    assert out.columns == [
+        "user_id", "session_start", "session_end", "max_value", "first_ts"
+    ]
+    assert len(rows) == 2
+    assert rows[0].max_value == 7.0 and rows[1].max_value == 1.0
+    assert rows[0].first_ts == rows[0].session_start
