@@ -98,9 +98,14 @@ def compact_parquet(
     Streaming ingest with per-trigger rate caps (the reference writes one
     output per file per cycle) accumulates thousands of tiny files; at
     scale that degrades listing, scheduling, and scan throughput. Sizing
-    comes from the actual on-disk bytes, so the pass is a single
-    shuffle-free coalesce when shrinking the file count. Returns the
-    number of output files.
+    comes from the actual on-disk bytes. Returns the number of output
+    files.
+
+    Both directions are handled: shrinking the file count is a
+    shuffle-free ``coalesce``; growing it (splitting oversized files)
+    needs a real ``repartition`` — ``coalesce`` can only merge existing
+    partitions, so asking it for more is a silent no-op that would leave
+    the big files untouched.
 
     Sizing uses the catalog listing (``scan_catalog``'s ``length``
     column — file-status metadata, no content read), so the same call
@@ -115,6 +120,10 @@ def compact_parquet(
         .agg(F.sum("length").alias("_bytes"))
         .collect()[0]["_bytes"]
     ) or 0
-    n = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
-    df.coalesce(int(n)).write.mode("overwrite").parquet(out_path)
-    return int(n)
+    n = int(max(1, -(-total_bytes // (target_mb * 1024 * 1024))))
+    if n > df.rdd.getNumPartitions():
+        df = df.repartition(n)
+    else:
+        df = df.coalesce(n)
+    df.write.mode("overwrite").parquet(out_path)
+    return n

@@ -127,3 +127,26 @@ def test_salted_join_rejects_dim_preserving_how(spark):
             salted_join(f, d, "k", salt=4, how=how)
     # safe hows still work
     assert salted_join(f, d, "k", salt=4, how="left_semi").count() == 5
+
+
+def test_compact_parquet_splits_oversized_files(spark, tmp_path):
+    """The growing direction: one big file -> several target-size files.
+    Requires repartition (coalesce cannot raise the partition count)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        compact_parquet,
+    )
+    import pathlib
+
+    src = str(tmp_path / "one_big")
+    (
+        spark.range(500_000)
+        .withColumn("payload", F.md5(F.col("id").cast("string")))
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    assert len(list(pathlib.Path(src).glob("part-*.parquet"))) == 1
+    out = str(tmp_path / "split")
+    n = compact_parquet(spark, src, out, target_mb=1)
+    assert n > 1
+    assert len(list(pathlib.Path(out).glob("part-*.parquet"))) == n
+    assert spark.read.parquet(out).count() == 500_000
