@@ -151,6 +151,66 @@ def main() -> None:
         "rows": 100_000 * n, "sec": round(time.time() - t0, 2)
     }
 
+    # ---- skewed shuffle join: plain vs salted (1 key = 50% of rows).
+    # AQE's skew-join split is the first remedy in production; both runs
+    # disable it (and broadcast) to isolate what salting buys when AQE
+    # can't rewrite (e.g. the skewed side feeds a blocking aggregation).
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import salted_join
+
+    n_fact = 2_000_000 * n
+    facts = spark.range(n_fact).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 100_000)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    prev = {
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        plain_rows = facts.join(dim, "k").groupBy().count().collect()[0][0]
+        plain_s = round(time.time() - t0, 2)
+        t0 = time.time()
+        salted_rows = salted_join(facts, dim, "k").groupBy().count().collect()[0][0]
+        salted_s = round(time.time() - t0, 2)
+    finally:
+        for key, val in prev.items():
+            spark.conf.set(key, val)
+    assert plain_rows == salted_rows, (plain_rows, salted_rows)
+    results["skew_join"] = {
+        "fact_rows": n_fact, "hot_key_frac": 0.5,
+        "plain_sec": plain_s, "salted_sec": salted_s,
+        "speedup": round(plain_s / max(salted_s, 1e-9), 2),
+    }
+
+    # ---- chain-graph connected components: diameter = vertex count,
+    # the worst case for plain label propagation (O(diameter) rounds);
+    # pointer jumping must converge in O(log diameter).
+    n_chain = 50_000 * n
+    chain_v = spark.range(n_chain).select(F.col("id").alias("doc_id"))
+    chain_e = spark.range(n_chain - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    t0 = time.time()
+    comp = dedup.connected_components(chain_v, chain_e, max_iter=40)
+    n_comp = comp.select("component_id").distinct().count()
+    results["chain_cc"] = {
+        "vertices": n_chain, "components": n_comp,
+        "sec": round(time.time() - t0, 2),
+    }
+    assert n_comp == 1, n_comp
+
     print(json.dumps({"scale_multiplier": n, "probes": results}))
 
 
