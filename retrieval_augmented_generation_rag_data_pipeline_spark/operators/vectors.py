@@ -283,6 +283,54 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k over a PERSISTED inverted-list index
+    (sources.sinks.write_ivf_index): reads ONLY the probed partitions.
+
+    The probe cells are computed driver-side from the query batch —
+    queries are the broadcast-small side by definition, so this is
+    nqueries x nprobe integers, metadata-sized, never corpus data. The
+    static ``_cell IN (...)`` predicate becomes a parquet
+    PartitionFilter: at 100 TB a 2-of-64-cell probe scans ~3% of the
+    index files and the rest are pruned from the file listing, the same
+    pruning FAISS gets by opening only nprobe inverted lists. Results
+    are identical to ``ann_ivf_topk`` on the same corpus + centroids
+    (each query still joins only its own cells).
+    """
+    if centroids is not None:
+        n_cells = len(centroids)
+    probes = F.expr(
+        f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
+    )
+    qb = queries.select(
+        F.col(query_id).alias("query_id"), F.col("embedding").alias("_qv")
+    ).select("query_id", "_qv", F.explode(probes).alias("_cell"))
+    cells = sorted(r["_cell"] for r in qb.select("_cell").distinct().collect())
+    corpus = spark.read.parquet(index_path).filter(F.col("_cell").isin(cells))
+    scored = corpus.join(F.broadcast(qb), "_cell").select(
+        "query_id",
+        corpus_id,
+        cosine(F.col("_qv"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "sim", "rank")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -86,6 +86,38 @@ def write_bucketed(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a vector corpus as an IVF inverted-list LAYOUT: parquet
+    partitioned by the coarse-quantizer cell (`_cell=<k>/` directories).
+
+    This is FAISS's inverted-list storage restated as a partitioned
+    table (reference src/embedding_engine.py:74-84 persists a flat
+    index): a search that probes ``nprobe`` cells prunes every other
+    partition at the metadata level — the scan never opens the files
+    (see operators.vectors.ann_ivf_topk_indexed, plan-asserted in
+    tests/test_plans.py). Pass the same ``centroids`` (e.g. from
+    ``train_ivf_centroids``) at write and search time.
+    """
+    from ..operators.vectors import ivf_cell
+
+    (
+        corpus.select(F.col(corpus_id), F.col(vec_col))
+        .withColumn("_cell", ivf_cell(vec_col, dim, n_cells, centroids))
+        .write.mode(mode)
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -141,3 +141,39 @@ def test_embedding_dedup_is_bucket_blocked(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_bk" in plan  # bucket struct is a join key
+
+
+def test_ivf_index_scan_prunes_to_probed_partitions(spark, tmp_path):
+    """The persisted IVF layout must turn nprobe into metadata-level
+    partition pruning: the parquet scan lists only the probed `_cell=`
+    directories, and results equal the in-memory IVF search."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, dim=64, n_cells=8)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivf_topk_indexed(spark, path, q, k=5, dim=64, n_cells=8, nprobe=2)
+
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    import re
+
+    # static IN over the partition column (plus Spark's own DPP on top)
+    assert re.search(r"PartitionFilters: \[_cell#\d+ IN \(", plan), plan
+
+    base = ann_ivf_topk(q, emb, k=5, dim=64, n_cells=8, nprobe=2)
+    got = sorted((r.query_id, r.vec_id, r.rank, round(r.sim, 9)) for r in out.collect())
+    exp = sorted((r.query_id, r.vec_id, r.rank, round(r.sim, 9)) for r in base.collect())
+    assert got == exp
