@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_corpus",
     "dedup_embedding_cosine",
     "join_positional",
     "quality_score",
