@@ -313,6 +313,8 @@ def dedup_corpus(
     text_col: str = "text",
     k: int = 3,
     max_bucket_size: int | None = None,
+    min_bands: int = 1,
+    verify_jaccard: float | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup policy: one call from raw docs to a
     keep/drop decision per document.
@@ -335,6 +337,20 @@ def dedup_corpus(
     one doc per duplicate cluster.  Kept corpus = ``.filter("keep")``;
     drop list = ``.filter(~F.col("keep"))``.
 
+    Precision controls — transitive closure AMPLIFIES false-positive
+    edges (one bad A-B edge merges A's and B's entire clusters), so
+    production corpora want at least one of:
+
+    - ``min_bands``: keep only candidate pairs colliding in >= that
+      many LSH bands (collision count is already computed — free). With
+      16 perms in 4 bands, P[>=2 bands] for Jaccard s is
+      1-(1-s^4)^4 - 4 s^4 (1-s^4)^3 — sharply suppresses s < 0.5 pairs.
+    - ``verify_jaccard``: rescore every surviving candidate pair by
+      EXACT shingle Jaccard and keep pairs >= the threshold (the
+      candidates-then-verify discipline of MMDS ch.3). Costs two
+      shuffle joins of the (small) pair list against the shingle sets,
+      never touches non-candidate pairs.
+
     Scale notes (100 TB): exact edges are star-shaped (canonical -> each
     copy, no quadratic bucket expansion); near edges inherit the banded
     LSH shuffle + ``max_bucket_size`` skew cap; the closure is
@@ -351,7 +367,27 @@ def dedup_corpus(
     )
     near_edges = lsh_candidate_pairs(
         docs, k=k, max_bucket_size=max_bucket_size
-    ).select("doc_a", "doc_b")
+    )
+    if min_bands > 1:
+        near_edges = near_edges.filter(F.col("n_bands") >= min_bands)
+    near_edges = near_edges.select("doc_a", "doc_b")
+    if verify_jaccard is not None:
+        sh = docs.select(
+            "doc_id",
+            F.array_distinct(
+                hash_array(word_shingles(tokens(F.col("text")), k))
+            ).alias("_sh"),
+        )
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+        inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+        near_edges = (
+            near_edges.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter((inter / F.greatest(union, F.lit(1))) >= verify_jaccard)
+            .select("doc_a", "doc_b")
+        )
     comp = connected_components(
         docs.select("doc_id"), exact_edges.unionByName(near_edges)
     )

@@ -207,3 +207,30 @@ def test_dedup_corpus_collapses_exact_and_near_dups(spark):
     assert got[5] == (5, True)
     assert got[6] == (5, False)  # shingle-less exact dup collapses
     assert sorted(d for d, (_c, k) in got.items() if k) == [1, 4, 5]
+
+
+def test_dedup_corpus_precision_controls(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # doc 3 is a weak near-dup: shares a minority of shingles with 1
+    weak = (
+        "alpha beta gamma delta epsilon zeta qqq www eee rrr "
+        "ttt yyy uuu iii ooo ppp aaa sss ddd fff"
+    )
+    rows = [(1, base), (2, base + " extra"), (3, weak)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # permissive default may or may not link 3; exact-Jaccard
+    # verification at 0.5 must keep the strong pair and drop the weak
+    out = dedup_corpus(df, verify_jaccard=0.5)
+    got = {r.doc_id: r.component_id for r in out.collect()}
+    assert got[1] == got[2] == 1  # 18/19 shingles shared -> verified
+    assert got[3] == 3  # weak overlap fails verification
+
+    # min_bands=4 keeps only all-band collisions (exact dups); the
+    # strong near-dup pair survives via fewer bands so it must split
+    out2 = dedup_corpus(df, min_bands=5)  # > LSH_BANDS: no near edges at all
+    got2 = {r.doc_id: r.component_id for r in out2.collect()}
+    assert got2 == {1: 1, 2: 2, 3: 3}
