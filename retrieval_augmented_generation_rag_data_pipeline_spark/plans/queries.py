@@ -1671,6 +1671,15 @@ def pii_scrub(spark, sf):
 # registry query has driver evidence no older than one round. Entries
 # falling past position 50 this round all have green rows in
 # CORRECTNESS_r02.json.
+#
+# STANDING ROTATION (next round): replace this list with the 19 queries
+# currently at positions 51-69 — ann_ivf_topk, artifact_probe,
+# chunk_documents, dedup_clusters, dedup_embedding_cosine, dedup_exact,
+# dedup_lsh_pairs, dedup_minhash, dedup_ngram_jaccard, dedup_simhash,
+# doc_fingerprint, join_asof, lang_id, multimodal_features, pii_scrub,
+# quality_score, repetition_metrics, sample_stratified, token_count —
+# plus any newly added queries, so no query's driver evidence ages past
+# one round.
 _PRIORITY_QUERIES = [
     # new this round — must land inside the window on first appearance
     "dedup_corpus",
