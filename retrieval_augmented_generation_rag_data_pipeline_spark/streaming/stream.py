@@ -72,22 +72,32 @@ def windowed_events(
     window_seconds: int = 300,
     watermark: str = "10 minutes",
     ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    aggs: list | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over an event stream —
-    boundaries identical to the batch tumbling_bucket operator."""
-    return (
+    boundaries identical to the batch tumbling_bucket operator.
+
+    ``key_cols``/``aggs`` parameterize the grouping keys and the
+    (pre-aliased) aggregate expressions; the defaults keep the
+    historical per-event_type count/sum-of-value shape, which requires
+    those columns in ``events``.
+    """
+    if key_cols is None:
+        key_cols = ["event_type"]
+    if aggs is None:
+        aggs = [F.count("*").alias("n"), F.sum("value").alias("sum_value")]
+    grouped = (
         events.withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), f"{window_seconds} seconds").alias("w"),
-            "event_type",
+            *key_cols,
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+        .agg(*aggs)
+    )
+    agg_out = [c for c in grouped.columns if c != "w" and c not in key_cols]
+    return grouped.select(
+        F.col("w.start").alias("window_start"), *key_cols, *agg_out
     )
 
 
@@ -96,18 +106,25 @@ def sessionized_events(
     gap: str = "5 minutes",
     watermark: str = "10 minutes",
     ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    aggs: list | None = None,
 ) -> DataFrame:
     """Session windows keyed by user (the streaming generalization of the
-    batch islands operator W1)."""
-    return (
+    batch islands operator W1). ``key_cols``/``aggs`` as in
+    ``windowed_events``; defaults keep the per-user count/sum shape."""
+    if key_cols is None:
+        key_cols = ["user_id"]
+    if aggs is None:
+        aggs = [F.count("*").alias("n_events"), F.sum("value").alias("sum_value")]
+    grouped = (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
-        .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "user_id",
-            "n_events",
-            "sum_value",
-        )
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *key_cols)
+        .agg(*aggs)
+    )
+    agg_out = [c for c in grouped.columns if c != "w" and c not in key_cols]
+    return grouped.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *key_cols,
+        *agg_out,
     )

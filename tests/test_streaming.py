@@ -517,3 +517,36 @@ def test_session_stream_multi_batch_matches_batch(spark, tmp_path):
     # the cross-batch merge produced ONE 3-event session for user 1
     assert (1, t(10, 0).timestamp(), t(10, 9).timestamp()) in streamed
     assert streamed[(1, t(10, 0).timestamp(), t(10, 9).timestamp())] == (3, 11.0)
+
+
+def test_windowed_events_custom_keys_and_aggs(spark, tmp_path):
+    """Parameterized streaming windows: custom grouping keys and
+    aggregates flow through with the same window boundaries."""
+    import datetime as dt
+
+    src = str(tmp_path / "cust_src")
+    schema = "user_id long, event_type string, ts timestamp, value double"
+    t = lambda m: dt.datetime(2024, 5, 1, 10, m)  # noqa: E731
+    spark.createDataFrame(
+        [(1, "a", t(0), 2.0), (1, "a", t(1), 4.0), (2, "b", t(2), 8.0)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_events(
+        stream,
+        window_seconds=3600,
+        key_cols=["user_id"],
+        aggs=[F.max("value").alias("max_value")],
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cust_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM cust_out").collect()
+    got = {r.user_id: r.max_value for r in rows}
+    assert got == {1: 4.0, 2: 8.0}
+    assert rows[0].asDict().keys() == {"window_start", "user_id", "max_value"}
