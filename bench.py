@@ -51,6 +51,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "chunk_documents",
+    "decontaminate",
 ]
 
 

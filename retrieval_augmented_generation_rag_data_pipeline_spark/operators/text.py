@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash_array, md5_long, tokens, word_shingles
+from ..session import ensure_parallelism
 
 # Tiny function-word profiles for the n-gram/stopword language heuristic.
 # Deterministic and engine-portable (plain array intersection counts).
@@ -229,6 +230,54 @@ def repetition_metrics(
         dup_frac(F.col("_t1")).alias("dup_unigram_frac"),
         dup_frac(F.col("_t2")).alias("dup_bigram_frac"),
         dup_frac(F.col("_t3")).alias("dup_trigram_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing ANY word
+    n-gram with a held-out evaluation corpus (the n-gram-overlap
+    test-set filter described in the GPT-3 appendix and standard in
+    open-data pipelines since; n=8 is the conventional window).
+
+    Returns ``docs`` rows whose text contains no benchmark n-gram.
+    Plan shape: both corpora explode to distinct n-gram HASHES (narrow,
+    scan-side, the same staged tokenize→shingle→md5 pipeline as the
+    dedup sketches); contaminated ids = one semi join on the hash;
+    the result = one anti join on the id. At 100 TB the benchmark side
+    is test-set-sized — the optimizer broadcasts it and the doc corpus
+    never shuffles; nothing ever materializes a pair list.
+    """
+    doc_grams = ensure_parallelism(docs).select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.array_distinct(
+                hash_array(word_shingles(tokens(F.col(text_col)), n))
+            )
+        ).alias("_h"),
+    )
+    bench_grams = (
+        ensure_parallelism(benchmark)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    hash_array(word_shingles(tokens(F.col(bench_text_col)), n))
+                )
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    contaminated = (
+        doc_grams.join(bench_grams, "_h", "left_semi").select("_did").distinct()
+    )
+    return docs.join(
+        contaminated, docs[id_col] == contaminated["_did"], "left_anti"
     )
 
 

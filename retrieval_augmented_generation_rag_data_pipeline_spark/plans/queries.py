@@ -1353,6 +1353,30 @@ def dedup_corpus(spark, sf):
     return dedup.dedup_corpus(_dup_corpus(spark, sf))
 
 
+_DECON_HS = O.hash_array(O.word_shingles(O.tokens("text"), 8))
+
+_DECON_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_DECON_HS}) AS h FROM documents WHERE doc_id < 20
+),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT doc_id, unnest(list_distinct({_DECON_HS})) AS h
+        FROM documents) d
+  JOIN bench b ON d.h = b.h
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@_q("decontaminate", _DECON_SQL)
+def decontaminate(spark, sf):
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("text")
+    return text.decontaminate(docs, bench, n=8).select("doc_id", "n_chars")
+
+
 _SIMHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {O.hash_array(O.tokens('text'))} AS hs FROM documents)
 SELECT doc_id, {O.simhash16('hs')} AS simhash FROM t
@@ -1672,17 +1696,18 @@ def pii_scrub(spark, sf):
 # falling past position 50 this round all have green rows in
 # CORRECTNESS_r02.json.
 #
-# STANDING ROTATION (next round): replace this list with the 19 queries
-# currently at positions 51-69 — ann_ivf_topk, artifact_probe,
+# STANDING ROTATION (next round): replace this list with the 20 queries
+# currently at positions 51-70 — ann_ivf_topk, artifact_probe,
 # chunk_documents, dedup_clusters, dedup_embedding_cosine, dedup_exact,
 # dedup_lsh_pairs, dedup_minhash, dedup_ngram_jaccard, dedup_simhash,
 # doc_fingerprint, join_asof, lang_id, multimodal_features, pii_scrub,
-# quality_score, repetition_metrics, sample_stratified, token_count —
-# plus any newly added queries, so no query's driver evidence ages past
-# one round.
+# quality_score, repetition_metrics, sample_stratified, token_count,
+# topn_per_group — plus any newly added queries, so no query's driver
+# evidence ages past one round.
 _PRIORITY_QUERIES = [
     # new this round — must land inside the window on first appearance
     "dedup_corpus",
+    "decontaminate",
     # r1-only set (green in CORRECTNESS_r01.json, rotated out in r2)
     "agg_cube",
     "agg_rollup",

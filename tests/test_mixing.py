@@ -97,3 +97,22 @@ def test_sample_stratified_non_exact_rate_quantizes_consistently(spark):
     via_dict = sorted(r.k for r in sample_stratified(df, "s", "k", {"a": 0.29}).collect())
     via_scalar = sorted(r.k for r in sample_stratified(df, "s", "k", 0.29).collect())
     assert via_dict == via_scalar  # both paths use the same quantized threshold
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        decontaminate,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows = [
+        # contains the benchmark's 8-gram verbatim inside other text
+        (1, "intro words then the quick brown fox jumps over the lazy sleeping end"),
+        (2, "a completely unrelated document with plenty of its own words here"),
+        (3, "short doc"),  # < 8 words: no 8-grams, can never be contaminated
+        (4, bench_text),  # the benchmark doc itself
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, n=8).collect())
+    assert kept == [2, 3]
