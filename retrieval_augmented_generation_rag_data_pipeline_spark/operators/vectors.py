@@ -291,6 +291,7 @@ def ann_ivf_topk_indexed(
     dim: int,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
     n_cells: int = 8,
     nprobe: int = 2,
     centroids: list[list[float]] | None = None,
@@ -314,14 +315,14 @@ def ann_ivf_topk_indexed(
         f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
     )
     qb = queries.select(
-        F.col(query_id).alias("query_id"), F.col("embedding").alias("_qv")
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
     ).select("query_id", "_qv", F.explode(probes).alias("_cell"))
     cells = sorted(r["_cell"] for r in qb.select("_cell").distinct().collect())
     corpus = spark.read.parquet(index_path).filter(F.col("_cell").isin(cells))
     scored = corpus.join(F.broadcast(qb), "_cell").select(
         "query_id",
         corpus_id,
-        cosine(F.col("_qv"), F.col("embedding")).alias("sim"),
+        cosine(F.col("_qv"), F.col(vec_col)).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
     return (
