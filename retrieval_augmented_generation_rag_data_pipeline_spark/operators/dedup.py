@@ -372,11 +372,11 @@ def dedup_corpus(
         near_edges = near_edges.filter(F.col("n_bands") >= min_bands)
     near_edges = near_edges.select("doc_a", "doc_b")
     if verify_jaccard is not None:
-        sh = docs.select(
-            "doc_id",
-            F.array_distinct(
-                hash_array(word_shingles(tokens(F.col("text")), k))
-            ).alias("_sh"),
+        # reuse the staged (and ensure_parallelism'd) shingle pipeline —
+        # an inline re-derivation would skip the repartition and
+        # serialize the expensive hashing on under-split inputs
+        sh = _shingle_hashes(docs, "doc_id", "text", k).select(
+            "doc_id", F.array_distinct(F.col("_h")).alias("_sh")
         )
         a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
         b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))

@@ -291,13 +291,18 @@ def ann_ivf_topk_indexed(
     dim: int,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
-    vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+    index_vec_col: str = "embedding",
     n_cells: int = 8,
     nprobe: int = 2,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF top-k over a PERSISTED inverted-list index
     (sources.sinks.write_ivf_index): reads ONLY the probed partitions.
+
+    ``query_vec_col`` names the vector column in ``queries``;
+    ``index_vec_col`` must match the ``vec_col`` the index was WRITTEN
+    with (its schema is fixed at write time).
 
     The probe cells are computed driver-side from the query batch —
     queries are the broadcast-small side by definition, so this is
@@ -314,15 +319,22 @@ def ann_ivf_topk_indexed(
     probes = F.expr(
         f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
     )
-    qb = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).select("query_id", "_qv", F.explode(probes).alias("_cell"))
+    # pin the query-side lineage once: the cell ranking feeds BOTH the
+    # driver-side partition-filter collect and the broadcast join —
+    # without this the (n_cells x dim) ranking re-executes from source
+    qb = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        )
+        .select("query_id", "_qv", F.explode(probes).alias("_cell"))
+        .localCheckpoint(eager=True)
+    )
     cells = sorted(r["_cell"] for r in qb.select("_cell").distinct().collect())
     corpus = spark.read.parquet(index_path).filter(F.col("_cell").isin(cells))
     scored = corpus.join(F.broadcast(qb), "_cell").select(
         "query_id",
         corpus_id,
-        cosine(F.col("_qv"), F.col(vec_col)).alias("sim"),
+        cosine(F.col("_qv"), F.col(index_vec_col)).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
     return (

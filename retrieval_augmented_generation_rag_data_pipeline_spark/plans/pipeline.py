@@ -45,17 +45,18 @@ def mock_embed(col: Column, dim: int = EMBED_DIM) -> Column:
 def embed_chunks(chunks: DataFrame, text_col: str = "chunk_text") -> DataFrame:
     """Chunk rows -> vector-index rows (vec_id, embedding, text, source_file).
 
-    vec_id is CONTENT-KEYED: md5_long(doc_id ':' chunk_idx) — 60 usable
-    bits, collision-safe for any realistic corpus and, unlike
-    monotonically_increasing_id, identical across reruns and
-    repartitioning, so a rebuilt index keeps every vec_id stable for
-    cross-run joins/caching (matches the reproducibility the reference's
-    per-file ``{0: content}`` map trivially had,
+    vec_id is the COMPOSITE KEY ``doc_id ':' chunk_idx`` — unique by
+    construction (no hash-collision exposure at any corpus size, unlike
+    a 60-bit hash which passes the birthday bound near ~10^9 chunks)
+    and, unlike monotonically_increasing_id, identical across reruns
+    and repartitioning, so a rebuilt index keeps every vec_id stable
+    for cross-run joins/caching (matches the reproducibility the
+    reference's per-file ``{0: content}`` map trivially had,
     /root/reference/src/embedding_engine.py:82).
     """
     return chunks.select(
-        md5_long(
-            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string"))
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
         ).alias("vec_id"),
         mock_embed(F.col(text_col)).alias("embedding"),
         F.col(text_col).alias("text"),

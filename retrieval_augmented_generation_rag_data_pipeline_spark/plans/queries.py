@@ -1326,8 +1326,12 @@ def _dedup_corpus_sql() -> str:
     return f"""
 WITH RECURSIVE {_lsh_ctes()},
 exact_pairs AS (
+  -- IS NOT DISTINCT FROM: Spark's dedup_exact windows over the digest,
+  -- which groups NULL texts together; a plain '=' would silently drop
+  -- those edges and diverge on the first NULL-text row
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM corpus l JOIN corpus r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
+  FROM corpus l JOIN corpus r
+    ON md5(l.text) IS NOT DISTINCT FROM md5(r.text) AND l.doc_id < r.doc_id
 ),
 near_pairs AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b

@@ -14,6 +14,7 @@ are bounded by distinct-key cardinality, not event volume.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -143,12 +144,14 @@ def first_seen_keys_ttl(
     # (setTimeoutTimestamp / getCurrentWatermarkMs) is epoch ms.
     # Treating the naive value as UTC (pd.Timestamp(...).value) skews
     # the TTL by the session-tz offset, so capture the session tz at
-    # build time and localize before converting. Spark's legacy
-    # 'GMT+08:00'-style ids aren't pandas-parseable; their offset
-    # suffix ('+08:00') is.
+    # build time and localize before converting. Spark accepts legacy
+    # 'GMT+8' / 'GMT+08:00'-style ids that pandas can't parse; their
+    # offset normalizes to the zero-padded '+08:00' form, which it can.
     tz = keyed.sparkSession.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
-    if tz[:3].upper() == "GMT" and len(tz) > 3 and tz[3] in "+-":
-        tz = tz[3:]
+    m = re.fullmatch(r"(?:GMT|UTC|UT)?([+-])(\d{1,2})(?::?(\d{2}))?", tz, re.I)
+    if m:
+        sign, hh, mm = m.group(1), int(m.group(2)), m.group(3) or "00"
+        tz = f"{sign}{hh:02d}:{mm}"
 
     def op(
         key: tuple[Any, ...],
