@@ -233,6 +233,24 @@ def repetition_metrics(
     )
 
 
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonicalize text ahead of exact dedup / fingerprinting:
+    lowercase, collapse every whitespace run (spaces/tabs/newlines) to
+    one space, strip the ends. Two byte-identical-after-normalization
+    docs then collapse under ``dedup_exact`` even when they differ in
+    case or formatting — the standard canonicalization step before
+    content-digest dedup in web-scale pipelines (C4 and friends).
+
+    Pure JVM-side string ops (narrow, pushdown-friendly); the regex is
+    RE2-portable so the DuckDB oracle runs it verbatim. Returns
+    (doc_id, norm_text).
+    """
+    clean = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col).alias("doc_id"), clean.alias("norm_text"))
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1381,6 +1381,17 @@ def decontaminate(spark, sf):
     return text.decontaminate(docs, bench, n=8).select("doc_id", "n_chars")
 
 
+_NORM_SQL = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+@_q("normalize_text", _NORM_SQL)
+def normalize_text(spark, sf):
+    return text.normalize_text(_t(spark, sf, "documents"))
+
+
 _SIMHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {O.hash_array(O.tokens('text'))} AS hs FROM documents)
 SELECT doc_id, {O.simhash16('hs')} AS simhash FROM t
@@ -1700,18 +1711,19 @@ def pii_scrub(spark, sf):
 # falling past position 50 this round all have green rows in
 # CORRECTNESS_r02.json.
 #
-# STANDING ROTATION (next round): replace this list with the 20 queries
-# currently at positions 51-70 — ann_ivf_topk, artifact_probe,
+# STANDING ROTATION (next round): replace this list with the 21 queries
+# currently at positions 51-71 — ann_ivf_topk, artifact_probe,
 # chunk_documents, dedup_clusters, dedup_embedding_cosine, dedup_exact,
 # dedup_lsh_pairs, dedup_minhash, dedup_ngram_jaccard, dedup_simhash,
 # doc_fingerprint, join_asof, lang_id, multimodal_features, pii_scrub,
-# quality_score, repetition_metrics, sample_stratified, token_count,
-# topn_per_group — plus any newly added queries, so no query's driver
-# evidence ages past one round.
+# quality_score, repetition_metrics, sample_stratified, sort_desc,
+# token_count, topn_per_group — plus any newly added queries, so no
+# query's driver evidence ages past one round.
 _PRIORITY_QUERIES = [
     # new this round — must land inside the window on first appearance
     "dedup_corpus",
     "decontaminate",
+    "normalize_text",
     # r1-only set (green in CORRECTNESS_r01.json, rotated out in r2)
     "agg_cube",
     "agg_rollup",

@@ -116,3 +116,30 @@ def test_decontaminate_drops_benchmark_overlaps(spark):
     bench = spark.createDataFrame([(bench_text,)], ["text"])
     kept = sorted(r.doc_id for r in decontaminate(docs, bench, n=8).collect())
     assert kept == [2, 3]
+
+
+def test_normalize_text_collapses_case_and_whitespace(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        dedup_exact,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "  hello\tworld\n"),
+            (3, "different text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert out[1] == out[2] == "hello world"
+    assert out[3] == "different text"
+    # normalized docs collapse under exact dedup
+    groups = {
+        r.doc_id: r.canonical_id
+        for r in dedup_exact(normalize_text(df), text_col="norm_text").collect()
+    }
+    assert groups == {1: 1, 2: 1, 3: 3}
