@@ -243,11 +243,17 @@ def normalize_text(
     case or formatting — the standard canonicalization step before
     content-digest dedup in web-scale pipelines (C4 and friends).
 
-    Pure JVM-side string ops (narrow, pushdown-friendly); the regex is
-    RE2-portable so the DuckDB oracle runs it verbatim. Returns
-    (doc_id, norm_text).
+    Pure JVM-side string ops (narrow, pushdown-friendly). The whitespace
+    class is spelled out explicitly rather than via ``\\s`` because the
+    two engines disagree on its contents — Java's ``\\s`` includes
+    vertical tab (\\x0B) while RE2's is ``[\\t\\n\\f\\r ]`` — so the
+    explicit class ``[ \\t\\n\\x0B\\f\\r]+`` is the portable spelling
+    that both run identically (RE2 accepts ``\\x0B`` as an escape even
+    though its ``\\s`` excludes it). Returns (doc_id, norm_text).
     """
-    clean = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    clean = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+", " ")
+    )
     return df.select(F.col(id_col).alias("doc_id"), clean.alias("norm_text"))
 
 

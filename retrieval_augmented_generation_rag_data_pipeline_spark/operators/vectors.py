@@ -313,9 +313,35 @@ def ann_ivf_topk_indexed(
     pruning FAISS gets by opening only nprobe inverted lists. Results
     are identical to ``ann_ivf_topk`` on the same corpus + centroids
     (each query still joins only its own cells).
+
+    The index's ``_ivf_meta.json`` sidecar (written by
+    ``write_ivf_index``) is checked before probing: a quantizer
+    mismatch — different dim, n_cells, vector column, or centroid set
+    than the index was written with — would silently return wrong
+    neighbors, so it raises instead. Indexes written before the sidecar
+    existed skip the check.
     """
     if centroids is not None:
         n_cells = len(centroids)
+    from ..sources.sinks import ivf_meta, read_sidecar_text
+
+    raw = read_sidecar_text(spark, index_path.rstrip("/") + "/_ivf_meta.json")
+    if raw is not None:
+        import json as _json
+
+        written = _json.loads(raw)
+        asked = ivf_meta(dim, n_cells, centroids, index_vec_col)
+        bad = {k: (written.get(k), asked[k]) for k in asked if written.get(k) != asked[k]}
+        if bad:
+            raise ValueError(
+                f"IVF index at {index_path} was written with a different "
+                f"quantizer than this probe: mismatched "
+                + ", ".join(
+                    f"{k} (index={w!r}, probe={a!r})" for k, (w, a) in bad.items()
+                )
+                + ". Probe with the same dim/n_cells/centroids/vec_col the "
+                "index was built with, or rebuild the index."
+            )
     probes = F.expr(
         f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
     )

@@ -1382,7 +1382,8 @@ def decontaminate(spark, sf):
 
 
 _NORM_SQL = r"""
-SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
 FROM documents
 """
 
@@ -1704,45 +1705,39 @@ def pii_scrub(spark, sf):
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
 # The driver records correctness rows for the first 50 registry entries
-# in insertion order. Round 1 covered entries 1-50; round 2 rotated the
-# then-unchecked 18 to the front, which pushed 18 round-1-only queries
-# past the window. Round 3 rotates THOSE back to the front so every
-# registry query has driver evidence no older than one round. Entries
-# falling past position 50 this round all have green rows in
-# CORRECTNESS_r02.json.
+# in insertion order. Standing rotation: each round, the queries that
+# fell past position 50 last round (all green in the previous
+# CORRECTNESS file) move to the front, plus any newly added queries, so
+# no query's driver evidence ages past one round. Round 4 rotates in
+# the 21 that sat at positions 51-71 during round 3 (green in
+# CORRECTNESS_r02.json) plus this round's new queries.
 #
-# STANDING ROTATION (next round): replace this list with the 21 queries
-# currently at positions 51-71 — ann_ivf_topk, artifact_probe,
-# chunk_documents, dedup_clusters, dedup_embedding_cosine, dedup_exact,
-# dedup_lsh_pairs, dedup_minhash, dedup_ngram_jaccard, dedup_simhash,
-# doc_fingerprint, join_asof, lang_id, multimodal_features, pii_scrub,
-# quality_score, repetition_metrics, sample_stratified, sort_desc,
-# token_count, topn_per_group — plus any newly added queries, so no
-# query's driver evidence ages past one round.
+# STANDING ROTATION (next round): replace this list with the queries
+# currently at positions 51+ (check with
+# `list(REGISTRY)[50:]` in a REPL) plus any newly added queries.
 _PRIORITY_QUERIES = [
-    # new this round — must land inside the window on first appearance
-    "dedup_corpus",
-    "decontaminate",
-    "normalize_text",
-    # r1-only set (green in CORRECTNESS_r01.json, rotated out in r2)
-    "agg_cube",
-    "agg_rollup",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "argmin_nearest",
-    "array_funcs",
-    "date_funcs",
-    "format_dialogue",
-    "json_funcs",
-    "knn_topk",
-    "map_funcs",
-    "math_funcs",
-    "sessionize_islands",
-    "str_funcs",
-    "window_running",
-    "window_session",
-    "window_sliding",
-    "window_tumbling",
+    # r2-evidenced set at positions 51-71 during round 3
+    "ann_ivf_topk",
+    "artifact_probe",
+    "chunk_documents",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "join_asof",
+    "lang_id",
+    "multimodal_features",
+    "pii_scrub",
+    "quality_score",
+    "repetition_metrics",
+    "sample_stratified",
+    "sort_desc",
+    "token_count",
+    "topn_per_group",
 ]
 
 

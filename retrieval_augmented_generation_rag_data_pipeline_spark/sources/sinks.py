@@ -8,8 +8,66 @@ schema'd, and splittable.
 
 from __future__ import annotations
 
+import hashlib
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def ivf_meta(
+    dim: int, n_cells: int, centroids: list[list[float]] | None, vec_col: str
+) -> dict:
+    """Canonical IVF-index metadata: everything a later probe must agree
+    with. Centroids collapse to a short fingerprint (6-decimal-rounded
+    md5) so the sidecar stays metadata-sized at any n_cells x dim;
+    ``None`` means the deterministic default pseudo-random family, which
+    is fully determined by (dim, n_cells)."""
+    if centroids is None:
+        chash = "default-family"
+    else:
+        canon = json.dumps(
+            [[round(float(x), 6) for x in c] for c in centroids]
+        )
+        chash = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    return {
+        "dim": int(dim),
+        "n_cells": int(n_cells),
+        "vec_col": vec_col,
+        "centroid_hash": chash,
+    }
+
+
+def _hadoop_path_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return p, fs
+
+
+def write_sidecar_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text sidecar through the Hadoop FileSystem API, so
+    the same call works on local paths and object stores (s3a://...)
+    alike — no local-filesystem assumption."""
+    p, fs = _hadoop_path_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_sidecar_text(spark: SparkSession, path: str) -> str | None:
+    """Read a sidecar written by ``write_sidecar_text``; None if absent."""
+    p, fs = _hadoop_path_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    baos = spark._jvm.java.io.ByteArrayOutputStream()
+    spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+        stream, baos, spark._jsc.hadoopConfiguration(), True
+    )
+    return bytes(baos.toByteArray()).decode("utf-8")
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -106,15 +164,28 @@ def write_ivf_index(
     (see operators.vectors.ann_ivf_topk_indexed, plan-asserted in
     tests/test_plans.py). Pass the same ``centroids`` (e.g. from
     ``train_ivf_centroids``) at write and search time.
+
+    The quantizer parameters are persisted alongside the data as an
+    ``_ivf_meta.json`` sidecar (underscore-prefixed, so Spark's file
+    listing skips it like ``_SUCCESS``): a probe with a different
+    dim / n_cells / centroid set would silently return wrong neighbors,
+    so ``ann_ivf_topk_indexed`` asserts against the sidecar up front.
     """
     from ..operators.vectors import ivf_cell
 
+    if centroids is not None:
+        n_cells = len(centroids)
     (
         corpus.select(F.col(corpus_id), F.col(vec_col))
         .withColumn("_cell", ivf_cell(vec_col, dim, n_cells, centroids))
         .write.mode(mode)
         .partitionBy("_cell")
         .parquet(path)
+    )
+    write_sidecar_text(
+        corpus.sparkSession,
+        path.rstrip("/") + "/_ivf_meta.json",
+        json.dumps(ivf_meta(dim, n_cells, centroids, vec_col)),
     )
 
 

@@ -132,6 +132,14 @@ def first_seen_keys_ttl(
     Input contract: ``keyed`` carries ``key_col`` and an event-time
     timestamp ``ts_col``. Output: (key, first_seen_ts) in update mode,
     re-emitted with a fresh first_seen_ts after each expiry.
+
+    Timezone contract: the session timezone is captured ONCE, when this
+    operator is built — changing ``spark.sql.session.timeZone`` after
+    building requires rebuilding the operator, or the TTL horizon skews
+    by the offset delta. During a DST fall-back repeated hour the naive
+    timestamp is ambiguous; both readings are computed and the LATER
+    epoch wins, so expiry is only ever delayed (by at most the DST
+    offset), never fired early.
     """
     if key_col not in keyed.columns or ts_col not in keyed.columns:
         raise ValueError(
@@ -173,11 +181,18 @@ def first_seen_keys_ttl(
         first = not state.exists
         if ts_max is None:
             return
-        last_ms = int(
-            pd.Timestamp(ts_max)
-            .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
-            .value
-            // 1_000_000
+        # A fall-back repeated hour makes the naive value ambiguous:
+        # resolve by taking the LATER of the two epochs (DST vs
+        # standard reading), so the TTL horizon can only be extended
+        # (<= DST offset), never shortened — state never expires early.
+        last_ms = max(
+            int(
+                pd.Timestamp(ts_max)
+                .tz_localize(tz, ambiguous=amb, nonexistent="shift_forward")
+                .value
+                // 1_000_000
+            )
+            for amb in (True, False)
         )
         state.update((last_ms,))
         # EventTimeTimeout requires a timestamp beyond the current

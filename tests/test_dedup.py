@@ -229,8 +229,9 @@ def test_dedup_corpus_precision_controls(spark):
     assert got[1] == got[2] == 1  # 18/19 shingles shared -> verified
     assert got[3] == 3  # weak overlap fails verification
 
-    # min_bands=4 keeps only all-band collisions (exact dups); the
-    # strong near-dup pair survives via fewer bands so it must split
-    out2 = dedup_corpus(df, min_bands=5)  # > LSH_BANDS: no near edges at all
+    # min_bands=5 > LSH_BANDS removes ALL near edges (even all-band
+    # collisions); only exact-digest edges remain, so every non-exact
+    # pair must split
+    out2 = dedup_corpus(df, min_bands=5)
     got2 = {r.doc_id: r.component_id for r in out2.collect()}
     assert got2 == {1: 1, 2: 2, 3: 3}

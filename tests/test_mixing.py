@@ -143,3 +143,24 @@ def test_normalize_text_collapses_case_and_whitespace(spark):
         for r in dedup_exact(normalize_text(df), text_col="norm_text").collect()
     }
     assert groups == {1: 1, 2: 1, 3: 3}
+
+
+def test_normalize_text_vertical_tab_matches_oracle(spark):
+    """Java's \\s includes \\x0B but RE2's doesn't, so the operator uses
+    an explicit whitespace class — verify a vertical-tab doc normalizes
+    identically in Spark and DuckDB (divergence here feeds different
+    digests into dedup_exact)."""
+    import duckdb
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+
+    raw = "A\x0bB\tC  \x0b\x0bD"
+    df = spark.createDataFrame([(1, raw)], ["doc_id", "text"])
+    got = normalize_text(df).collect()[0].norm_text
+    exp = duckdb.execute(
+        r"SELECT trim(regexp_replace(lower(?), '[ \t\n\x0B\f\r]+', ' ', 'g'))",
+        [raw],
+    ).fetchone()[0]
+    assert got == exp == "a b c d"

@@ -177,3 +177,34 @@ def test_ivf_index_scan_prunes_to_probed_partitions(spark, tmp_path):
     got = sorted((r.query_id, r.vec_id, r.rank, round(r.sim, 9)) for r in out.collect())
     exp = sorted((r.query_id, r.vec_id, r.rank, round(r.sim, 9)) for r in base.collect())
     assert got == exp
+
+
+def test_ivf_index_meta_guards_quantizer_mismatch(spark, tmp_path):
+    """A probe whose quantizer differs from the one the index was
+    written with must raise, not silently return wrong neighbors: the
+    _ivf_meta.json sidecar pins (dim, n_cells, vec_col, centroids)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivf_topk_indexed,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_meta_index")
+    write_ivf_index(emb, path, dim=64, n_cells=8)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # matching quantizer: fine (validated at build time, no collect needed)
+    ann_ivf_topk_indexed(spark, path, q, k=3, dim=64, n_cells=8, nprobe=2)
+    with pytest.raises(ValueError, match="n_cells"):
+        ann_ivf_topk_indexed(spark, path, q, k=3, dim=64, n_cells=16, nprobe=2)
+    with pytest.raises(ValueError, match="centroid_hash"):
+        ann_ivf_topk_indexed(
+            spark, path, q, k=3, dim=64, nprobe=2,
+            centroids=[[float(i == j) for j in range(64)] for i in range(8)],
+        )
