@@ -52,6 +52,9 @@ HEADLINE = [
     "token_count",
     "chunk_documents",
     "decontaminate",
+    "tfidf_top_terms",
+    "bm25_search",
+    "hybrid_rrf",
 ]
 
 

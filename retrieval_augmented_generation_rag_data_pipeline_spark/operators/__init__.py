@@ -1,1 +1,10 @@
-from . import dedup, joins, relational, text, vectors, windows  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    joins,
+    relational,
+    retrieval,
+    sampling,
+    text,
+    vectors,
+    windows,
+)

@@ -1,0 +1,221 @@
+"""Lexical retrieval operators: TF-IDF, BM25, and rank fusion.
+
+The reference is a RAG ingestion pipeline whose only retrieval primitive
+is dense top-k inner-product search over sentence embeddings
+(/root/reference/src/embedding_engine.py:24-30). A production RAG corpus
+also needs the *lexical* half of hybrid retrieval — TF-IDF term
+weighting, BM25 scoring, and a fusion step — so this module adds them as
+first-class relational operators over the `documents` table, each with a
+DuckDB-oracle twin in plans/queries.py.
+
+Scale design (100 TB corpus):
+
+- Tokenize/explode is narrow and scan-side; the per-(doc, term)
+  term-frequency aggregation is ONE shuffle with map-side partial
+  aggregation (hash agg on a key whose cardinality is bounded by total
+  token count, heavily combined map-side because documents repeat
+  terms).
+- BM25 filters the exploded terms to the broadcast query-term set
+  BEFORE any shuffle, so corpus-wide work after the scan is
+  proportional to matching postings only — the classic inverted-index
+  access path expressed relationally. Document-frequency and
+  average-doc-length corpus statistics reduce to scalars/tiny frames
+  (one narrow agg each) and re-enter via broadcast joins.
+- TF-IDF's document-frequency table shuffles on `term` (unavoidable —
+  it IS the inverted index); the per-doc top-k uses row_number over a
+  (doc_id)-partitioned window, which Spark executes with partial
+  WindowGroupLimit pushdown, never materializing full per-doc term
+  lists on one node.
+- Global top-k results use orderBy+limit, which Catalyst executes as
+  TakeOrderedAndProject (per-partition partial top-k, no full sort).
+
+All arithmetic is JVM-side column expressions; fold-order-sensitive
+double sums are rounded to 6 decimals on both engines per the parity
+rules in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import tokens
+from ..session import ensure_parallelism
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, dl): per-document term frequencies plus the
+    document length in tokens. One explode (narrow) + one hash
+    aggregation on (doc_id, term) with map-side combine."""
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    return exploded.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tfidf = tf * ln(N / df).
+
+    Returns (doc_id, term, tf, tfidf, term_rank), term_rank 1..k by
+    tfidf desc then term asc (deterministic). The document-frequency
+    side is the inverted-index aggregation (shuffle on term); N is a
+    scalar from one narrow count.
+
+    Plan: terms → [agg (doc_id,term)] ⋈_term [agg term → df] — both
+    sides derive from the same staged term table; Catalyst reuses the
+    exchange. The rank filter is a WindowGroupLimit, so only k rows per
+    doc survive the window shuffle.
+    """
+    terms = doc_terms(docs, id_col, text_col).select("doc_id", "term", "tf")
+    df_t = terms.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_t")
+    )
+    n_docs = docs.select(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    scored = (
+        terms.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_t")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    topk: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of `docs` against a bag of query terms (Robertson &
+    Spärck Jones probabilistic model, the Lucene-style "+1" idf variant
+    so idf stays positive):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+        score(d) = sum over query terms t present in d
+
+    Returns (doc_id, score, rank) for the top `topk` documents, rank by
+    score desc then doc_id asc.
+
+    Plan shape: the exploded corpus terms are filtered against the
+    broadcast literal query-term array BEFORE the tf aggregation, so
+    everything past the scan is sized by matching postings. df(t) is
+    computed over that same filtered frame (document frequency only
+    matters for query terms); N and avgdl are one narrow aggregate over
+    doc lengths. The final top-k is TakeOrderedAndProject.
+    """
+    qset = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    matched = exploded.filter(F.array_contains(qset, F.col("term")))
+    tf = matched.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    stats = docs.select(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum(F.size(tokens(F.col(text_col)))).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR '09):
+    fused(d) = sum over input rankings r of 1 / (k + rank_r(d)), ranks
+    missing from a list contribute nothing. The standard hybrid
+    (BM25 + dense kNN) combiner — rank-based, so the two score scales
+    never need calibration.
+
+    Each input is (id, rank, ...); output is (doc_id, rrf, rank) top
+    `topk` by fused score desc then id asc. Inputs are top-k-sized
+    (tiny), so the union + groupBy is driver-negligible at any corpus
+    scale — fusion cost depends on k, not on the corpus.
+    """
+    contribs = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (1.0 / (F.lit(k) + F.col(rank_col))).alias("c"),
+        )
+        for r in rankings
+    ]
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    fused = unioned.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("rrf"))
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(topk)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -50,6 +50,68 @@ def sample_deterministic(
     return df.filter(_keep_expr(F.lit(""), F.col(id_col), fraction, seed))
 
 
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a
+    `split` label decided by hash(seed:id) against cumulative fraction
+    thresholds — the holdout operator every training-data pipeline
+    needs. Unlike `randomSplit`, assignment is a pure function of the
+    row id: stable across reruns, engines, repartitioning, and corpus
+    growth (adding documents never reassigns existing ones).
+
+    ``splits`` maps label -> fraction (must sum to <= 1; remainder, if
+    any, falls into the LAST label). Labels are laid out on the hash
+    line in the given dict order. Narrow per-row projection, no shuffle.
+    """
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    ) % RESOLUTION
+    labels = list(splits)
+    expr = F.lit(labels[-1])
+    cum = 0
+    bounds: list[tuple[str, int]] = []
+    for name, fr in splits.items():
+        cum += quantize(fr)
+        bounds.append((name, cum))
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def mix_corpora(
+    corpora: dict[str, tuple[DataFrame, float]],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted multi-corpus mixture: for each named source, keep a
+    deterministic hash-keyed fraction of its rows and tag them with the
+    source name — the data-mixing step that turns N cleaned corpora
+    plus a mixture spec into one training set.
+
+    ``corpora`` maps source name -> (DataFrame, sampling rate). All
+    inputs must share a schema (unionByName). The keep decision hashes
+    (seed, source, id), so retuning one source's rate never changes
+    which rows the others keep, and reruns are byte-identical.
+    Per-source narrow filters + union — no shuffle anywhere.
+    """
+    parts = []
+    for name, (df, rate) in sorted(corpora.items()):
+        kept = df.filter(
+            _keep_expr(F.lit(name), F.col(id_col), rate, seed)
+        ).withColumn("source_name", F.lit(name))
+        parts.append(kept)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def sample_stratified(
     df: DataFrame,
     stratum_col: str,

@@ -305,6 +305,63 @@ def decontaminate(
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus summary — the "dataset card" numbers every
+    training-data release publishes: document count, total characters,
+    mean tokens per doc, and exact p50/p90 token counts.
+
+    One hash aggregation on the group key (map-side combined); the
+    exact percentiles sort within each group — at 100 TB swap to
+    ``approx_percentile`` (t-digest sketch, no sort) when a tolerance
+    is acceptable, same as agg_percentile's documented trade-off.
+    """
+    staged = df.select(
+        *group_cols,
+        F.size(tokens(F.col(text_col))).alias("_nt"),
+        F.length(F.col(text_col)).alias("_nc"),
+    )
+    return staged.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nc").cast("long").alias("total_chars"),
+        F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(_nt, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(_nt, 0.9)"), 6).alias("p90_tokens"),
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams — the corpus-stats
+    operator behind boilerplate detection (a handful of n-grams
+    dominating a crawl snapshot is the classic template/boilerplate
+    signal) and frequency-based filter rules.
+
+    Returns (gram, n_occurrences) ordered by count desc then gram asc.
+    Plan: explode shingles (narrow) → hash agg on gram with map-side
+    partial aggregation (the heavy hitters combine before the shuffle,
+    so shuffle volume is bounded by distinct-gram count per partition,
+    not token count) → TakeOrderedAndProject for the top-k (per
+    partition partial top-k; no global sort materializes).
+    """
+    grams = ensure_parallelism(df).select(
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 # PII patterns — deliberately RE2-compatible (no backrefs/lookarounds)
 # so the same regex runs in Spark (Java) and DuckDB (RE2) verbatim.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -30,7 +30,17 @@ from ..functions.hashing import (
     MINHASH_B,
     NUM_PERM,
 )
-from ..operators import dedup, joins, relational, sampling, text, vectors, windows
+from ..operators import (
+    dedup,
+    joins,
+    relational,
+    retrieval,
+    sampling,
+    text,
+    vectors,
+    windows,
+)
+from ..sources import readers
 from ..operators.joins import asof_align
 from ..operators.windows import merge_islands, tumbling_bucket
 
@@ -46,15 +56,9 @@ def _q(name: str, sql: str | None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
-        # timestamp, so read the raw int64 and truncate to micros —
-        # exactly what DuckDB does when it surfaces the column as a
-        # microsecond TIMESTAMP (oracle parity depends on this).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.parquet stores TIMESTAMP(NANOS) — version-robust micros
+    # truncation lives in sources.readers.load_events (oracle parity).
+    return readers.load_table(spark, sf_dir, name)
 
 
 # =====================================================================
@@ -1702,6 +1706,254 @@ def pii_scrub(spark, sf):
 
 
 # =====================================================================
+# Lexical retrieval surface (TF-IDF / BM25 / hybrid fusion)
+# =====================================================================
+
+_TOKS = O.tokens("text")
+
+_TFIDF_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+terms AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM terms GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df_t), 6) AS tfidf
+  FROM terms JOIN dft USING (term) CROSS JOIN n
+),
+r AS (SELECT doc_id, term, tf, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS BIGINT) AS term_rank
+      FROM scored)
+SELECT doc_id, term, tf, tfidf, term_rank FROM r WHERE term_rank <= 5
+"""
+
+
+@_q("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms(spark, sf):
+    return retrieval.tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+
+
+_BM25_TERMS = ["spark", "join", "vector"]
+
+
+def _bm25_cte(terms: list[str], k1: float, b: float) -> str:
+    """Shared BM25 CTE chain (ends in a `bm25` relation of
+    (doc_id, score)). Arithmetic fold order and literal doubles mirror
+    operators/retrieval.py::bm25_search exactly (repr round-trips)."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+matched AS (
+  SELECT doc_id, dl, term
+  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+  WHERE term IN ({in_list})
+),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM matched GROUP BY doc_id, dl, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+  FROM toks
+),
+per_term AS (
+  SELECT doc_id,
+         (ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+          * (tf * {k1 + 1.0!r}))
+         / (tf + {k1!r} * ({1.0 - b!r} + ({b!r} * dl) / avgdl)) AS s
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+bm25 AS (SELECT doc_id, round(sum(s), 6) AS score FROM per_term GROUP BY doc_id)
+"""
+
+
+_BM25_SQL = f"""
+WITH {_bm25_cte(_BM25_TERMS, retrieval.BM25_K1, retrieval.BM25_B)}
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+@_q("bm25_search", _BM25_SQL)
+def bm25_search(spark, sf):
+    return retrieval.bm25_search(
+        _t(spark, sf, "documents"), _BM25_TERMS, topk=20
+    )
+
+
+# Dense side reuses the knn cosine fold (bit-identical across engines,
+# see _KNN_SQL); doc_id ≡ vec_id in the synthetic corpus.
+_HYBRID_SQL = f"""
+WITH {_bm25_cte(_BM25_TERMS, retrieval.BM25_K1, retrieval.BM25_B)},
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25 QUALIFY rank <= 20
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT vec_id AS doc_id, {O.cosine('qv', 'embedding')} AS sim
+         FROM embeddings CROSS JOIN q),
+dense_rank_t AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM sims QUALIFY rank <= 20
+),
+contribs AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM dense_rank_t
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm_rank
+),
+fused AS (SELECT doc_id, round(sum(c), 6) AS rrf FROM contribs GROUP BY doc_id)
+SELECT doc_id, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+
+@_q("hybrid_rrf", _HYBRID_SQL)
+def hybrid_rrf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = vectors.knn_topk(q, emb, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    bm = retrieval.bm25_search(
+        _t(spark, sf, "documents"), _BM25_TERMS, topk=20
+    ).select("doc_id", "rank")
+    return retrieval.rrf_fuse([dense, bm], topk=20)
+
+
+_NGRAM_SQL = f"""
+WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+g AS (SELECT unnest({O.word_shingles('tk', 2)}) AS gram FROM t)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+"""
+
+
+@_q("ngram_topk", _NGRAM_SQL)
+def ngram_topk(spark, sf):
+    return text.ngram_topk(_t(spark, sf, "documents"), n=2, k=20)
+
+
+_CORPUS_STATS_SQL = f"""
+WITH t AS (SELECT lang, len({_TOKS}) AS nt, length(text) AS nc FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       round(avg(nt), 6) AS mean_tokens,
+       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(nt, 0.9), 6) AS p90_tokens
+FROM t GROUP BY lang
+"""
+
+
+@_q("corpus_stats", _CORPUS_STATS_SQL)
+def corpus_stats(spark, sf):
+    return text.corpus_stats(_t(spark, sf, "documents"))
+
+
+# =====================================================================
+# Split assignment / corpus mixing
+# =====================================================================
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 11
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN bucket < {sampling.quantize(0.8)} THEN 'train'
+            WHEN bucket < {sampling.quantize(0.8) + sampling.quantize(0.1)} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ({O.md5_long(f"'{_SPLIT_SEED}' || ':' || CAST(doc_id AS VARCHAR)")}) % {sampling.RESOLUTION} AS bucket
+      FROM documents)
+"""
+
+
+@_q("assign_split", _SPLIT_SQL)
+def assign_split(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return sampling.assign_split(docs, "doc_id", _SPLITS, seed=_SPLIT_SEED)
+
+
+_MIX_SEED = 5
+_MIX_CORPORA_RATES = {"a": 0.6, "b": 0.3}
+
+
+def _mix_member_sql(name: str, parity: int, rate: float) -> str:
+    h = O.md5_long(f"'{_MIX_SEED}' || ':' || '{name}' || ':' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT doc_id, '{name}' AS source_name FROM documents "
+        f"WHERE doc_id % 2 = {parity} "
+        f"AND ({h}) % {sampling.RESOLUTION} < {sampling.quantize(rate)}"
+    )
+
+
+_MIXC_SQL = (
+    _mix_member_sql("a", 0, _MIX_CORPORA_RATES["a"])
+    + "\nUNION ALL\n"
+    + _mix_member_sql("b", 1, _MIX_CORPORA_RATES["b"])
+)
+
+
+@_q("mix_corpora", _MIXC_SQL)
+def mix_corpora(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id")
+    corpora = {
+        "a": (docs.filter(F.col("doc_id") % 2 == 0), _MIX_CORPORA_RATES["a"]),
+        "b": (docs.filter(F.col("doc_id") % 2 == 1), _MIX_CORPORA_RATES["b"]),
+    }
+    return sampling.mix_corpora(corpora, "doc_id", seed=_MIX_SEED)
+
+
+# =====================================================================
+# Rank-family windows (rank / dense_rank / ntile / percent_rank)
+# =====================================================================
+
+# Two window specs: `wu` is a total order (unique tie-break) so ntile's
+# bucket boundaries are deterministic; `wt` deliberately has ties
+# (year granularity) to exercise true rank/dense_rank gap semantics —
+# tie-safe because peers share the rank value regardless of row order.
+_WRANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(rank() OVER wt AS BIGINT) AS yr_rank,
+       CAST(dense_rank() OVER wt AS BIGINT) AS yr_dense_rank,
+       CAST(ntile(4) OVER wu AS INT) AS price_quartile,
+       percent_rank() OVER wu AS price_pct_rank
+FROM orders
+WINDOW
+  wt AS (PARTITION BY o_orderpriority ORDER BY year(o_orderdate)),
+  wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+@_q("window_rank", _WRANK_SQL)
+def window_rank(spark, sf):
+    orders = _t(spark, sf, "orders")
+    wt = Window.partitionBy("o_orderpriority").orderBy(F.year("o_orderdate"))
+    wu = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(wt).cast("long").alias("yr_rank"),
+        F.dense_rank().over(wt).cast("long").alias("yr_dense_rank"),
+        F.ntile(4).over(wu).cast("int").alias("price_quartile"),
+        F.percent_rank().over(wu).alias("price_pct_rank"),
+    )
+
+
+# =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
 # The driver records correctness rows for the first 50 registry entries
@@ -1716,6 +1968,15 @@ def pii_scrub(spark, sf):
 # currently at positions 51+ (check with
 # `list(REGISTRY)[50:]` in a REPL) plus any newly added queries.
 _PRIORITY_QUERIES = [
+    # new in round 4 — first driver evidence this round
+    "tfidf_top_terms",
+    "bm25_search",
+    "hybrid_rrf",
+    "ngram_topk",
+    "assign_split",
+    "mix_corpora",
+    "window_rank",
+    "corpus_stats",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",

@@ -15,6 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -23,7 +24,32 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet table from a driver testdata scale dir."""
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-robust loader for the TIMESTAMP(NANOS) `ts` column in
+    events.parquet (Spark has no nanosecond timestamp type).
+
+    - Spark <= 4.0 honors ``spark.sql.legacy.parquet.nanosAsLong``: the
+      column surfaces as raw int64 nanos, which we truncate to micros.
+    - Spark 4.1+ ignores that legacy conf and reads nanos natively as
+      TIMESTAMP_NTZ, already micro-truncated; casting to TIMESTAMP under
+      the UTC session timezone yields the identical instants.
+
+    Both paths produce the same micros values DuckDB surfaces for the
+    same file (oracle parity), with a stable TIMESTAMP (ltz) schema.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed — the native-read branch below handles it
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,123 @@
+"""Unit tests for the lexical-retrieval surface (TF-IDF / BM25 / RRF)
+and the split/mixing operators — small literal corpora with
+hand-checkable math. Cross-engine value parity is covered separately by
+test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.retrieval import (
+    bm25_search,
+    rrf_fuse,
+    tfidf_top_terms,
+)
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+    assign_split,
+    mix_corpora,
+)
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+    ngram_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark spark spark query"),
+        (1, "spark query engine"),
+        (2, "duck pond water"),
+        (3, "query engine engine plan"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_math_and_ranks(corpus):
+    out = {
+        (r.doc_id, r.term): (r.tf, r.tfidf, r.term_rank)
+        for r in tfidf_top_terms(corpus, k=2).collect()
+    }
+    # 'spark' appears in 2 of 4 docs -> idf = ln(2); doc 0 tf = 3
+    tf, tfidf, _ = out[(0, "spark")]
+    assert tf == 3
+    assert tfidf == pytest.approx(3 * math.log(2), abs=1e-6)
+    # 'duck' unique to doc 2 -> idf = ln(4), outranks the other doc-2 terms
+    assert out[(2, "duck")][2] == 1
+    # k=2 respected
+    per_doc = {}
+    for (d, _t), (_tf, _s, rank) in out.items():
+        per_doc.setdefault(d, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+               for v in per_doc.values())
+
+
+def test_bm25_prefers_matching_and_higher_tf(corpus):
+    got = {r.doc_id: r.score for r in bm25_search(corpus, ["spark"], topk=4).collect()}
+    # only docs containing 'spark' are scored
+    assert set(got) == {0, 1}
+    # doc 0 has tf=3 but is longer; BM25 tf saturation still ranks it first
+    assert got[0] > got[1] > 0
+
+
+def test_bm25_rank_is_deterministic_tiebreak(corpus):
+    out = bm25_search(corpus, ["engine"], topk=4).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    # doc 3 (tf=2) above doc 1 (tf=1)
+    assert out[0].doc_id == 3
+
+
+def test_rrf_fusion_rewards_presence_in_both(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    out = {r.doc_id: (r.rrf, r.rank) for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 2 appears in both lists -> highest fused score
+    assert out[2][1] == 1
+    assert out[2][0] == pytest.approx(round(1 / 62 + 1 / 61, 6), abs=1e-9)
+    assert set(out) == {1, 2, 3}
+
+
+def test_ngram_topk_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x y")], "doc_id long, text string"
+    )
+    out = {r.gram: r.n_occurrences for r in ngram_topk(df, n=2, k=10).collect()}
+    assert out["a b"] == 3  # twice in doc 0 ("a b a b" has a b at pos 1,3), once in doc 1
+    assert out["b a"] == 1
+
+
+def test_assign_split_partitions_and_stability(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # exhaustive, disjoint by construction
+    assert 0.75 * 2000 < counts["train"] < 0.85 * 2000
+    # stable across re-evaluation and repartitioning
+    again = assign_split(
+        df.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    )
+    assert out.exceptAll(again).count() == 0
+    # changing the seed changes assignments
+    other = assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=4)
+    assert out.exceptAll(other).count() > 0
+
+
+def test_mix_corpora_tags_and_independent_rates(spark):
+    a = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    b = spark.range(1000, 2000).withColumnRenamed("id", "doc_id")
+    out = mix_corpora({"a": (a, 1.0), "b": (b, 0.0)}, "doc_id", seed=1)
+    rows = out.collect()
+    assert all(r.source_name == "a" for r in rows)
+    assert len(rows) == 1000  # rate 1.0 keeps everything, 0.0 drops everything
+    # retuning b's rate must not change which rows a keeps
+    half = mix_corpora({"a": (a, 0.5), "b": (b, 0.7)}, "doc_id", seed=1)
+    kept_a1 = {r.doc_id for r in half.filter(F.col("source_name") == "a").collect()}
+    half2 = mix_corpora({"a": (a, 0.5), "b": (b, 0.2)}, "doc_id", seed=1)
+    kept_a2 = {r.doc_id for r in half2.filter(F.col("source_name") == "a").collect()}
+    assert kept_a1 == kept_a2
+    assert 300 < len(kept_a1) < 700

@@ -9,6 +9,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import salted_join
+from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+    load_events,
+)
 from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
     write_time_partitioned,
 )
@@ -47,10 +50,7 @@ def test_salted_join_skewed_key(spark):
 
 
 def test_time_partitioned_write_prunes(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_events(spark, SF)
     path = str(tmp_path / "ev_parts")
     write_time_partitioned(ev, path)
 

@@ -6,6 +6,9 @@ from pyspark.sql import functions as F
 from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import (
     tumbling_bucket,
 )
+from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+    load_events,
+)
 from retrieval_augmented_generation_rag_data_pipeline_spark.streaming.stream import (
     read_document_stream,
     run_stream,
@@ -18,9 +21,7 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return load_events(spark, SF)
 
 
 def test_stream_foreachbatch_exactly_once(spark, tmp_path):

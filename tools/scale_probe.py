@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from retrieval_augmented_generation_rag_data_pipeline_spark.operators import dedup, vectors, windows
 from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import asof_align
 from retrieval_augmented_generation_rag_data_pipeline_spark.session import get_spark
+from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+    load_events,
+)
 
 SF = "/root/testdata/sf0.1"
 
@@ -49,10 +52,7 @@ def replicate(df, n, id_cols):
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_events(spark, SF)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     results = {}
