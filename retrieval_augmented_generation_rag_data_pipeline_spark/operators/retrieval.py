@@ -75,20 +75,24 @@ def tfidf_top_terms(
     side is the inverted-index aggregation (shuffle on term); N is a
     scalar from one narrow count.
 
-    Plan: terms → [agg (doc_id,term)] ⋈_term [agg term → df] — both
-    sides derive from the same staged term table; Catalyst reuses the
-    exchange. The rank filter is a WindowGroupLimit, so only k rows per
-    doc survive the window shuffle.
+    Plan: one lineage — scan → explode → tf hash-agg → df window count
+    (partition by term) → rank window. Three shuffles total, no
+    duplicated subtree. The rank filter is a WindowGroupLimit, so only
+    k rows per doc survive the final window shuffle.
     """
     terms = doc_terms(docs, id_col, text_col).select("doc_id", "term", "tf")
-    df_t = terms.groupBy("term").agg(
-        F.count("*").cast("long").alias("df_t")
-    )
+    # document frequency as a window count over the term partition —
+    # NOT a groupBy+self-join, which would duplicate the whole
+    # scan→explode→tf subtree (Catalyst expands the shared subplan into
+    # two copies; at corpus scale that is a second full pass). The
+    # window shuffles the same (doc,term,tf) volume the join would,
+    # but the lineage stays single-pass.
+    df_t = F.count("*").over(Window.partitionBy("term")).cast("long")
     n_docs = docs.select(
         F.count("*").cast("long").alias("n_docs")
     )
     scored = (
-        terms.join(df_t, "term")
+        terms.withColumn("df_t", df_t)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -145,7 +149,13 @@ def bm25_search(
     tf = matched.groupBy("doc_id", "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    # df(t) as a window count over the term partition — avoids a
+    # groupBy+self-join that would re-run the postings scan twice
+    # (same rationale as tfidf_top_terms; the windowed frame here is
+    # postings-sized, tiny after the query-term filter)
+    with_df = tf.withColumn(
+        "df_t", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
     stats = docs.select(
         F.count("*").cast("long").alias("n_docs"),
         (
@@ -158,7 +168,7 @@ def bm25_search(
         + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
     )
     per_term = (
-        tf.join(F.broadcast(df_t), "term")
+        with_df
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
