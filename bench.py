@@ -55,6 +55,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "bm25_search",
     "hybrid_rrf",
+    "ann_pq_topk",
 ]
 
 

@@ -370,6 +370,166 @@ def ann_ivf_topk_indexed(
     )
 
 
+# Offset keeps the PQ codebook family disjoint from the sign-LSH
+# hyperplanes (0.. / 2000..) and the IVF centroids (1000..).
+PQ_FAMILY_OFFSET = 3000
+
+
+def pq_codebook(j: int, ksub: int, dsub: int) -> list[list[float]]:
+    """Deterministic pseudo-random codebook for subspace ``j`` (``ksub``
+    centroids of ``dsub`` dims). The ORACLE quantizer — reproducible in
+    SQL; production recall wants ``train_pq_codebooks`` instead."""
+    return [
+        [hyperplane_component(PQ_FAMILY_OFFSET + j * ksub + ci, d) for d in range(dsub)]
+        for ci in range(ksub)
+    ]
+
+
+def default_pq_codebooks(dim: int, m: int = 8, ksub: int = 16) -> list[list[list[float]]]:
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    dsub = dim // m
+    return [pq_codebook(j, ksub, dsub) for j in range(m)]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    splits into ``m`` subspaces of dim/m dims; each subspace gets its
+    own ``ksub``-centroid k-means codebook.
+
+    ``m`` MLlib KMeans fits on (a sample of) the corpus — distributed;
+    only m x ksub x dsub floats return to the driver (KBs). At 100 TB
+    train on a few-million-vector sample, never the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    dsub = dim // m
+    base = corpus.select(F.col(vec_col).alias("_v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    base = base.localCheckpoint(eager=False)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(
+                F.transform(
+                    F.slice("_v", j * dsub + 1, dsub), lambda x: x.cast("double")
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _pq_encode_sql(col_name: str, codebooks: list[list[list[float]]]) -> str:
+    """SQL text for the PQ code array: per subspace, the centroid
+    minimizing L2 distance — argmax of dot(x_j, c) - ||c||²/2 (the
+    ||x_j||² term is constant per row and drops out). The half-norms are
+    precomputed in Python and embedded as literals so the Spark and
+    DuckDB sides compare the same doubles. Ties -> lowest code id
+    (array_sort on (negated score, code))."""
+    parts = []
+    for j, cb in enumerate(codebooks):
+        dsub = len(cb[0])
+        sub = f"slice({col_name}, {j * dsub + 1}, {dsub})"
+        cells = ", ".join(
+            f"named_struct('nd', -({_dot_sql(sub, c)} - {0.5 * sum(x * x for x in c)!r}D), 'c', {ci})"
+            for ci, c in enumerate(cb)
+        )
+        parts.append(f"element_at(array_sort(array({cells})), 1).c")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes): each vector compressed to m small ints — the
+    32x-and-up storage/IO squeeze that makes billion-vector search
+    scan-able (m bytes per vector at rest instead of dim x 4).
+
+    Narrow scan-side projection; emitted as one SQL string (py4j-cheap,
+    same rationale as the LSH/IVF expression builders).
+    """
+    return corpus.select(
+        F.col(corpus_id).alias(corpus_id),
+        F.expr(_pq_encode_sql(vec_col, codebooks)).alias("codes"),
+    )
+
+
+def _pq_tables_sql(col_name: str, codebooks: list[list[list[float]]]) -> str:
+    """Flat m*ksub lookup table of dot(query_subvector, centroid) —
+    computed ONCE per query row, before the candidate join."""
+    entries = []
+    for j, cb in enumerate(codebooks):
+        dsub = len(cb[0])
+        sub = f"slice({col_name}, {j * dsub + 1}, {dsub})"
+        entries.extend(_dot_sql(sub, c) for c in cb)
+    return "array(" + ", ".join(entries) + ")"
+
+
+def ann_pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k inner product over PQ codes via asymmetric
+    distance computation (ADC, Jégou et al. 2011 §III): each query
+    precomputes its m x ksub dot-product lookup table; scoring a
+    candidate is then m table lookups + adds — no float vectors are
+    read or multiplied per candidate.
+
+    Scale shape: ``corpus_codes`` (from ``pq_encode``, possibly
+    persisted) streams through without shuffling and its scan reads m
+    small ints per row; queries + tables broadcast. The only shuffle is
+    the per-query top-k window, pre-cut by a partial WindowGroupLimit.
+    Compose with the IVF cell join (``ann_ivf_topk``) for IndexIVFPQ
+    semantics — probe inverted lists first, ADC-score inside them.
+
+    The fold over subspaces is an ordered ``aggregate(sequence(...))``,
+    so scores are bit-reproducible (and oracle-comparable) — not a
+    shuffle-order-dependent sum.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    qb = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).select(
+        "query_id", F.expr(_pq_tables_sql("_qv", codebooks)).alias("_tab")
+    )
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, "
+        f"(a, j) -> a + element_at(_tab, j * {ksub} + element_at(codes, j + 1) + 1))"
+    )
+    scored = corpus_codes.join(F.broadcast(qb)).select(
+        "query_id", corpus_id, score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1156,6 +1156,74 @@ def ann_ivf_topk(spark, sf):
     )
 
 
+def _ann_pq_sql(dim: int = 64, m: int = 8, ksub: int = 16, k: int = 5) -> str:
+    """PQ/ADC oracle: encode = per-subspace argmax of dot(x_j, c) - ||c||²/2
+    (row_number ranking mirrors the Spark array_sort tie-break), score =
+    ordered fold over the per-query subspace lookup values (list(tv
+    ORDER BY j) — same j-order fold as Spark's aggregate(sequence(...)),
+    so scores are bit-identical, not just close)."""
+    from ..operators.vectors import default_pq_codebooks
+
+    dsub = dim // m
+    books = default_pq_codebooks(dim, m, ksub)
+    rows = []
+    for j, cb in enumerate(books):
+        for ci, c in enumerate(cb):
+            lit = "[" + ", ".join(repr(v) for v in c) + "]"
+            hn = 0.5 * sum(x * x for x in c)
+            rows.append(f"({j}, {ci}, CAST({lit} AS DOUBLE[]), {hn!r})")
+    values = ",\n  ".join(rows)
+    sub_e = f"list_slice(e.embedding, c.j*{dsub}+1, c.j*{dsub}+{dsub})"
+    sub_q = f"list_slice(q.qv, e.j*{dsub}+1, e.j*{dsub}+{dsub})"
+    return f"""
+WITH cent(j, cid, cv, hn) AS (VALUES
+  {values}
+), d AS (
+  SELECT e.vec_id, c.j, c.cid, ({O.dot(sub_e, 'c.cv')}) - c.hn AS sc
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, j, cid,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cid ASC) AS rn
+  FROM d
+), enc AS (SELECT vec_id, j, cid FROM ranked WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+s0 AS (
+  SELECT q.query_id, e.vec_id, e.j, {O.dot(sub_q, 'c.cv')} AS tv
+  FROM enc e JOIN cent c ON c.j = e.j AND c.cid = e.cid CROSS JOIN q
+), s AS (
+  SELECT query_id, vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tv ORDER BY j)),
+                     (a, b) -> a + b) AS score
+  FROM s0 GROUP BY query_id, vec_id
+), r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s)
+SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@_q("ann_pq_topk", _ann_pq_sql())
+def ann_pq_topk(spark, sf):
+    from ..operators.vectors import ann_pq_topk as op
+    from ..operators.vectors import default_pq_codebooks, pq_encode
+
+    emb = _t(spark, sf, "embeddings")
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = op(q, codes, books, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _emb_blocked_sql(dim: int = 64, n_tables: int = 4, n_planes: int = 4) -> str:
     """Oracle mirror of the BLOCKED near-dup path: same multi-table
     sign-LSH bucket join (vectors.lsh_band_keys planes), same exact
@@ -1977,6 +2045,7 @@ _PRIORITY_QUERIES = [
     "mix_corpora",
     "window_rank",
     "corpus_stats",
+    "ann_pq_topk",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",

@@ -129,3 +129,58 @@ def test_trained_centroids_beat_fixed(spark):
     assert r_trained >= 0.45  # well above the 2/8 random-probe floor
     # probing every cell degenerates to exact search
     assert recall(trained, 8) == 1.0
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        default_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    codes = {r.vec_id: r.codes for r in pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    for cs in codes.values():
+        assert len(cs) == 8
+        assert all(0 <= c < 16 for c in cs)
+    again = {r.vec_id: r.codes for r in pq_encode(emb.repartition(5), books).collect()}
+    assert codes == again  # pure function of the vector, not of layout
+
+
+def test_pq_adc_approximates_exact_dot(spark):
+    """ADC over trained codebooks: scores approximate the true inner
+    product and recall@5 vs exact dot ranking clears a floor well above
+    random (5/500 = 1%). Trained books must beat the fixed
+    pseudo-random family on reconstruction quality."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_pq_topk,
+        default_pq_codebooks,
+        knn_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_topk(queries, emb, k=5, metric="dot").collect()
+    }
+
+    def recall(books):
+        codes = pq_encode(emb, books)
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_pq_topk(queries, codes, books, k=5).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    trained = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    assert len(trained) == 8 and len(trained[0]) == 16 and len(trained[0][0]) == 8
+    r_trained = recall(trained)
+    r_fixed = recall(default_pq_codebooks(64, m=8, ksub=16))
+    assert r_trained > r_fixed, (r_trained, r_fixed)
+    assert r_trained >= 0.30, r_trained  # 8x16 PQ on isotropic data; >> 1% random
