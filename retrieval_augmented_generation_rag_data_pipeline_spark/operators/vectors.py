@@ -530,6 +530,88 @@ def ann_pq_topk(
     )
 
 
+def ann_ivfpq_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    codebooks: list[list[list[float]]],
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec_col: str = "embedding",
+    index_vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IndexIVFPQ search over a persisted index
+    (sources.sinks.write_ivfpq_index): partition-pruned scan of PQ codes
+    + ADC lookup-table scoring.
+
+    The two scale reductions compound: the ``_cell IN (...)`` predicate
+    prunes to the probed partitions at the file-listing level (same as
+    ``ann_ivf_topk_indexed``), and the surviving scan reads m small ints
+    per vector instead of dim floats; scoring is m table lookups. The
+    ``_ivfpq_meta.json`` sidecar is asserted before probing — a
+    different dim/n_cells/centroids/codebooks than the index was
+    written with raises instead of silently returning wrong neighbors.
+    """
+    if centroids is not None:
+        n_cells = len(centroids)
+    from ..sources.sinks import ivf_meta, pq_meta, read_sidecar_text
+
+    raw = read_sidecar_text(spark, index_path.rstrip("/") + "/_ivfpq_meta.json")
+    if raw is not None:
+        import json as _json
+
+        written = _json.loads(raw)
+        asked = ivf_meta(dim, n_cells, centroids, index_vec_col)
+        asked.update(pq_meta(codebooks))
+        bad = {k2: (written.get(k2), asked[k2]) for k2 in asked if written.get(k2) != asked[k2]}
+        if bad:
+            raise ValueError(
+                f"IVFPQ index at {index_path} was written with a different "
+                f"quantizer than this probe: mismatched "
+                + ", ".join(
+                    f"{k2} (index={w!r}, probe={a!r})" for k2, (w, a) in bad.items()
+                )
+                + ". Probe with the same dim/n_cells/centroids/codebooks "
+                "the index was built with, or rebuild the index."
+            )
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    probes = F.expr(
+        f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
+    )
+    qb = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        )
+        .select(
+            "query_id",
+            F.expr(_pq_tables_sql("_qv", codebooks)).alias("_tab"),
+            F.explode(probes).alias("_cell"),
+        )
+        .localCheckpoint(eager=True)  # pin: feeds the filter collect AND the join
+    )
+    cells = sorted(r["_cell"] for r in qb.select("_cell").distinct().collect())
+    corpus = spark.read.parquet(index_path).filter(F.col("_cell").isin(cells))
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, "
+        f"(a, j) -> a + element_at(_tab, j * {ksub} + element_at(codes, j + 1) + 1))"
+    )
+    scored = corpus.join(F.broadcast(qb), "_cell").select(
+        "query_id", corpus_id, score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

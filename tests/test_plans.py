@@ -208,3 +208,61 @@ def test_ivf_index_meta_guards_quantizer_mismatch(spark, tmp_path):
             spark, path, q, k=3, dim=64, nprobe=2,
             centroids=[[float(i == j) for j in range(64)] for i in range(8)],
         )
+
+
+def test_ivfpq_index_prunes_and_matches_inmemory_adc(spark, tmp_path):
+    """The persisted IVF+PQ layout: scan lists only probed `_cell=`
+    partitions AND reads codes (no float vectors); scores equal the
+    in-memory ADC over the same probed cells; quantizer mismatch raises."""
+    import pytest
+    import re
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivfpq_topk,
+        ann_pq_topk,
+        default_pq_codebooks,
+        ivf_cell,
+        pq_encode,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path, dim=64, codebooks=books, n_cells=8)
+
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivfpq_topk(spark, path, q, k=5, dim=64, codebooks=books,
+                         n_cells=8, nprobe=2)
+
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert re.search(r"PartitionFilters: \[_cell#\d+ IN \(", plan), plan
+    # the index scan reads the compact codes, never an embedding column
+    scan_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("codes" in ln for ln in scan_schemas), scan_schemas
+    assert not any("embedding" in ln for ln in scan_schemas if "codes" in ln)
+
+    # value parity: in-memory ADC restricted to each query's probed cells
+    probed = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    cells = emb.select(
+        "vec_id", ivf_cell("embedding", 64, 8).alias("_cell")
+    )
+    codes = pq_encode(emb, books).join(cells, "vec_id")
+    full = ann_pq_topk(q, codes, books, k=emb.count())
+    # every indexed hit must carry the identical ADC score the in-memory
+    # path computes for that (query, vec) pair
+    mem = {(r.query_id, r.vec_id): r.score for r in full.collect()}
+    for r in out.collect():
+        assert abs(mem[(r.query_id, r.vec_id)] - r.score) < 1e-9
+
+    with pytest.raises(ValueError, match="different"):
+        ann_ivfpq_topk(spark, path, q, k=5, dim=64,
+                       codebooks=default_pq_codebooks(64, m=4, ksub=16),
+                       n_cells=8, nprobe=2)
