@@ -101,3 +101,49 @@ def scan_text_documents(spark: SparkSession, path: str, glob: str = "*.txt") -> 
             F.col("value").alias("text"),
         )
     )
+
+
+def scan_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan — the interchange format most text corpora ship
+    in (one document object per line; the reference's own per-file JSON
+    transcripts, src/transcription.py:349-351, are the single-object
+    cousin).
+
+    Pass ``schema`` in production: without it Spark runs a FULL
+    inference pass over the data before the real scan — at 100 TB that
+    is a second read of the corpus. With a schema the scan is one pass,
+    line-splittable (plain .jsonl parallelizes by byte range; gzipped
+    files are one split each — prefer uncompressed or zstd-seekable
+    shards at scale), and malformed lines land in the standard
+    ``_corrupt_record`` column instead of failing the job.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.option("recursiveFileLookup", "true").json(path)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan with the same schema-first stance as scan_jsonl
+    (inference costs a full extra pass; headers alone don't give types)."""
+    reader = spark.read.option("header", str(header).lower()).option(
+        "delimiter", delimiter
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -149,3 +149,48 @@ def test_derive_artifact_no_extension(spark):
     out = {r.path: r.artifact_path for r in derive_artifact(df, "path", ".json").collect()}
     assert out["dir/noext"] == "dir/noext.json"
     assert out["dir/x.tar.gz"] == "dir/x.tar.json"
+
+
+def test_jsonl_roundtrip_with_schema_and_corrupt_line(spark, tmp_path):
+    """write_json emits one JSON object per line (jsonl); scan_jsonl with
+    an explicit schema reads it back identically in ONE pass, and a
+    malformed line surfaces in _corrupt_record instead of failing."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+        scan_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    path = str(tmp_path / "docs_jsonl")
+    sinks.write_json(docs.coalesce(1), path)
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    back = scan_jsonl(spark, path, schema=schema, glob="*.json")
+    a = {tuple(r) for r in docs.select("doc_id", "text", "lang", "source", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "text", "lang", "source", "n_chars").collect()}
+    assert a == b
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text('{"doc_id": 1, "text": "ok"}\n{not json\n')
+    got = scan_jsonl(
+        spark, str(bad), schema="doc_id long, text string, _corrupt_record string"
+    ).collect()
+    assert len(got) == 2
+    assert {r.doc_id for r in got} == {1, None}
+    assert any(r._corrupt_record is not None for r in got)
+
+
+def test_scan_csv_schema_first(spark, tmp_path):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+        scan_csv,
+    )
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,score\n1,alpha,0.5\n2,beta,1.25\n")
+    out = scan_csv(
+        spark, str(p), schema="id long, name string, score double"
+    ).collect()
+    assert sorted((r.id, r.name, r.score) for r in out) == [
+        (1, "alpha", 0.5),
+        (2, "beta", 1.25),
+    ]
