@@ -1,0 +1,95 @@
+"""Property-based checks: BM25 and deterministic split assignment must
+reproduce direct Python reference computations on random inputs
+(hypothesis-driven), the same differential style as test_asof.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.retrieval import (
+    bm25_search,
+)
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+    RESOLUTION,
+    assign_split,
+    quantize,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+terms_strategy = st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3, unique=True)
+
+
+def ref_bm25(texts: list[str], terms: list[str], k1=1.2, b=0.75):
+    """Direct BM25 (Lucene +1 idf) over whitespace tokens."""
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    n = len(texts)
+    avgdl = sum(len(tk) for tk in toks.values()) / n
+    scores: dict[int, float] = {}
+    for term in sorted(set(terms)):
+        df = sum(1 for tk in toks.values() if term in tk)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, tk in toks.items():
+            tf = tk.count(term)
+            if tf == 0:
+                continue
+            dl = len(tk)
+            s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + (b * dl) / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return {i: round(s, 6) for i, s in scores.items()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=doc_strategy, terms=terms_strategy)
+def test_bm25_matches_python_reference(spark, texts, terms):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25_search(df, terms, topk=len(texts)).collect()
+    }
+    exp = ref_bm25(texts, terms)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) <= 1e-6, (i, got[i], exp[i])
+
+
+def py_bucket(seed: int, sid: int) -> int:
+    return int(hashlib.md5(f"{seed}:{sid}".encode()).hexdigest()[:15], 16) % RESOLUTION
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=40, unique=True),
+    seed=st.integers(min_value=0, max_value=1000),
+    fracs=st.tuples(
+        st.floats(min_value=0.05, max_value=0.9),
+        st.floats(min_value=0.05, max_value=0.5),
+    ),
+)
+def test_assign_split_matches_python_hash_line(spark, ids, seed, fracs):
+    f1, f2 = fracs
+    f2 = min(f2, max(0.0, 1.0 - f1))
+    splits = {"train": f1, "val": f2, "test": max(0.0, 1.0 - f1 - f2)}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r["split"] for r in assign_split(df, "doc_id", splits, seed=seed).collect()}
+    t1 = quantize(f1)
+    t2 = t1 + quantize(f2)
+    for i in ids:
+        bkt = py_bucket(seed, i)
+        exp = "train" if bkt < t1 else ("val" if bkt < t2 else "test")
+        assert got[i] == exp, (i, bkt, got[i], exp)
