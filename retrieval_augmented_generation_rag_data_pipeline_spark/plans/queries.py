@@ -2030,11 +2030,12 @@ def window_rank(spark, sf):
 # CORRECTNESS file) move to the front, plus any newly added queries, so
 # no query's driver evidence ages past one round. Round 4 rotates in
 # the 21 that sat at positions 51-71 during round 3 (green in
-# CORRECTNESS_r02.json) plus this round's new queries.
+# CORRECTNESS_r02.json) plus the 9 queries new this round.
 #
 # STANDING ROTATION (next round): replace this list with the queries
 # currently at positions 51+ (check with
-# `list(REGISTRY)[50:]` in a REPL) plus any newly added queries.
+# `list(REGISTRY)[50:]` in a REPL — the 30 r3-evidenced entries that
+# fell out of round 4's window) plus any newly added queries.
 _PRIORITY_QUERIES = [
     # new in round 4 — first driver evidence this round
     "tfidf_top_terms",

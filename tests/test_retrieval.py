@@ -121,3 +121,30 @@ def test_mix_corpora_tags_and_independent_rates(spark):
     kept_a2 = {r.doc_id for r in half2.filter(F.col("source_name") == "a").collect()}
     assert kept_a1 == kept_a2
     assert 300 < len(kept_a1) < 700
+
+
+def test_bm25_empty_query_and_absent_terms(corpus, spark):
+    # no query terms -> empty result, not an error
+    assert bm25_search(corpus, [], topk=5).count() == 0
+    # terms absent from the corpus -> empty result
+    assert bm25_search(corpus, ["nonexistentword"], topk=5).count() == 0
+
+
+def test_tfidf_single_doc_all_zero(spark):
+    # one doc: every term has df = N = 1 -> idf = ln(1) = 0; ranks fall
+    # back to the deterministic term-asc tie-break
+    df = spark.createDataFrame([(0, "b a c")], "doc_id long, text string")
+    out = tfidf_top_terms(df, k=3).collect()
+    assert all(r.tfidf == 0.0 for r in out)
+    assert [r.term for r in sorted(out, key=lambda r: r.term_rank)] == ["a", "b", "c"]
+
+
+def test_assign_split_remainder_goes_to_last_label(spark):
+    # fractions summing below 1: the hash-line remainder lands in the
+    # LAST label, so assignment is still exhaustive
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, "doc_id", {"train": 0.5, "holdout": 0.1}, seed=2)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500
+    assert counts["holdout"] > 0.3 * 500  # 0.1 slice + 0.4 remainder

@@ -211,6 +211,22 @@ def main() -> None:
     }
     assert n_comp == 1, n_comp
 
+    # ---- PQ/ADC vs exact kNN at Nx corpus: same query batch, scoring
+    # via m=8 table lookups over codes instead of 64-dim dots. The
+    # encode pass is timed separately — at scale it runs once at index
+    # build, not per query.
+    books = vectors.default_pq_codebooks(64, m=8, ksub=16)
+    t0 = time.time()
+    codes = vectors.pq_encode(big_emb, books).localCheckpoint(eager=True)
+    encode_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    vectors.ann_pq_topk(q, codes, books, k=5).count()
+    results["pq_adc_topk"] = {
+        "corpus": 2000 * n, "encode_sec": encode_s,
+        "search_sec": round(time.time() - t0, 2),
+        "exact_sec": results["knn_corpus"]["sec"],
+    }
+
     print(json.dumps({"scale_multiplier": n, "probes": results}))
 
 
