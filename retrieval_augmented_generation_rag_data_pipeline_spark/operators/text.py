@@ -305,6 +305,73 @@ def decontaminate(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_quality: float = 0.3,
+    max_dup_trigram: float = 0.3,
+) -> DataFrame:
+    """One-call corpus hygiene policy: the composite keep/drop decision a
+    training-data pipeline actually applies (Gopher-rule shape, Rae et
+    al. '21 §A1.1 — length floor, composite quality floor, repeated
+    n-gram ceiling), with per-rule flags so drops are auditable.
+
+    Computes every signal in ONE scan pass (the tokens array is staged
+    once and shared by the length, quality, and repetition arithmetic) —
+    calling quality_score + repetition_metrics separately and joining
+    would scan the corpus twice and shuffle on doc_id for no reason.
+    Returns (doc_id, n_tokens, quality, dup_trigram_frac, is_too_short,
+    is_low_quality, is_repetitive, keep). Narrow, no shuffle.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    t, toks = F.col("_t"), F.col("_tk")
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(t).cast("double")
+    punct = (
+        n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    ) / F.greatest(n_chars, F.lit(1.0))
+    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n_tok
+    mean_wlen = F.aggregate(
+        toks, F.lit(0.0), lambda s, x: s + F.length(x).cast("double")
+    ) / n_tok
+    quality = F.round(
+        F.least(n_tok / 64.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.3).otherwise(0.0)
+        - punct,
+        6,
+    )
+    tri = word_shingles(toks, 3)
+    n3 = F.size(tri)
+    dup3 = F.when(
+        n3 > 0,
+        F.round((n3 - F.size(F.array_distinct(tri))) / n3.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    out = staged.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        dup3.alias("dup_trigram_frac"),
+    )
+    too_short = F.col("n_tokens") < min_tokens
+    low_q = F.col("quality") < min_quality
+    rep = F.col("dup_trigram_frac") > max_dup_trigram
+    return out.select(
+        "*",
+        too_short.alias("is_too_short"),
+        low_q.alias("is_low_quality"),
+        rep.alias("is_repetitive"),
+        (~too_short & ~low_q & ~rep).alias("keep"),
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("lang",),

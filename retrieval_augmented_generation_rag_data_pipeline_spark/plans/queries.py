@@ -1561,6 +1561,44 @@ def quality_score(spark, sf):
     return text.quality_score(_t(spark, sf, "documents"))
 
 
+_QF_TRI = O.word_shingles("tk", 3)
+
+_QFILTER_SQL = f"""
+WITH t AS (SELECT doc_id, text, {O.tokens('text')} AS tk FROM documents),
+m AS (SELECT doc_id,
+        CAST(len(tk) AS DOUBLE) AS n_tok,
+        (CAST(length(text) AS DOUBLE)
+           - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
+          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+        CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+        {_QF_TRI} AS tri
+      FROM t),
+s AS (SELECT doc_id,
+        CAST(n_tok AS BIGINT) AS n_tokens,
+        round(least(n_tok/64.0, 1.0)*0.4 + least(stop_ratio*4.0, 1.0)*0.3
+              + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0.3 ELSE 0.0 END)
+              - punct, 6) AS quality,
+        CASE WHEN len(tri) > 0
+             THEN round((len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE), 6)
+             ELSE 0.0 END AS dup_trigram_frac
+      FROM m)
+SELECT doc_id, n_tokens, quality, dup_trigram_frac,
+       n_tokens < 8 AS is_too_short,
+       quality < 0.3 AS is_low_quality,
+       dup_trigram_frac > 0.3 AS is_repetitive,
+       (NOT n_tokens < 8) AND (NOT quality < 0.3) AND (NOT dup_trigram_frac > 0.3) AS keep
+FROM s
+"""
+
+
+@_q("quality_filter", _QFILTER_SQL)
+def quality_filter(spark, sf):
+    return text.quality_filter(_t(spark, sf, "documents"))
+
+
 _TOKEN_COUNT_SQL = rf"""
 SELECT doc_id,
        CAST(len({O.tokens('text')}) AS BIGINT) AS ws_tokens,
@@ -2047,6 +2085,7 @@ _PRIORITY_QUERIES = [
     "window_rank",
     "corpus_stats",
     "ann_pq_topk",
+    "quality_filter",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",

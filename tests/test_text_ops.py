@@ -1,0 +1,21 @@
+
+
+def test_quality_filter_flags_and_keep(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        quality_filter,
+    )
+
+    rows = [
+        (0, "the data table is a good clean row of the set and it holds value"),
+        (1, "tiny doc"),  # < 8 tokens
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[0].keep and not (out[0].is_too_short or out[0].is_repetitive)
+    assert out[1].is_too_short and not out[1].keep
+    assert out[2].is_repetitive and not out[2].keep
+    # flags are consistent with keep by construction
+    for r in out.values():
+        assert r.keep == (not r.is_too_short and not r.is_low_quality
+                          and not r.is_repetitive)
