@@ -2059,6 +2059,36 @@ def window_rank(spark, sf):
     )
 
 
+# lead/lag adjacency — SURVEY §2.5 notes the reference has no lookahead;
+# this rounds out the ordered-operator family (pure value transport, no
+# float arithmetic, so parity is structural). Deterministic total order
+# per user via the (ts, event_id) tie-break.
+_WLEADLAG_SQL = """
+SELECT user_id, event_id, ts, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       lag(ts)     OVER w AS prev_ts
+FROM events
+WHERE user_id < 100
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@_q("window_lead_lag", _WLEADLAG_SQL)
+def window_lead_lag(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+
+
 # =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
@@ -2086,6 +2116,7 @@ _PRIORITY_QUERIES = [
     "corpus_stats",
     "ann_pq_topk",
     "quality_filter",
+    "window_lead_lag",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",

@@ -1,5 +1,11 @@
 
 
+"""Unit tests for text-hygiene operators (cross-engine value parity is
+covered by test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+
 def test_quality_filter_flags_and_keep(spark):
     from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
         quality_filter,
