@@ -97,3 +97,68 @@ def search(
         F.col("query_id"), mock_embed(F.col("query_text")).alias("embedding")
     )
     return knn_topk(q, index, k=k, metric="dot")
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+    min_tokens: int = 8,
+    min_quality: float = 0.3,
+    max_dup_trigram: float = 0.3,
+    dedup_kwargs: dict | None = None,
+) -> DataFrame:
+    """Raw documents -> training-ready corpus ledger, in one call: the
+    end-to-end hygiene pipeline a training-data team actually runs
+    (quality filter -> canonicalize -> content dedup -> split assign),
+    with one auditable row PER INPUT DOCUMENT recording why it was kept
+    or dropped.
+
+    Stages (each an existing oracle-checked operator):
+      1. ``quality_filter`` — Gopher-rule keep/drop on the raw text;
+      2. ``normalize_text`` — canonicalization, so case/whitespace
+         variants collapse under content dedup;
+      3. ``dedup_corpus`` over the normalized text of quality-passing
+         docs only (no point clustering docs already dropped);
+      4. ``assign_split`` — deterministic train/val/test labels for the
+         final keeps (hash-keyed: stable under reruns and corpus growth).
+
+    Returns (doc_id, keep_quality, component_id, keep_dedup, keep,
+    split): ``component_id``/``keep_dedup`` are NULL for docs that never
+    reached dedup; ``split`` is non-NULL exactly for final keeps.
+
+    Scale shape: stages 1-2 are narrow scan-side projections; dedup
+    inherits the banded-LSH shuffle + pointer-jumping closure; the
+    only added joins are on doc_id (a semi join into dedup and a left
+    join back out), both AQE-managed.
+    """
+    from ..operators.dedup import dedup_corpus
+    from ..operators.sampling import assign_split
+    from ..operators.text import normalize_text, quality_filter
+
+    qf = quality_filter(
+        df, id_col, text_col,
+        min_tokens=min_tokens, min_quality=min_quality,
+        max_dup_trigram=max_dup_trigram,
+    ).select("doc_id", F.col("keep").alias("keep_quality"))
+    norm = normalize_text(df, id_col, text_col)
+    cand = norm.join(
+        qf.filter(F.col("keep_quality")).select("doc_id"), "doc_id", "left_semi"
+    )
+    dd = dedup_corpus(
+        cand, id_col="doc_id", text_col="norm_text", **(dedup_kwargs or {})
+    ).select("doc_id", "component_id", F.col("keep").alias("keep_dedup"))
+    out = qf.join(dd, "doc_id", "left").withColumn(
+        "keep", F.col("keep_quality") & F.coalesce(F.col("keep_dedup"), F.lit(False))
+    )
+    out = assign_split(out, "doc_id", splits, seed=seed)
+    return out.select(
+        "doc_id",
+        "keep_quality",
+        "component_id",
+        "keep_dedup",
+        "keep",
+        F.when(F.col("keep"), F.col("split")).alias("split"),
+    )

@@ -1332,9 +1332,11 @@ def dedup_minhash(spark, sf):
     return dedup.minhash_signatures(_t(spark, sf, "documents"))
 
 
-def _lsh_ctes() -> str:
+def _lsh_ctes(corpus_sql: str | None = None) -> str:
     """The corpus -> shingle-hash -> signature -> band CTE chain shared
-    by the LSH-pairs and dedup-clusters oracles."""
+    by the LSH-pairs / dedup-clusters / prepare-corpus oracles.
+    ``corpus_sql`` overrides the corpus CTE (must define ``corpus`` with
+    (doc_id, text) columns); default is the doubled test corpus."""
     band_selects = []
     for b in range(LSH_BANDS):
         key = " || ':' || ".join(
@@ -1342,7 +1344,7 @@ def _lsh_ctes() -> str:
         )
         band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
     bands = "\nUNION ALL\n".join(band_selects)
-    return f"""{_CORPUS_SQL},
+    return f"""{corpus_sql or _CORPUS_SQL},
 t AS (SELECT doc_id, {_HS} AS hs FROM corpus),
 sig AS (SELECT doc_id, {', '.join(_mh_cols())} FROM t WHERE len(hs) > 0),
 bands AS ({bands})"""
@@ -1391,12 +1393,10 @@ def dedup_clusters(spark, sf):
     return dedup.connected_components(corpus.select("doc_id"), pairs)
 
 
-def _dedup_corpus_sql() -> str:
-    """Oracle for the end-to-end keep/drop policy: exact-digest edges
-    UNION LSH candidate edges -> recursive-CTE closure -> keep the min
-    doc_id per component."""
-    return f"""
-WITH RECURSIVE {_lsh_ctes()},
+# exact-digest edges UNION LSH candidate edges -> recursive-CTE closure;
+# appended after _lsh_ctes(...); defines `closure` = (doc_id,
+# component_id, keep) over whatever `corpus` the prefix established
+_CLOSURE_CTES = """
 exact_pairs AS (
   -- IS NOT DISTINCT FROM: Spark's dedup_exact windows over the digest,
   -- which groups NULL texts together; a plain '=' would silently drop
@@ -1418,9 +1418,21 @@ reach(v, lab) AS (
   FROM reach r
   JOIN (SELECT doc_a AS i, doc_b AS o FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs) u ON u.i = r.v
-)
-SELECT v AS doc_id, min(lab) AS component_id, v = min(lab) AS keep
-FROM reach GROUP BY v
+),
+closure AS (
+  SELECT v AS doc_id, min(lab) AS component_id, v = min(lab) AS keep
+  FROM reach GROUP BY v
+)"""
+
+
+def _dedup_corpus_sql() -> str:
+    """Oracle for the end-to-end keep/drop policy: exact-digest edges
+    UNION LSH candidate edges -> recursive-CTE closure -> keep the min
+    doc_id per component."""
+    return f"""
+WITH RECURSIVE {_lsh_ctes()},
+{_CLOSURE_CTES}
+SELECT doc_id, component_id, keep FROM closure
 """
 
 
@@ -2059,6 +2071,85 @@ def window_rank(spark, sf):
     )
 
 
+def _prepare_corpus_sql() -> str:
+    """Oracle for the end-to-end prepare_corpus composition: Gopher
+    quality filter -> whitespace/case canonicalization -> exact+LSH
+    dedup closure over the quality-passing normalized docs -> hash-line
+    split for the final keeps. Every fragment reuses the already-proven
+    oracle pieces (quality CTEs, _lsh_ctes with an overridden corpus,
+    _CLOSURE_CTES, the split CASE) over the doubled test corpus."""
+    raw0 = """raw0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+)"""
+    corpus_override = """corpus AS (
+  SELECT n.doc_id, n.text FROM normc n JOIN qual q USING (doc_id)
+  WHERE q.keep_quality
+)"""
+    t1 = sampling.quantize(0.9)
+    t2 = t1 + sampling.quantize(0.05)
+    hash_input = "'13' || ':' || CAST(r.doc_id AS VARCHAR)"
+    bucket = f"({O.md5_long(hash_input)}) % {sampling.RESOLUTION}"
+    return f"""
+WITH RECURSIVE {raw0},
+qt AS (SELECT doc_id, text, {O.tokens('text')} AS tk FROM raw0),
+qm AS (SELECT doc_id,
+        CAST(len(tk) AS DOUBLE) AS n_tok,
+        (CAST(length(text) AS DOUBLE)
+           - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
+          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+        CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+        {_QF_TRI} AS tri
+      FROM qt),
+qs AS (SELECT doc_id,
+        CAST(n_tok AS BIGINT) AS n_tokens,
+        round(least(n_tok/64.0, 1.0)*0.4 + least(stop_ratio*4.0, 1.0)*0.3
+              + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0.3 ELSE 0.0 END)
+              - punct, 6) AS quality,
+        CASE WHEN len(tri) > 0
+             THEN round((len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE), 6)
+             ELSE 0.0 END AS dup3
+      FROM qm),
+qual AS (SELECT doc_id,
+                (NOT n_tokens < 8) AND (NOT quality < 0.3) AND (NOT dup3 > 0.3)
+                  AS keep_quality
+         FROM qs),
+normc AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
+          FROM raw0),
+{_lsh_ctes(corpus_override)},
+{_CLOSURE_CTES}
+SELECT r.doc_id,
+       q.keep_quality,
+       c.component_id,
+       c.keep AS keep_dedup,
+       (q.keep_quality AND coalesce(c.keep, false)) AS keep,
+       CASE WHEN q.keep_quality AND coalesce(c.keep, false)
+            THEN (CASE WHEN {bucket} < {t1} THEN 'train'
+                       WHEN {bucket} < {t2} THEN 'val'
+                       ELSE 'test' END)
+            ELSE NULL END AS split
+FROM raw0 r
+JOIN qual q USING (doc_id)
+LEFT JOIN closure c USING (doc_id)
+"""
+
+
+@_q("prepare_corpus", _prepare_corpus_sql())
+def prepare_corpus(spark, sf):
+    from . import pipeline
+
+    return pipeline.prepare_corpus(
+        _dup_corpus(spark, sf),
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=13,
+    )
+
+
 # lead/lag adjacency — SURVEY §2.5 notes the reference has no lookahead;
 # this rounds out the ordered-operator family (pure value transport, no
 # float arithmetic, so parity is structural). Deterministic total order
@@ -2117,6 +2208,7 @@ _PRIORITY_QUERIES = [
     "ann_pq_topk",
     "quality_filter",
     "window_lead_lag",
+    "prepare_corpus",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",

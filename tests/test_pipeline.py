@@ -94,3 +94,33 @@ def test_vec_ids_reproducible_across_runs_and_partitioning(spark, tmp_path):
     pb = sorted((r.vec_id, r.text) for r in b.collect())
     assert pa == pb
     assert len({v for v, _ in pa}) == len(pa)  # no vec_id collisions
+
+
+def test_prepare_corpus_end_to_end_ledger(spark):
+    """One row per input doc; quality drops never reach dedup; exact
+    dups collapse to one survivor; split labels only on final keeps."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.plans.pipeline import (
+        prepare_corpus,
+    )
+
+    good = "the data table is a good clean row of the set and it holds value"
+    rows = [
+        (0, good),
+        (1, good.upper()),          # exact dup of 0 after normalization
+        (2, "tiny doc"),            # quality drop (too short)
+        (3, "a completely different clean document with the usual data words in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in prepare_corpus(df, seed=1).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # quality drop: no dedup verdict, no split
+    assert not out[2].keep_quality
+    assert out[2].component_id is None and out[2].keep_dedup is None
+    assert not out[2].keep and out[2].split is None
+    # exact dup cluster: both share a component, lowest id survives
+    assert out[0].component_id == out[1].component_id
+    assert out[0].keep and not out[1].keep
+    assert out[1].split is None
+    # survivors get a split label
+    assert out[0].split in {"train", "val", "test"}
+    assert out[3].keep and out[3].split in {"train", "val", "test"}
