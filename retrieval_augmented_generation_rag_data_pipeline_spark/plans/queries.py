@@ -2180,6 +2180,67 @@ def window_lead_lag(spark, sf):
     )
 
 
+# first/last/nth value transport under an explicit ROWS frame (the
+# default RANGE frame makes last_value degenerate to the current row —
+# the explicit full-partition frame is the portable, intended spelling)
+_WFIRSTLAST_SQL = """
+SELECT user_id, event_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value)  OVER w AS last_val,
+       nth_value(value, 3) OVER w AS third_val
+FROM events
+WHERE user_id < 100
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@_q("window_first_last", _WFIRSTLAST_SQL)
+def window_first_last(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+    )
+
+
+# moment statistics — stddev/variance (sample), correlation and
+# covariance across two measures; cross-partition float folds rounded
+# to 4 decimals on both sides (sums of squares amplify last-ulp noise
+# more than plain sums, so 6 is too tight here)
+_AGG_STATS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@_q("agg_stats", _AGG_STATS_SQL)
+def agg_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
 # =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
@@ -2209,6 +2270,8 @@ _PRIORITY_QUERIES = [
     "quality_filter",
     "window_lead_lag",
     "prepare_corpus",
+    "window_first_last",
+    "agg_stats",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",
