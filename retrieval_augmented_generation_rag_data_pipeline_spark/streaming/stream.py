@@ -128,3 +128,60 @@ def sessionized_events(
         *key_cols,
         *agg_out,
     )
+
+
+def dedup_ingest(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    digest_ledger: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 2,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Content-level exactly-once ingest: the file-source checkpoint
+    already dedups FILES (T2); this additionally dedups CONTENT — a
+    re-uploaded, renamed, or copied file whose text matches an
+    already-ingested document is dropped against a persistent digest
+    ledger. Generalizes the reference's key-level processed-set
+    (src/aws_bucket.py:55-68,180) to the content level a training
+    corpus needs.
+
+    Per micro-batch: digest each doc (md5 of the raw text — compose
+    with operators.text.normalize_text upstream for canonicalized
+    matching), drop in-batch duplicates deterministically (lowest id
+    per digest), anti-join the surviving docs against the ledger, append
+    the fresh docs to ``out_path`` and their digests to the ledger.
+
+    Delivery note: the output write and the ledger append are two
+    non-atomic steps — a crash between them re-emits those docs on
+    retry (at-least-once at the content level; the reference has the
+    same gap between its download and ledger save). The digest ledger
+    bounds at one row per DISTINCT document ever ingested, and the
+    anti-join stays AQE-broadcastable until it genuinely outgrows
+    memory — after that it is a plain shuffle join on the digest.
+    """
+    from ..sources.ledger import append_processed, load_ledger, pending
+    from pyspark.sql import Window
+
+    def batch_fn(df: DataFrame, epoch: int) -> None:
+        d = df.withColumn("_digest", F.md5(F.col(text_col)))
+        w = Window.partitionBy("_digest").orderBy(F.col(id_col))
+        d = (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        fresh = pending(d, load_ledger(spark, digest_ledger), "_digest")
+        fresh = fresh.localCheckpoint(eager=True)  # one evaluation, two sinks
+        fresh.drop("_digest").write.mode("append").parquet(out_path)
+        append_processed(fresh, "_digest", digest_ledger)
+
+    return run_stream(
+        read_document_stream(spark, src_path, max_files_per_trigger),
+        batch_fn,
+        checkpoint,
+        trigger_seconds=trigger_seconds,
+    )

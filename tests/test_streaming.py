@@ -551,3 +551,44 @@ def test_windowed_events_custom_keys_and_aggs(spark, tmp_path):
     got = {r.user_id: r.max_value for r in rows}
     assert got == {1: 4.0, 2: 8.0}
     assert rows[0].asDict().keys() == {"window_start", "user_id", "max_value"}
+
+
+def test_dedup_ingest_content_level_exactly_once(spark, tmp_path):
+    """Two triggers: the second delivers one new doc and one doc whose
+    TEXT duplicates an already-ingested one (different id / new file) —
+    the duplicate is dropped by the digest ledger, not the file
+    checkpoint."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.streaming.stream import (
+        dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    batch1 = spark.createDataFrame(
+        [(0, "alpha text", "en", "s", 10), (1, "beta text", "en", "s", 9)], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    q = dedup_ingest(spark, str(src), out, ledger, ckpt)
+    q.awaitTermination(120)
+
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2
+
+    # new file: one fresh doc + one content-duplicate of doc 0
+    batch2 = spark.createDataFrame(
+        [(7, "gamma text", "en", "s", 10), (8, "alpha text", "en", "s", 10)], schema
+    )
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = dedup_ingest(spark, str(src), out, ledger, ckpt)
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert {r.doc_id for r in rows} == {0, 1, 7}  # 8 dropped: same content as 0
+    led = spark.read.parquet(ledger)
+    assert led.count() == 3
