@@ -530,6 +530,65 @@ def ann_pq_topk(
     )
 
 
+def ann_ivfpq_topk_mem(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    codebooks: list[list[list[float]]],
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """In-memory IndexIVFPQ semantics: IVF cell blocking (each query
+    probes its nprobe nearest cells) + PQ/ADC scoring inside the probed
+    cells — the candidate set shrinks to ~nprobe/n_cells of the corpus
+    AND each candidate costs m table lookups instead of a dim-wide dot.
+
+    One corpus pass emits (id, codes, cell); the cell equi-join against
+    the broadcast query batch replaces ``ann_pq_topk``'s cross join.
+    Use ``ann_ivfpq_topk`` (the persisted variant) when the index lives
+    on disk — it additionally prunes the scan to the probed partitions.
+    Deterministic with the default codebook/centroid families, so the
+    whole path is DuckDB-oracle-checkable (query ``ann_ivfpq_mem``).
+    """
+    if centroids is not None:
+        n_cells = len(centroids)
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    cb = corpus.select(
+        F.col(corpus_id).alias(corpus_id),
+        F.expr(_pq_encode_sql(vec_col, codebooks)).alias("codes"),
+        ivf_cell(vec_col, dim, n_cells, centroids).alias("_cell"),
+    )
+    probes = F.expr(
+        f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
+    )
+    qb = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).select(
+        "query_id",
+        F.expr(_pq_tables_sql("_qv", codebooks)).alias("_tab"),
+        F.explode(probes).alias("_cell"),
+    )
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, "
+        f"(a, j) -> a + element_at(_tab, j * {ksub} + element_at(codes, j + 1) + 1))"
+    )
+    scored = cb.join(F.broadcast(qb), "_cell").select(
+        "query_id", corpus_id, score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, "score", "rank")
+    )
+
+
 def ann_ivfpq_topk(
     spark,
     index_path: str,

@@ -1224,6 +1224,100 @@ def ann_pq_topk(spark, sf):
     )
 
 
+def _ann_ivfpq_sql(
+    dim: int = 64,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> str:
+    """In-memory IndexIVFPQ oracle: the IVF cell-assignment/probe CTEs
+    (_ann_ivf_sql) composed with the PQ encode/ADC CTEs (_ann_pq_sql) —
+    candidates restricted to query-probed cells, scored by the ordered
+    subspace fold (bit-identical to Spark's aggregate(sequence(...)))."""
+    from ..operators.vectors import default_pq_codebooks, ivf_centroid
+
+    dsub = dim // m
+    ivf_rows = []
+    for c in range(n_cells):
+        lit = "[" + ", ".join(repr(v) for v in ivf_centroid(c, dim)) + "]"
+        ivf_rows.append(f"({c}, CAST({lit} AS DOUBLE[]))")
+    ivf_values = ",\n  ".join(ivf_rows)
+    pq_rows = []
+    for j, cbk in enumerate(default_pq_codebooks(dim, m, ksub)):
+        for ci, c in enumerate(cbk):
+            lit = "[" + ", ".join(repr(v) for v in c) + "]"
+            hn = 0.5 * sum(x * x for x in c)
+            pq_rows.append(f"({j}, {ci}, CAST({lit} AS DOUBLE[]), {hn!r})")
+    pq_values = ",\n  ".join(pq_rows)
+    sub_e = f"list_slice(e.embedding, c.j*{dsub}+1, c.j*{dsub}+{dsub})"
+    sub_q = f"list_slice(cd.qv, e.j*{dsub}+1, e.j*{dsub}+{dsub})"
+    return f"""
+WITH ivfcent(cid, cv) AS (VALUES
+  {ivf_values}
+), pqcent(j, cid, cv, hn) AS (VALUES
+  {pq_values}
+), celld AS (
+  SELECT e.vec_id, e.embedding, c.cid, {O.dot('e.embedding', 'c.cv')} AS dp
+  FROM embeddings e CROSS JOIN ivfcent c
+), cellranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid ASC) AS rn
+  FROM celld
+), assigned AS (
+  SELECT vec_id, cid FROM cellranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid
+  FROM cellranked WHERE vec_id < 8 AND rn <= {nprobe}
+), pqd AS (
+  SELECT e.vec_id, c.j, c.cid, ({O.dot(sub_e, 'c.cv')}) - c.hn AS sc
+  FROM embeddings e CROSS JOIN pqcent c
+), pqranked AS (
+  SELECT vec_id, j, cid,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cid ASC) AS rn
+  FROM pqd
+), enc AS (SELECT vec_id, j, cid FROM pqranked WHERE rn = 1),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.vec_id
+  FROM assigned a JOIN probes p ON a.cid = p.cid
+), s0 AS (
+  SELECT cd.query_id, cd.vec_id, e.j, {O.dot(sub_q, 'c.cv')} AS tv
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.vec_id
+  JOIN pqcent c ON c.j = e.j AND c.cid = e.cid
+), s AS (
+  SELECT query_id, vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tv ORDER BY j)),
+                     (a, b) -> a + b) AS score
+  FROM s0 GROUP BY query_id, vec_id
+), r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s)
+SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@_q("ann_ivfpq_mem", _ann_ivfpq_sql())
+def ann_ivfpq_mem(spark, sf):
+    from ..operators.vectors import ann_ivfpq_topk_mem, default_pq_codebooks
+
+    emb = _t(spark, sf, "embeddings")
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivfpq_topk_mem(q, emb, k=5, dim=64, codebooks=books, n_cells=8, nprobe=2)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _emb_blocked_sql(dim: int = 64, n_tables: int = 4, n_planes: int = 4) -> str:
     """Oracle mirror of the BLOCKED near-dup path: same multi-table
     sign-LSH bucket join (vectors.lsh_band_keys planes), same exact
@@ -2272,6 +2366,7 @@ _PRIORITY_QUERIES = [
     "prepare_corpus",
     "window_first_last",
     "agg_stats",
+    "ann_ivfpq_mem",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",
