@@ -2335,6 +2335,60 @@ def agg_stats(spark, sf):
     )
 
 
+# pivot: event counts per user spread into one column per event type.
+# The value list is EXPLICIT on both sides — Spark's implicit-pivot
+# variant runs a hidden distinct job to discover it, and the oracle
+# spells the same conditional aggregation DuckDB-portably.
+_PIVOT_TYPES = ["click", "error", "purchase", "view"]
+
+_PIVOT_SQL = f"""
+SELECT user_id,
+       {', '.join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in _PIVOT_TYPES
+       )}
+FROM events WHERE user_id < 200
+GROUP BY user_id
+"""
+
+
+@_q("agg_pivot", _PIVOT_SQL)
+def agg_pivot(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 200)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) group is empty; the
+    # conditional-aggregation oracle yields 0 — normalize to 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _PIVOT_TYPES],
+    )
+
+
+# unpivot (melt): wide per-doc metric columns back to (doc_id, metric,
+# value) rows — Spark's unpivot vs a portable UNION ALL oracle
+_UNPIVOT_SQL = """
+SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS DOUBLE) AS value FROM documents
+UNION ALL
+SELECT doc_id, 'doc_id_echo' AS metric, CAST(doc_id AS DOUBLE) AS value FROM documents
+"""
+
+
+@_q("unpivot_melt", _UNPIVOT_SQL)
+def unpivot_melt(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.col("doc_id").cast("double").alias("doc_id_echo"),
+    )
+    return docs.unpivot(
+        ["doc_id"], ["n_chars", "doc_id_echo"], "metric", "value"
+    )
+
+
 # =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
@@ -2367,6 +2421,8 @@ _PRIORITY_QUERIES = [
     "window_first_last",
     "agg_stats",
     "ann_ivfpq_mem",
+    "agg_pivot",
+    "unpivot_melt",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",
