@@ -372,6 +372,43 @@ def quality_filter(
     )
 
 
+def vocab_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats):
+    H = -sum over distinct tokens of (c/n) ln(c/n). Low entropy flags
+    repetitive/templated text (complements the dup-n-gram fractions);
+    high entropy approaches ln(n_tokens) for all-distinct docs.
+
+    Pure per-row array arithmetic — narrow, scan-side, no shuffle. The
+    fold runs over the SORTED distinct-token list so the float
+    accumulation order is engine-independent (bit-identical oracle, not
+    just close). Per-row cost is O(tokens x distinct) — fine for
+    documents; corpus-level distributions belong to ngram_topk/
+    corpus_stats, not here. Empty docs yield 0.0.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    toks = F.col("_tk")
+    n = F.size(toks).cast("double")
+    uniq = F.array_sort(F.array_distinct(toks))
+    h = F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, t: acc
+        - (
+            lambda p: p * F.log(p)
+        )(F.size(F.filter(toks, lambda x: x == t)).cast("double") / n),
+    )
+    return staged.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(uniq).cast("long").alias("n_distinct"),
+        F.when(F.size(toks) > 0, F.round(h, 6)).otherwise(0.0).alias("entropy"),
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("lang",),

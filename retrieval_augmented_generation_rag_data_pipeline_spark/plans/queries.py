@@ -2073,6 +2073,32 @@ def corpus_stats(spark, sf):
     return text.corpus_stats(_t(spark, sf, "documents"))
 
 
+# fold over the SORTED distinct-token list on both engines -> identical
+# accumulation order -> bit-identical entropy (no rounding slack needed
+# beyond the display round)
+_ENTROPY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+u AS (SELECT doc_id, tk, list_sort(list_distinct(tk)) AS uq FROM t)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(uq) AS BIGINT) AS n_distinct,
+       CASE WHEN len(tk) > 0 THEN round(
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(uq, w ->
+               -((CAST(len(list_filter(tk, x -> x = w)) AS DOUBLE) / len(tk))
+                 * ln(CAST(len(list_filter(tk, x -> x = w)) AS DOUBLE) / len(tk))))),
+           (a, b) -> a + b), 6)
+       ELSE 0.0 END AS entropy
+FROM u
+"""
+
+
+@_q("vocab_entropy", _ENTROPY_SQL)
+def vocab_entropy(spark, sf):
+    return text.vocab_entropy(_t(spark, sf, "documents"))
+
+
 # =====================================================================
 # Split assignment / corpus mixing
 # =====================================================================
@@ -2423,6 +2449,7 @@ _PRIORITY_QUERIES = [
     "ann_ivfpq_mem",
     "agg_pivot",
     "unpivot_melt",
+    "vocab_entropy",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",

@@ -25,3 +25,23 @@ def test_quality_filter_flags_and_keep(spark):
     for r in out.values():
         assert r.keep == (not r.is_too_short and not r.is_low_quality
                           and not r.is_repetitive)
+
+
+def test_vocab_entropy_known_values(spark):
+    import math
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        vocab_entropy,
+    )
+
+    rows = [
+        (0, "a a a a"),         # one token type -> H = 0
+        (1, "a b c d"),         # uniform over 4 -> H = ln(4)
+        (2, "a a b"),           # H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in vocab_entropy(df).collect()}
+    assert out[0].entropy == 0.0 and out[0].n_distinct == 1
+    assert out[1].entropy == round(math.log(4), 6)
+    expected = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(out[2].entropy - expected) < 1e-6
