@@ -397,3 +397,44 @@ def positional_zip_join(
     if "_ord" in l.columns and "_ord" in r.columns:
         r = r.withColumnRenamed("_ord", "_ord_r")
     return l.join(r, "_rn", "inner")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str,
+    lo_col: str,
+    hi_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Point-in-interval join (t in [lo, hi)) as a bucketed EQUI-join —
+    the scale-safe formulation of a range/theta join.
+
+    Spark plans a bare `t BETWEEN lo AND hi` predicate as a
+    BroadcastNestedLoopJoin (every point against every interval — O(n*m)
+    and only legal while one side fits in memory). Bucketing restores
+    hash-join shape: each point lands in its time bucket; each interval
+    explodes into the buckets it covers; the equi-join on (keys...,
+    bucket) produces candidates and the exact predicate filters them.
+    A matching pair meets in exactly ONE bucket (the point's), so no
+    dedup step is needed.
+
+    Cost: shuffle keyed on (keys..., bucket); the interval side expands
+    by ~span/bucket_seconds rows — size ``bucket_seconds`` near the
+    typical interval span so the expansion stays a small constant.
+    Timestamps are compared at full microsecond precision; bucketing
+    (seconds-truncated, monotonic) only generates candidates.
+    """
+    keys = keys or []
+    p_b = F.floor(F.col(t_col).cast("double") / bucket_seconds)
+    pts = points.withColumn("_b", p_b.cast("long"))
+    span = F.sequence(
+        F.floor(F.col(lo_col).cast("double") / bucket_seconds).cast("long"),
+        F.floor(F.col(hi_col).cast("double") / bucket_seconds).cast("long"),
+    )
+    ivs = intervals.withColumn("_b", F.explode(span))
+    out = pts.join(ivs, [*keys, "_b"]).filter(
+        (F.col(t_col) >= F.col(lo_col)) & (F.col(t_col) < F.col(hi_col))
+    )
+    return out.drop("_b")

@@ -266,3 +266,37 @@ def test_ivfpq_index_prunes_and_matches_inmemory_adc(spark, tmp_path):
         ann_ivfpq_topk(spark, path, q, k=5, dim=64,
                        codebooks=default_pq_codebooks(64, m=4, ksub=16),
                        n_cells=8, nprobe=2)
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The bucketed interval join must plan as an equi-join (hash/SMJ on
+    the bucket key), never BroadcastNestedLoopJoin, and must return
+    exactly the rows of the plain theta-join formulation."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        interval_join,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+        load_events,
+    )
+
+    ev = load_events(spark, SF).filter(F.col("user_id") < 20)
+    iv = ev.groupBy("user_id").agg(F.min("ts").alias("lo"))
+    iv = iv.withColumn("hi", F.col("lo") + F.expr("INTERVAL 45 MINUTES"))
+    pts = ev.select("event_id", "user_id", "ts")
+    out = interval_join(pts, iv, "ts", "lo", "hi", keys=["user_id"],
+                        bucket_seconds=900)
+
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    theta = pts.join(iv, "user_id").filter(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    got = {(r.event_id, r.user_id) for r in out.collect()}
+    exp = {(r.event_id, r.user_id) for r in theta.collect()}
+    assert got == exp and len(got) > 0
