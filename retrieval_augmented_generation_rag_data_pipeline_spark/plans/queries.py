@@ -2449,6 +2449,42 @@ def join_interval(spark, sf):
     return out.select("event_id", "user_id", "ts", "lo", "hi")
 
 
+# deterministic mode: most frequent value per group with an explicit
+# lexicographic tie-break — engines' native mode() picks an arbitrary
+# peer on ties, which can never hash-match across engines
+_MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 200 GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, n AS n_occurrences
+FROM r WHERE rn = 1
+"""
+
+
+@_q("agg_mode", _MODE_SQL)
+def agg_mode(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 200)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
 # =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
@@ -2485,6 +2521,7 @@ _PRIORITY_QUERIES = [
     "unpivot_melt",
     "vocab_entropy",
     "join_interval",
+    "agg_mode",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",
