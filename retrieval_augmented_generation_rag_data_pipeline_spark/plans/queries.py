@@ -2485,6 +2485,144 @@ def agg_mode(spark, sf):
     )
 
 
+# intersect / except with set semantics (both engines deduplicate) —
+# completes the §2.7 set-operation family alongside union_globs/distinct
+_SETOPS_SQL = """
+SELECT 'both' AS side, doc_id FROM (
+  SELECT doc_id FROM documents WHERE doc_id < 300
+  INTERSECT
+  SELECT vec_id AS doc_id FROM embeddings WHERE vec_id >= 200
+)
+UNION ALL
+SELECT 'docs_only' AS side, doc_id FROM (
+  SELECT doc_id FROM documents WHERE doc_id < 300
+  EXCEPT
+  SELECT vec_id AS doc_id FROM embeddings WHERE vec_id >= 200
+)
+"""
+
+
+@_q("set_ops", _SETOPS_SQL)
+def set_ops(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+    vecs = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") >= 200)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    both = docs.intersect(vecs).select(F.lit("both").alias("side"), "doc_id")
+    only = docs.exceptAll(vecs).distinct().select(
+        F.lit("docs_only").alias("side"), "doc_id"
+    )
+    return both.unionByName(only)
+
+
+# null plumbing: coalesce / nullif / null-aware equality over the
+# sparse events.value column
+_NULLFUNCS_SQL = """
+SELECT event_id,
+       coalesce(value, 0.0) AS value_or_zero,
+       nullif(event_type, 'view') AS type_not_view,
+       (value IS NOT DISTINCT FROM NULL) AS value_is_null,
+       CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END AS presence
+FROM events WHERE user_id < 100
+"""
+
+
+@_q("null_funcs", _NULLFUNCS_SQL)
+def null_funcs(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_or_zero"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("type_not_view"),
+        F.col("value").eqNullSafe(F.lit(None).cast("double")).alias("value_is_null"),
+        F.when(F.col("value").isNull(), "missing")
+        .otherwise("present")
+        .alias("presence"),
+    )
+
+
+# positional explode: (doc_id, pos, token) — ordinality must survive the
+# flatten on both engines
+_EXPLODE_POS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id < 50),
+idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[i] AS token FROM idx
+"""
+
+
+@_q("explode_pos", _EXPLODE_POS_SQL)
+def explode_pos(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    from ..functions.hashing import tokens as _tokens
+
+    return docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+# classic unit-cost edit distance — same DP definition in both engines
+_STRDIST_SQL = """
+WITH d AS (SELECT doc_id, substr(lower(trim(text)), 1, 24) AS head
+           FROM documents WHERE doc_id < 12)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+"""
+
+
+@_q("str_distance", _STRDIST_SQL)
+def str_distance(spark, sf):
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 12)
+        .select(
+            "doc_id",
+            F.substring(F.lower(F.trim(F.col("text"))), 1, 24).alias("head"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("_ha"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("_hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ha", "_hb").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+# exactly-k deterministic sample: order by content hash, take k — the
+# reproducible "give me 100 examples" cut (vs fraction-based sampling,
+# which returns a random-sized result)
+_EXACTK_SQL = f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {O.md5_long("'17' || ':' || CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents)
+WHERE rn <= 40
+"""
+
+
+@_q("sample_exact_k", _EXACTK_SQL)
+def sample_exact_k(spark, sf):
+    from ..functions.hashing import md5_long
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    h = md5_long(F.concat_ws(":", F.lit("17"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id")
+    )
+
+
 # =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
@@ -2522,6 +2660,11 @@ _PRIORITY_QUERIES = [
     "vocab_entropy",
     "join_interval",
     "agg_mode",
+    "set_ops",
+    "null_funcs",
+    "explode_pos",
+    "str_distance",
+    "sample_exact_k",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",
