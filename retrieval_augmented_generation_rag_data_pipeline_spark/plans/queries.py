@@ -2623,6 +2623,29 @@ def sample_exact_k(spark, sf):
     )
 
 
+def _zorder_sql() -> str:
+    from ..sources.sinks import morton_key_sql
+
+    key = morton_key_sql("(user_id % 256)", "(event_id % 256)", bits=8)
+    return f"""
+SELECT event_id, user_id, CAST({key} AS BIGINT) AS z_key
+FROM events WHERE user_id < 100
+"""
+
+
+@_q("zorder_key", _zorder_sql())
+def zorder_key(spark, sf):
+    # same engine-portable expression string on both sides (sinks.
+    # morton_key_sql) — the key that write_zordered clusters files by
+    from ..sources.sinks import morton_key_sql
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+    key = morton_key_sql("(user_id % 256)", "(event_id % 256)", bits=8)
+    return ev.select(
+        "event_id", "user_id", F.expr(key).cast("long").alias("z_key")
+    )
+
+
 # =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
@@ -2665,6 +2688,7 @@ _PRIORITY_QUERIES = [
     "explode_pos",
     "str_distance",
     "sample_exact_k",
+    "zorder_key",
     # r2-evidenced set at positions 51-71 during round 3
     "ann_ivf_topk",
     "artifact_probe",

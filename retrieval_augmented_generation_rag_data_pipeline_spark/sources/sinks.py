@@ -189,6 +189,49 @@ def write_ivf_index(
     )
 
 
+def morton_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """Morton (Z-order) curve key: interleave the low ``bits`` bits of
+    two non-negative int columns (a on even positions, b on odd). Rows
+    close on the curve are close in BOTH dimensions, so sorting by the
+    key clusters parquet row-group min/max stats for a AND b at once —
+    the standard multi-column data-skipping layout (Delta/Iceberg
+    OPTIMIZE ZORDER does the same thing).
+
+    Emitted as one engine-portable SQL string (>>, &, <<, + behave
+    identically in Spark SQL and DuckDB), so the key is
+    oracle-checkable verbatim."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ordered on two columns: range-partition by the
+    Morton key (each output file owns a curve segment), sort within
+    partitions, drop the key. A later scan filtering on EITHER column
+    prunes most files from their footer min/max stats — single-column
+    sorting can only ever serve one of the two predicates.
+    """
+    z = df.withColumn("_z", F.expr(morton_key_sql(col_a, col_b, bits)))
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def pq_meta(codebooks: list[list[list[float]]]) -> dict:
     """Canonical PQ metadata: subspace layout + a 6-decimal-rounded md5
     fingerprint of the codebooks (metadata-sized at any m x ksub x dsub)."""

@@ -150,3 +150,36 @@ def test_compact_parquet_splits_oversized_files(spark, tmp_path):
     assert n > 1
     assert len(list(pathlib.Path(out).glob("part-*.parquet"))) == n
     assert spark.read.parquet(out).count() == 500_000
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Z-ordered files must have NARROW per-file min/max spans on BOTH
+    dimensions (that is what footer-stat data skipping prunes on); a
+    single-column sort can only achieve this for one of the two."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        write_zordered,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1024).alias("a"),
+        (F.col("id") * 40503 % 1024).alias("b"),
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, "a", "b", n_files=16, bits=10)
+
+    back = spark.read.parquet(path).withColumn(
+        "file", F.input_file_name()
+    )
+    spans = back.groupBy("file").agg(
+        (F.max("a") - F.min("a")).alias("span_a"),
+        (F.max("b") - F.min("b")).alias("span_b"),
+        F.count("*").alias("rows"),
+    ).collect()
+    assert sum(r.rows for r in spans) == n
+    mean_a = sum(r.span_a for r in spans) / len(spans)
+    mean_b = sum(r.span_b for r in spans) / len(spans)
+    # random layout would give ~1023 span per file on both columns;
+    # the curve should cut BOTH well below half the global span
+    assert mean_a < 512, mean_a
+    assert mean_b < 512, mean_b
