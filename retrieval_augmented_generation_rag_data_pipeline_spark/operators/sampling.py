@@ -13,7 +13,7 @@ no shuffle, no RNG state, pushdown-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
@@ -141,3 +141,38 @@ def sample_stratified(
         ) % RESOLUTION
         return df.filter(bucket < threshold)
     return df.filter(_keep_expr(stratum, F.col(id_col), float(fraction), seed))
+
+
+def sample_exact(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+    with_rank: bool = False,
+) -> DataFrame:
+    """Exactly-k deterministic sample: the everyday "give me N
+    examples" call (the reference displays a head of the bucket listing
+    the same way, `testing/check_bucket_files.py:104-109`) — but
+    reproducible, because rows are ranked by hash(seed:id) rather than
+    by arrival order or `rand()`.
+
+    Scale: `orderBy(...).limit(k)` compiles to TakeOrderedAndProject —
+    every partition computes a local top-k and only k rows per
+    partition reach the driver-side merge, so the corpus never
+    serializes through one task. (A bare unpartitioned
+    `row_number() OVER (ORDER BY ...)` would — that is the
+    `WindowExec: No Partition Defined` anti-pattern this operator
+    exists to replace.) When ``with_rank`` is set, the rank window runs
+    AFTER the limit, over <= k rows — the same post-limit ranking
+    pattern as `retrieval.bm25_search`.
+    """
+    h = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("_sample_h", h).orderBy(
+        F.col("_sample_h").asc(), F.col(id_col).asc()
+    ).limit(int(k))
+    if with_rank:
+        w = Window.orderBy(F.col("_sample_h").asc(), F.col(id_col).asc())
+        out = out.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+    return out.drop("_sample_h")

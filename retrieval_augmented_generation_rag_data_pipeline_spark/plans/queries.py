@@ -2611,16 +2611,12 @@ WHERE rn <= 40
 
 @_q("sample_exact_k", _EXACTK_SQL)
 def sample_exact_k(spark, sf):
-    from ..functions.hashing import md5_long
+    # TakeOrderedAndProject via operators.sampling.sample_exact — per-
+    # partition partial top-k, never a global unpartitioned window
+    from ..operators.sampling import sample_exact
 
     docs = _t(spark, sf, "documents").select("doc_id")
-    h = md5_long(F.concat_ws(":", F.lit("17"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 40)
-        .select("doc_id")
-    )
+    return sample_exact(docs, k=40, id_col="doc_id", seed=17).select("doc_id")
 
 
 def _zorder_sql() -> str:

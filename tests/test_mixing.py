@@ -164,3 +164,29 @@ def test_normalize_text_vertical_tab_matches_oracle(spark):
         [raw],
     ).fetchone()[0]
     assert got == exp == "a b c d"
+
+
+def test_sample_exact_k_deterministic_and_take_ordered(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        sample_exact,
+    )
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in sample_exact(df, 25, "k", seed=3).collect())
+    b = sorted(
+        r.k for r in sample_exact(df.repartition(17), 25, "k", seed=3).collect()
+    )
+    assert len(a) == 25
+    assert a == b  # partition-independent
+    c = sorted(r.k for r in sample_exact(df, 25, "k", seed=4).collect())
+    assert a != c  # seed changes which k rows survive
+
+    # the whole point: TakeOrderedAndProject, never a global window
+    plan = sample_exact(df, 25, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    # with_rank ranks only the <= k survivors (post-limit window is fine)
+    ranked = sample_exact(df, 10, "k", seed=3, with_rank=True).collect()
+    assert sorted(r.sample_rank for r in ranked) == list(range(1, 11))
+    assert "_sample_h" not in sample_exact(df, 5, "k").columns
