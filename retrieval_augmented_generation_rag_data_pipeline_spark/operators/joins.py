@@ -427,6 +427,14 @@ def interval_join(
     (seconds-truncated, monotonic) only generates candidates.
     """
     keys = keys or []
+    # "_b" is the internal bucket key; silently overwriting (then
+    # dropping) a real user column of that name would corrupt output
+    for side, df in (("points", points), ("intervals", intervals)):
+        if "_b" in df.columns:
+            raise ValueError(
+                f"interval_join: {side} already has a '_b' column, which "
+                "collides with the internal bucket key — rename it first"
+            )
     p_b = F.floor(F.col(t_col).cast("double") / bucket_seconds)
     pts = points.withColumn("_b", p_b.cast("long"))
     span = F.sequence(

@@ -296,6 +296,7 @@ def ann_ivf_topk_indexed(
     n_cells: int = 8,
     nprobe: int = 2,
     centroids: list[list[float]] | None = None,
+    allow_missing_meta: bool = False,
 ) -> DataFrame:
     """IVF top-k over a PERSISTED inverted-list index
     (sources.sinks.write_ivf_index): reads ONLY the probed partitions.
@@ -318,14 +319,23 @@ def ann_ivf_topk_indexed(
     ``write_ivf_index``) is checked before probing: a quantizer
     mismatch — different dim, n_cells, vector column, or centroid set
     than the index was written with — would silently return wrong
-    neighbors, so it raises instead. Indexes written before the sidecar
-    existed skip the check.
+    neighbors, so it raises instead. A MISSING sidecar (foreign or
+    partially-written index) also raises — an unverifiable quantizer is
+    as dangerous as a mismatched one; pass ``allow_missing_meta=True``
+    only for indexes known to predate the sidecar.
     """
     if centroids is not None:
         n_cells = len(centroids)
     from ..sources.sinks import ivf_meta, read_sidecar_text
 
     raw = read_sidecar_text(spark, index_path.rstrip("/") + "/_ivf_meta.json")
+    if raw is None and not allow_missing_meta:
+        raise ValueError(
+            f"IVF index at {index_path} has no _ivf_meta.json sidecar; cannot "
+            "verify it was written with this probe's quantizer (dim/n_cells/"
+            "centroids/vec_col). Rebuild with write_ivf_index, or pass "
+            "allow_missing_meta=True for a pre-sidecar index you trust."
+        )
     if raw is not None:
         import json as _json
 
@@ -603,6 +613,7 @@ def ann_ivfpq_topk(
     n_cells: int = 8,
     nprobe: int = 2,
     centroids: list[list[float]] | None = None,
+    allow_missing_meta: bool = False,
 ) -> DataFrame:
     """IndexIVFPQ search over a persisted index
     (sources.sinks.write_ivfpq_index): partition-pruned scan of PQ codes
@@ -614,13 +625,23 @@ def ann_ivfpq_topk(
     per vector instead of dim floats; scoring is m table lookups. The
     ``_ivfpq_meta.json`` sidecar is asserted before probing — a
     different dim/n_cells/centroids/codebooks than the index was
-    written with raises instead of silently returning wrong neighbors.
+    written with raises instead of silently returning wrong neighbors,
+    and so does a MISSING sidecar (unverifiable quantizer) unless
+    ``allow_missing_meta=True``.
     """
     if centroids is not None:
         n_cells = len(centroids)
     from ..sources.sinks import ivf_meta, pq_meta, read_sidecar_text
 
     raw = read_sidecar_text(spark, index_path.rstrip("/") + "/_ivfpq_meta.json")
+    if raw is None and not allow_missing_meta:
+        raise ValueError(
+            f"IVFPQ index at {index_path} has no _ivfpq_meta.json sidecar; "
+            "cannot verify it was written with this probe's quantizer "
+            "(dim/n_cells/centroids/codebooks). Rebuild with "
+            "write_ivfpq_index, or pass allow_missing_meta=True for a "
+            "pre-sidecar index you trust."
+        )
     if raw is not None:
         import json as _json
 

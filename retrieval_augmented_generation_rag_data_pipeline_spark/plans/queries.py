@@ -2511,9 +2511,10 @@ def set_ops(spark, sf):
         .select(F.col("vec_id").alias("doc_id"))
     )
     both = docs.intersect(vecs).select(F.lit("both").alias("side"), "doc_id")
-    only = docs.exceptAll(vecs).distinct().select(
-        F.lit("docs_only").alias("side"), "doc_id"
-    )
+    # subtract == SQL EXCEPT (set semantics): a left row that is
+    # duplicated AND present on the right is removed entirely, where
+    # exceptAll().distinct() would leave a survivor
+    only = docs.subtract(vecs).select(F.lit("docs_only").alias("side"), "doc_id")
     return both.unionByName(only)
 
 

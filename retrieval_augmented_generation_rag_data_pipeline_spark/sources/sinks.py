@@ -199,11 +199,21 @@ def morton_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
 
     Emitted as one engine-portable SQL string (>>, &, <<, + behave
     identically in Spark SQL and DuckDB), so the key is
-    oracle-checkable verbatim."""
+    oracle-checkable verbatim.
+
+    Operands are CAST to BIGINT inside the generated SQL: with the
+    default bits=16 the interleave shifts up to <<31, which on a
+    32-bit INT column overflows into the sign bit and mis-orders the
+    curve. Inputs must be non-negative; values >= 2**bits contribute
+    only their low ``bits`` bits, so distinct rows can alias into the
+    same curve region (clustering quality, not correctness) — pick
+    ``bits`` to cover the value range."""
+    a = f"CAST({col_a} AS BIGINT)"
+    b = f"CAST({col_b} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 

@@ -300,3 +300,71 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     got = {(r.event_id, r.user_id) for r in out.collect()}
     exp = {(r.event_id, r.user_id) for r in theta.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_indexed_probe_guards(spark, tmp_path):
+    """Missing meta sidecar raises (unverifiable quantizer) unless
+    allow_missing_meta; interval_join refuses a colliding '_b' column."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        interval_join,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivf_topk_indexed,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_nometa")
+    write_ivf_index(emb, path, dim=64, n_cells=8)
+    os.remove(path + "/_ivf_meta.json")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="no _ivf_meta.json"):
+        ann_ivf_topk_indexed(spark, path, q, k=3, dim=64, n_cells=8, nprobe=2)
+    # escape hatch for pre-sidecar indexes
+    out = ann_ivf_topk_indexed(
+        spark, path, q, k=3, dim=64, n_cells=8, nprobe=2, allow_missing_meta=True
+    )
+    assert out.count() > 0
+
+    pts = spark.createDataFrame([(1, 5.0, 7)], ["id", "ts", "_b"])
+    iv = spark.createDataFrame([(0.0, 10.0)], ["lo", "hi"])
+    with pytest.raises(ValueError, match="'_b' column"):
+        interval_join(pts, iv, "ts", "lo", "hi")
+
+
+def test_morton_key_bigint_safe_on_int_columns(spark):
+    """bits=16 shifts reach <<31; on a 32-bit INT column the generated
+    SQL must CAST to BIGINT so high-bit interleaves never go negative,
+    and Spark/DuckDB agree on the key."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        morton_key_sql,
+    )
+
+    key = morton_key_sql("a", "b", bits=16)
+    df = spark.createDataFrame(
+        [(65535, 65535), (40000, 1), (0, 65535)],
+        "a int, b int",
+    ).select("a", "b", F.expr(key).alias("z"))
+    rows = sorted((r.a, r.b, r.z) for r in df.collect())
+    assert all(z >= 0 for _, _, z in rows)
+    assert rows[-1][2] == (1 << 32) - 1  # (65535, 65535) fills all 32 bits
+    oracle = sorted(
+        duckdb.execute(
+            f"SELECT a, b, {key} FROM (VALUES (65535, 65535), (40000, 1), "
+            "(0, 65535)) t(a, b)"
+        ).fetchall()
+    )
+    assert rows == [(a, b, int(z)) for a, b, z in oracle]
