@@ -33,15 +33,70 @@ def test_extract_features_deterministic(spark, media):
     assert {k: v.digest for k, v in out.items()} == again
 
 
-def test_resize_stub_raises_without_codecs(spark, media):
-    from retrieval_augmented_generation_rag_data_pipeline_spark.ml.multimodal import (
-        decode_available,
+def _ppm_bytes(w, h, fn):
+    """Build a P6 image whose pixel (x, y) is fn(x, y) -> (r, g, b)."""
+    body = bytes(
+        c for y in range(h) for x in range(w) for c in fn(x, y)
     )
+    return b"P6\n" + f"{w} {h}\n255\n".encode() + body
 
-    if decode_available():
-        pytest.skip("PIL present — stub not applicable")
+
+def test_resize_raises_on_undecodable_blob(spark, media):
+    # fake PNG bytes are decodable by neither the PNM codec nor PIL
     with pytest.raises(Exception):
         resize_images(media.filter(F.col("kind") == "image"), 32, 32).collect()
+
+
+def test_pnm_decode_resize_roundtrip(spark):
+    """The no-deps image path end-to-end on a REAL decoded fixture: a
+    4x2 P6 with distinct pixel values decodes, downsamples 2x by
+    nearest-neighbor, and re-encodes to the exact expected bytes."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.ml.multimodal import (
+        _decode_pnm,
+        decode_image,
+    )
+
+    # pixel (x, y) = (10x, 10y, 99) — every pixel unique in r/g
+    blob = _ppm_bytes(4, 2, lambda x, y: (10 * x, 10 * y, 99))
+    a = decode_image(blob)
+    assert a.shape == (2, 4, 3)
+    assert tuple(a[1, 3]) == (30, 10, 99)
+
+    df = spark.createDataFrame(
+        [(1, "image", blob, "image/x-portable-pixmap", 4, 2, None)], MEDIA_SCHEMA
+    )
+    out = resize_images(df, 2, 1).collect()[0]
+    assert (out.width, out.height) == (2, 1)
+    assert out.mime == "image/x-portable-pixmap"
+    r = _decode_pnm(bytes(out.content))
+    # nearest-neighbor with floor mapping keeps pixels (0,0) and (2,0)
+    assert r.shape == (1, 2, 3)
+    assert tuple(r[0, 0]) == (0, 0, 99)
+    assert tuple(r[0, 1]) == (20, 0, 99)
+    # comment + P5 gray variants decode too
+    gray = b"P5\n# a comment\n2 2\n255\n" + bytes([0, 100, 200, 255])
+    g = decode_image(gray)
+    assert g.shape == (2, 2) and g[1, 1] == 255
+
+
+def test_image_stats_tolerates_corrupt_rows(spark, media):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.ml.multimodal import (
+        image_stats,
+    )
+
+    blob = _ppm_bytes(4, 4, lambda x, y: (100, 50, 0))
+    good = spark.createDataFrame(
+        [(9, "image", blob, "image/x-portable-pixmap", 4, 4, None)], MEDIA_SCHEMA
+    )
+    out = {r.media_id: r for r in image_stats(media.unionByName(good)).collect()}
+    assert len(out) == 4  # corrupt rows survive as rows, not failures
+    ok = out[9]
+    assert (ok.width, ok.height, ok.channels) == (4, 4, 3)
+    assert ok.mean == [100.0, 50.0, 0.0]
+    assert ok.std == [0.0, 0.0, 0.0]
+    assert ok.decode_error is None
+    bad = out[1]  # the fake-PNG row
+    assert bad.width is None and bad.decode_error
 
 
 def test_sample_video_frames(spark, media):
