@@ -592,3 +592,70 @@ def test_dedup_ingest_content_level_exactly_once(spark, tmp_path):
     assert {r.doc_id for r in rows} == {0, 1, 7}  # 8 dropped: same content as 0
     led = spark.read.parquet(ledger)
     assert led.count() == 3
+
+
+def test_first_seen_ttl_state_plateaus_under_load(spark, tmp_path):
+    """Bounded-state soak: 100k distinct keys streamed in two 50k
+    waves two hours apart (TTL 30min). If eviction works, the store
+    holds ~one wave at a time — numRowsTotal plateaus instead of
+    accumulating every key ever seen. This is the metric that decides
+    whether the operator survives at 100 TB arrival rates."""
+    import datetime as dt
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.streaming.stateful import (
+        first_seen_keys_ttl,
+    )
+
+    src = str(tmp_path / "soak_src")
+    ckpt = str(tmp_path / "soak_ckpt")
+    schema = "key string, ts timestamp"
+    base = dt.datetime(2024, 3, 1, 10, 0)
+    n_wave = 50_000
+
+    def write_wave(wave, hours):
+        ts = base + dt.timedelta(hours=hours)
+        spark.createDataFrame(
+            [(f"k{wave}_{i}", ts) for i in range(n_wave)], schema
+        ).coalesce(4).write.mode("append").parquet(src)
+
+    def run():
+        emitted = [0]
+        state_rows = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = first_seen_keys_ttl(
+            stream, ttl_minutes=30, watermark_delay="10 minutes"
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _eid: emitted.__setitem__(0, emitted[0] + df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        for p in q.recentProgress:
+            ops = p["stateOperators"] if isinstance(p, dict) else p.stateOperators
+            for so in ops:
+                rows = so["numRowsTotal"] if isinstance(so, dict) else so.numRowsTotal
+                state_rows.append(rows)
+        return emitted[0], state_rows
+
+    # wave 1: 50k keys at 10:00
+    write_wave(1, 0)
+    n1, s1 = run()
+    assert n1 == n_wave  # every key is new -> emitted once
+    peak1 = max(s1)
+    assert peak1 >= n_wave  # the whole wave is in state
+
+    # wave 2: 50k NEW keys at 12:00 -> watermark 11:50 is far past
+    # wave 1's timeout horizon (10:30): wave 1 must evict this run
+    write_wave(2, 2)
+    n2, s2 = run()
+    assert n2 == n_wave
+    final = s2[-1]
+    # plateau: the store holds ~one wave (+ slack), never both
+    assert final < int(n_wave * 1.2), (
+        f"state grew to {final} rows — TTL eviction is not bounding the store"
+    )
