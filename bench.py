@@ -61,7 +61,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # dir names look like .../sf0.1; report sf=-1 rather than crash on
+    # a non-conforming name (e.g. a scale-replica dir)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
     spark = get_spark(app_name="bench")
 
     # JVM + parquet-footer warmup so per-query numbers measure the
@@ -89,7 +94,7 @@ def main() -> None:
                 "queries": warm,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -588,7 +588,13 @@ def _event_chunks(spark, sf):
             F.col("event_id").alias("chunk_id"),
             F.col("event_type").alias("text"),
             F.col("ts").cast("double").alias("t_end"),
-            (F.col("value") / 100.0).alias("confidence"),
+            # confidence in integer basis points (floor(x*1e4+0.5) is
+            # bit-identical across engines — no round() algorithm in
+            # play), so the group avg sums EXACT integer-valued doubles
+            # associatively and both engines produce the same mean
+            F.floor(F.col("value") * 100.0 * 100.0 + 0.5).cast("double").alias(
+                "confidence"
+            ),
         )
         .withColumn("t_start", F.coalesce(F.lag("t_end").over(w), F.lit(0.0)))
     )
@@ -606,7 +612,8 @@ def _event_segments(spark, sf):
 
 _ASOF_SQL = r"""
 WITH c0 AS (
-  SELECT user_id AS f, event_id, event_type, epoch(ts) AS te, value/100.0 AS conf
+  SELECT user_id AS f, event_id, event_type, epoch(ts) AS te,
+         floor(value * 100.0 * 100.0 + 0.5) AS conf
   FROM events WHERE event_type IN ('click','view')
 ), c AS (
   SELECT f, event_type AS ctext,
@@ -643,7 +650,7 @@ SELECT f AS user_id, seg_id, speaker,
        string_agg(ctext, ' ' ORDER BY k) AS text,
        round(arg_min(ct0, k), 6) AS t_start,
        round(arg_max(ct1, k), 6) AS t_end,
-       round(avg(conf), 6) AS confidence
+       floor(avg(conf) * 100.0 + 0.5) / 1000000.0 AS confidence
 FROM asn GROUP BY f, seg_id, speaker
 """
 
@@ -658,7 +665,12 @@ def join_asof(spark, sf):
         "text",
         F.round("t_start", 6).alias("t_start"),
         F.round("t_end", 6).alias("t_end"),
-        F.round("confidence", 6).alias("confidence"),
+        # basis-point mean -> 6-decimal confidence via floor(x+0.5):
+        # avg over exact integer-valued doubles is engine-identical
+        # (associative), and floor is a single IEEE op — unlike
+        # round(x, 6), whose exact-BigDecimal vs scaled-multiply
+        # algorithms flip decimal-half knife edges (seen at sf1)
+        (F.floor(F.col("confidence") * 100.0 + 0.5) / 1e6).alias("confidence"),
     )
 
 
@@ -835,11 +847,21 @@ def window_running(spark, sf):
 @_q(
     "format_dialogue",
     f"""WITH aligned AS ({_ASOF_SQL})
-        SELECT printf('[%.2f-%.2f] %s: %s', t_start, t_end, speaker, text) AS line
+        SELECT printf('[%.2f-%.2f] %s: %s',
+                      floor(t_start * 100.0 + 0.5) / 100.0,
+                      floor(t_end * 100.0 + 0.5) / 100.0, speaker, text) AS line
         FROM aligned""",
 )
 def format_dialogue(spark, sf):
+    # pre-round to 2 decimals in engine-stable form: %.2f of a raw
+    # double is decided by each engine's own float->decimal algorithm
+    # (Java half-up vs printf correctly-rounded), which disagree by one
+    # in the last digit for values near x.xx5 (seen at sf1). floor(x*
+    # 100+0.5)/100 is pure IEEE arithmetic — bit-identical everywhere —
+    # and a double that IS k/100-nearest formats identically in both.
     aligned = join_asof(spark, sf)
+    for c in ("t_start", "t_end"):
+        aligned = aligned.withColumn(c, F.floor(F.col(c) * 100 + 0.5) / 100)
     return text.format_dialogue(aligned)
 
 

@@ -29,9 +29,13 @@ TABLES = (
 def duck():
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # driver testdata is one file per table; Spark-written scale
+        # replicas (tools/make_scale_replica.py) are directories of
+        # part files — glob those
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     yield con
     con.close()
 
@@ -64,8 +68,12 @@ def test_query_matches_oracle(spark, duck, name):
     for c in got.columns:
         g, e = got[c], exp[c]
         if pd.api.types.is_float_dtype(g):
+            # rtol covers summation-order divergence: a 6M-row double
+            # sum legitimately differs between engines by O(n*ulp)
+            # relative (~3e-15 observed at sf1) while any real logic
+            # error is orders of magnitude larger
             ok = np.isclose(
-                g.to_numpy(), e.to_numpy(dtype="float64"), rtol=0, atol=1e-9, equal_nan=True
+                g.to_numpy(), e.to_numpy(dtype="float64"), rtol=1e-12, atol=1e-9, equal_nan=True
             )
             assert ok.all(), f"{name}.{c}: {int((~ok).sum())} float mismatches; first: {g[~ok].head(3).tolist()} vs {e[~ok].head(3).tolist()}"
         else:
