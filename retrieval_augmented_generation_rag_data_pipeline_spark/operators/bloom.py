@@ -1,0 +1,159 @@
+"""Broadcast Bloom-filter membership pre-filter and exact anti-join.
+
+The reference deduplicates new bucket files against an already-processed
+ledger with a driver-side Python set (`/root/reference/src/aws_bucket.py`
+tracked-files check) — fine for thousands of keys, impossible for the
+billions of keys a 100 TB ingest ledger holds. The classic scale answer
+(used by Spark's own runtime row-level filtering, and by every
+warehouse's semi-join reduction) is a Bloom filter:
+
+- **build**: one narrow scan of the key set computes k bit positions per
+  key (JVM-side xxhash64), a single `groupBy(word).bit_or` shuffle folds
+  them into a bitmap of m/64 longs, and the driver collects only that
+  bitmap (m bits total — ~1.2 GB for 1e9 keys at 1% fpp, broadcastable
+  where a 1e9-entry hash relation is not).
+- **probe**: positions are computed JVM-side again; a vectorized Arrow
+  pandas UDF tests bits against the broadcast numpy bitmap (one gather +
+  shift per hash, no per-row Python).
+- **exactness**: Bloom "no" is definitive, Bloom "yes" has fpp false
+  positives — so `bloom_anti_join` re-checks only the "yes" rows with a
+  real left-anti join. The join's shuffle therefore carries
+  |members| + fpp·|probe| rows instead of the whole probe table.
+
+Parameter math is the standard formulation (Bloom, CACM 1970):
+m = -n·ln(p)/ln(2)^2, k = (m/n)·ln(2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _positions(col: Column, k: int, m: int) -> Column:
+    """k bit positions in [0, m) for a key: pmod(xxhash64(key, i), m).
+
+    Seeded by hashing the key together with the hash index, so both the
+    build and probe side derive identical positions JVM-side (no Python
+    in the hashing hot path).
+    """
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col.cast("string"), F.lit(i)), F.lit(m))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) for expected n items at false-positive rate fpp.
+
+    m is rounded up to a multiple of 64 so the bitmap is whole longs.
+    """
+    if n <= 0:
+        return 64, 1
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0,1), got {fpp}")
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> tuple[np.ndarray, int, int]:
+    """Build a Bloom bitmap over `keys[key_col]` distributed-side.
+
+    Returns (bitmap: uint64[m/64], m, k). Only the folded bitmap words
+    reach the driver: explode the k positions, map each to
+    (word_index, 1 << bit), and `groupBy(word).agg(bit_or)` — a
+    map-side-combined shuffle whose output is at most m/64 rows
+    regardless of |keys|.
+    """
+    n = expected_items if expected_items is not None else keys.count()
+    m, k = bloom_params(n, fpp)
+    pos = F.explode(_positions(F.col(key_col), k, m)).alias("p")
+    words = (
+        keys.select(pos)
+        .select(
+            F.shiftright("p", 6).alias("w"),
+            # variable shift amount needs the SQL form (the python
+            # F.shiftleft only accepts a literal bit count)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r.w] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
+    return bitmap, m, k
+
+
+def with_bloom_contains(
+    df: DataFrame,
+    bitmap: np.ndarray,
+    m: int,
+    k: int,
+    key_col: str,
+    out_col: str = "_bloom_maybe",
+) -> DataFrame:
+    """Add a boolean column: True iff the key MIGHT be in the built set
+    (false positives at fpp; no false negatives).
+
+    The bitmap rides a Spark broadcast; the UDF is Arrow-vectorized —
+    per batch it is one np.stack + two shifts + an all() reduce.
+    """
+    sc = df.sparkSession.sparkContext
+    b_bitmap = sc.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def _might_contain(pos: pd.Series) -> pd.Series:
+        bm = b_bitmap.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.stack(pos.to_numpy()).astype(np.int64)
+        words = bm[arr >> 6]
+        bits = (words >> (arr & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return df.withColumn(
+        out_col, _might_contain(_positions(F.col(key_col), k, m))
+    )
+
+
+def bloom_anti_join(
+    df: DataFrame,
+    keys: DataFrame,
+    on: str,
+    key_col: str | None = None,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """EXACT left-anti join with a Bloom pre-filter on the probe side.
+
+    Rows whose key fails the Bloom test are definitively absent from
+    `keys` and bypass the join entirely; only the Bloom-positive rows
+    (true members + ~fpp false positives) enter the exact left-anti
+    join. Result is identical to `df.join(keys, on, "left_anti")` —
+    the filter only reduces shuffle volume, never changes the answer.
+    """
+    key_col = key_col or on
+    bitmap, m, k = build_bloom(keys, key_col, fpp, expected_items)
+    flagged = with_bloom_contains(df, bitmap, m, k, on)
+    definite_out = flagged.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+    maybe = flagged.filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
+    rechecked = maybe.join(
+        keys.select(F.col(key_col).alias(on)).distinct(), on, "left_anti"
+    )
+    return definite_out.unionByName(rechecked)

@@ -478,3 +478,51 @@ def embedding_near_dup_pairs(
         .groupBy("vec_a", "vec_b")
         .agg(F.first("cos_sim").alias("cos_sim"))
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 32,
+) -> DataFrame:
+    """Sub-document (chunk/paragraph-level) exact dedup with reassembly.
+
+    Web-corpus pipelines (C4, CCNet, RefinedWeb) dedup below document
+    granularity: boilerplate paragraphs repeat across pages that are
+    not whole-document duplicates. This is the chunk-granular analog of
+    `dedup_exact`: split into fixed word chunks, keep each distinct
+    chunk's FIRST occurrence (ordered by (doc_id, chunk_idx)), and
+    rebuild every document from its surviving chunks.
+
+    Returns (doc_id, text_dedup, n_chunks_kept, n_chunks_orig); a doc
+    whose every chunk already appeared elsewhere keeps an empty string.
+
+    Scale: two shuffles — a window keyed on the chunk digest (high
+    cardinality, skew-free: identical chunks co-locate but a group is
+    only as big as one chunk's duplication count), then the per-doc
+    regroup. Chunking itself is a narrow explode; no joins back to the
+    original table.
+    """
+    from .text import chunk_text
+
+    chunks = chunk_text(df, id_col=id_col, text_col=text_col, chunk_words=chunk_words)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("_keep"), F.struct("chunk_idx", "chunk_text")
+    )  # NULL for dropped chunks -> collect_list skips them
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.sum(F.col("_keep").cast("long")).alias("n_chunks_kept"),
+            F.count("*").cast("long").alias("n_chunks_orig"),
+        )
+    )

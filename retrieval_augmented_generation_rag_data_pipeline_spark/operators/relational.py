@@ -114,3 +114,47 @@ def union_sources(dfs: Sequence[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def rank_small(
+    df: DataFrame,
+    order: Sequence[tuple[str, str]],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Dense 1-based total-order rank for a SMALL (post-limit) DataFrame
+    without any window: rank(r) = 1 + count of strictly-better rows,
+    computed as a broadcast non-equi self-join + groupBy.
+
+    `order` is [(col, "asc"|"desc"), ...] evaluated lexicographically;
+    the key must be total (no ties), e.g. terminated by a unique id.
+
+    Why not `row_number() OVER (ORDER BY ...)`: an unpartitioned window
+    funnels input through one task AND logs the WindowExec single-
+    partition warning — and Spark 4's EliminateWindowPartitions strips
+    a foldable PARTITION BY lit(0), so the window form can't be made
+    quiet. For the <= k rows that survive a TakeOrdered limit, the k^2
+    broadcast comparison is cheaper than the exchange a window needs.
+    """
+
+    def _key(prefix: str) -> Column:
+        # struct comparison is ascending lexicographic; negate desc
+        # numeric fields to reuse it for mixed directions
+        fields = []
+        for i, (c, direction) in enumerate(order):
+            col = F.col(f"{prefix}.{c}")
+            if direction == "desc":
+                col = -col
+            elif direction != "asc":
+                raise ValueError(f"direction must be asc|desc, got {direction}")
+            fields.append(col.alias(f"_k{i}"))
+        return F.struct(*fields)
+
+    left = df.alias("_l")
+    right = df.select(*[c for c, _ in order]).alias("_r")
+    better = _key("_r") < _key("_l")
+    out_cols = df.columns
+    return (
+        left.join(F.broadcast(right), better, "left")
+        .groupBy(*[F.col(f"_l.{c}").alias(c) for c in out_cols])
+        .agg((F.count(f"_r.{order[0][0]}") + 1).cast("long").alias(rank_col))
+    )

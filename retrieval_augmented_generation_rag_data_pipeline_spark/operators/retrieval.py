@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens
 from ..session import ensure_parallelism
+from .relational import rank_small
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -186,11 +187,11 @@ def bm25_search(
     scored = per_term.groupBy("doc_id").agg(
         F.round(F.sum("s"), 6).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(topk)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    # TakeOrdered top-k, then rank the <= topk survivors via the
+    # window-free broadcast rank (no single-partition WindowExec)
+    return rank_small(
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk),
+        [("score", "desc"), ("doc_id", "asc")],
     )
 
 
@@ -223,9 +224,8 @@ def rrf_fuse(
     for c in contribs[1:]:
         unioned = unioned.unionByName(c)
     fused = unioned.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("rrf"))
-    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
-    return (
-        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
-        .limit(topk)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    # window-free rank of the <= topk post-limit rows
+    return rank_small(
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topk),
+        [("rrf", "desc"), ("doc_id", "asc")],
     )

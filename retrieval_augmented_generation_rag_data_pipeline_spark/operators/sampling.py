@@ -13,7 +13,7 @@ no shuffle, no RNG state, pushdown-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
@@ -173,6 +173,12 @@ def sample_exact(
         F.col("_sample_h").asc(), F.col(id_col).asc()
     ).limit(int(k))
     if with_rank:
-        w = Window.orderBy(F.col("_sample_h").asc(), F.col(id_col).asc())
-        out = out.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        # window-free rank of the <= k post-limit rows
+        from .relational import rank_small
+
+        out = rank_small(
+            out,
+            [("_sample_h", "asc"), (id_col, "asc")],
+            rank_col="sample_rank",
+        )
     return out.drop("_sample_h")

@@ -31,6 +31,7 @@ from ..functions.hashing import (
     NUM_PERM,
 )
 from ..operators import (
+    bloom,
     dedup,
     joins,
     relational,
@@ -455,6 +456,29 @@ def join_salted(spark, sf):
     return joins.salted_join(o, c, "c_custkey", salt=8).select(
         "o_orderkey", "c_mktsegment"
     )
+
+
+@_q(
+    "bloom_anti_join",
+    """SELECT c.c_custkey, c.c_mktsegment
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'O')""",
+)
+def bloom_anti_join(spark, sf):
+    # Bloom pre-filter + exact anti-join: the plain anti join IS the
+    # oracle — the bitmap only trims shuffle volume, never the answer.
+    # At 100 TB the build side (every custkey with an open order) is a
+    # ledger too big to broadcast as a hash relation but fine as a
+    # fixed-size bitmap.
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    open_orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return bloom.bloom_anti_join(c, open_orders, "c_custkey")
 
 
 @_q(
@@ -1773,6 +1797,36 @@ FROM x
 @_q("chunk_documents", _CHUNK_SQL)
 def chunk_documents(spark, sf):
     return text.chunk_text(_t(spark, sf, "documents"))
+
+
+_CHUNK_DEDUP_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id,
+             unnest(generate_series(0, CAST(floor((len(tk)-1)/32) AS INT))) AS chunk_idx,
+             tk
+      FROM t),
+x AS (SELECT doc_id, chunk_idx,
+             array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text
+      FROM c),
+d AS (SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM x)
+SELECT doc_id,
+       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                FILTER (WHERE rn = 1), '') AS text_dedup,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_chunks_kept,
+       CAST(count(*) AS BIGINT) AS n_chunks_orig
+FROM d GROUP BY doc_id
+"""
+
+
+@_q("dedup_chunks", _CHUNK_DEDUP_SQL)
+def dedup_chunks(spark, sf):
+    # sub-document boilerplate removal: first occurrence of each
+    # distinct 32-word chunk survives, docs reassembled from survivors
+    return dedup.chunk_dedup(_t(spark, sf, "documents"))
 
 
 # =====================================================================

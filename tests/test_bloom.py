@@ -1,0 +1,61 @@
+"""Bloom-filter membership + exact anti-join (operators/bloom.py).
+
+Replaces the reference's driver-side processed-set check
+(`/root/reference/src/aws_bucket.py` tracked-files ledger) with a
+broadcast bitmap whose build is a bounded groupBy(word).bit_or shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators import bloom
+
+
+def test_bloom_params_shape():
+    m, k = bloom.bloom_params(1000, 0.01)
+    assert m % 64 == 0
+    assert m >= 9000  # ~9.6 bits/item at 1% fpp
+    assert 5 <= k <= 9
+    # degenerate inputs stay usable
+    assert bloom.bloom_params(0) == (64, 1)
+    with pytest.raises(ValueError):
+        bloom.bloom_params(10, 1.5)
+
+
+def test_no_false_negatives_and_bounded_fpp(spark):
+    members = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bitmap, m, k = bloom.build_bloom(members, "k", fpp=0.01)
+    # every member must test positive
+    probed = bloom.with_bloom_contains(members, bitmap, m, k, "k")
+    assert probed.filter(~F.col("_bloom_maybe")).count() == 0
+    # non-members: false-positive rate near the configured 1%
+    outsiders = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = (
+        bloom.with_bloom_contains(outsiders, bitmap, m, k, "k")
+        .filter(F.col("_bloom_maybe"))
+        .count()
+    )
+    assert fp / 10_000 < 0.05  # generous margin over the 1% design point
+
+
+def test_bloom_anti_join_exact(spark):
+    # duplicates on the probe side + overlap with the key set: result
+    # must be bit-identical to the plain left-anti join
+    left = spark.createDataFrame(
+        [(i % 700, f"p{i}") for i in range(2000)], ["k", "payload"]
+    )
+    keys = spark.range(0, 350).select(F.col("id").alias("k"))
+    got = bloom.bloom_anti_join(left, keys, "k", fpp=0.2)  # high fpp: force recheck path
+    want = left.join(keys, "k", "left_anti")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_anti_join_distinct_key_col_name(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    keys = spark.createDataFrame([(2,), (9,)], ["other"])
+    got = bloom.bloom_anti_join(left, keys, "k", key_col="other")
+    assert sorted(r.k for r in got.collect()) == [1, 3]

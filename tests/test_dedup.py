@@ -235,3 +235,29 @@ def test_dedup_corpus_precision_controls(spark):
     out2 = dedup_corpus(df, min_bands=5)
     got2 = {r.doc_id: r.component_id for r in out2.collect()}
     assert got2 == {1: 1, 2: 2, 3: 3}
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # shared boilerplate chunk
+    uniq1 = " ".join(f"u{i}" for i in range(4))
+    uniq2 = " ".join(f"v{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq1),  # chunks: [boiler, uniq1]
+            (2, boiler + " " + uniq2),  # boiler duplicate -> dropped
+            (3, boiler),                # entirely duplicate -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in chunk_dedup(df, chunk_words=4).collect()
+    }
+    assert out[1].text_dedup == boiler + " " + uniq1
+    assert (out[1].n_chunks_kept, out[1].n_chunks_orig) == (2, 2)
+    assert out[2].text_dedup == uniq2
+    assert (out[2].n_chunks_kept, out[2].n_chunks_orig) == (1, 2)
+    assert out[3].text_dedup == ""
+    assert (out[3].n_chunks_kept, out[3].n_chunks_orig) == (0, 1)

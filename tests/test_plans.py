@@ -368,3 +368,22 @@ def test_morton_key_bigint_safe_on_int_columns(spark):
         ).fetchall()
     )
     assert rows == [(a, b, int(z)) for a, b, z in oracle]
+
+
+def test_rank_small_total_order(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.relational import rank_small
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)], ["doc_id", "score"]
+    )
+    got = {
+        r.doc_id: r.rank
+        for r in rank_small(df, [("score", "desc"), ("doc_id", "asc")]).collect()
+    }
+    assert got == {2: 1, 3: 2, 1: 3, 4: 4}
+
+    asc = {
+        r.doc_id: r.r2
+        for r in rank_small(df, [("score", "asc"), ("doc_id", "asc")], rank_col="r2").collect()
+    }
+    assert asc == {4: 1, 1: 2, 2: 3, 3: 4}
