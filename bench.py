@@ -56,6 +56,8 @@ HEADLINE = [
     "bm25_search",
     "hybrid_rrf",
     "ann_pq_topk",
+    "bloom_anti_join",
+    "dedup_chunks",
 ]
 
 

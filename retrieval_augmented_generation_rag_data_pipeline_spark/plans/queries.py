@@ -2730,60 +2730,61 @@ def zorder_key(spark, sf):
 # the 21 that sat at positions 51-71 during round 3 (green in
 # CORRECTNESS_r02.json) plus the 9 queries new this round.
 #
-# STANDING ROTATION (next round): replace this list with the queries
-# currently at positions 51+ (check with
-# `list(REGISTRY)[50:]` in a REPL — the 30 r3-evidenced entries that
-# fell out of round 4's window) plus any newly added queries.
+# STANDING ROTATION (round 5): the 47 entries that sat at positions
+# 51+ during round 4 (all green in CORRECTNESS_r03.json or earlier
+# windows) plus the 2 queries new this round (bloom_anti_join,
+# dedup_chunks) — first driver evidence for those two.
+# Next round: replace with `list(REGISTRY)[50:]` + new queries.
 _PRIORITY_QUERIES = [
-    # new in round 4 — first driver evidence this round
-    "tfidf_top_terms",
-    "bm25_search",
-    "hybrid_rrf",
-    "ngram_topk",
-    "assign_split",
-    "mix_corpora",
-    "window_rank",
-    "corpus_stats",
-    "ann_pq_topk",
-    "quality_filter",
-    "window_lead_lag",
-    "prepare_corpus",
-    "window_first_last",
-    "agg_stats",
-    "ann_ivfpq_mem",
-    "agg_pivot",
-    "unpivot_melt",
-    "vocab_entropy",
-    "join_interval",
-    "agg_mode",
-    "set_ops",
-    "null_funcs",
-    "explode_pos",
-    "str_distance",
-    "sample_exact_k",
-    "zorder_key",
-    # r2-evidenced set at positions 51-71 during round 3
-    "ann_ivf_topk",
-    "artifact_probe",
-    "chunk_documents",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_lsh_pairs",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "join_asof",
-    "lang_id",
-    "multimodal_features",
-    "pii_scrub",
-    "quality_score",
-    "repetition_metrics",
-    "sample_stratified",
-    "sort_desc",
-    "token_count",
-    "topn_per_group",
+    "bloom_anti_join",
+    "dedup_chunks",
+    "filter_year",
+    "project_arith",
+    "project_derived",
+    "scan_catalog",
+    "scan_documents",
+    "agg_conditional_count",
+    "agg_multi_counter",
+    "agg_by_year",
+    "agg_histogram",
+    "agg_mean",
+    "agg_max",
+    "agg_count",
+    "agg_concat",
+    "agg_tpch_q1",
+    "agg_percentile",
+    "agg_tpch_q6",
+    "top_revenue_orders",
+    "join_broadcast",
+    "semi_join",
+    "anti_join_ledger",
+    "join_salted",
+    "join_positional",
+    "distinct_keys",
+    "union_globs",
+    "limit_n",
+    "limit_pushdown",
+    "sessionize_islands",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "agg_rollup",
+    "agg_cube",
+    "argmin_nearest",
+    "window_running",
+    "format_dialogue",
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "map_funcs",
+    "knn_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "dedup_corpus",
+    "decontaminate",
+    "normalize_text",
 ]
 
 
