@@ -182,3 +182,75 @@ def sample_exact(
             rank_col="sample_rank",
         )
     return out.drop("_sample_h")
+
+
+def sample_exact_per_group(
+    df: DataFrame,
+    k: int,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-k deterministic sample PER GROUP (balanced eval sets,
+    per-source spot checks): rank rows within each group by
+    hash(seed:id) and keep the first k.
+
+    Unlike the global `sample_exact`, the window here IS partitioned —
+    by the group key — so parallelism scales with group count and no
+    single task ever sees more than one group. Catalyst further rewrites
+    the rank+filter into WindowGroupLimit (per-partition partial top-k
+    before the shuffle).
+    """
+    from pyspark.sql import Window
+
+    h = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    IPL 2006, exponential-key formulation): each row draws a
+    deterministic uniform u in (0,1] from hash(seed:id) and gets key
+    -ln(u)/w; the k smallest keys form the sample, so inclusion
+    probability tracks the weight (e.g. length-proportional doc
+    sampling). Reproducible across runs/engines because u is
+    hash-derived, not rand().
+
+    Scale: narrow per-row key + `orderBy(key).limit(k)` =
+    TakeOrderedAndProject, per-partition partial top-k. Weights must be
+    strictly positive; rows with NULL or non-positive weight are
+    dropped (documented, not silently kept).
+    """
+    u = (
+        (
+            md5_long(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                )
+            )
+            % RESOLUTION
+            + 1
+        ).cast("double")
+        / RESOLUTION
+    )
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").asc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("_es_key")
+    )

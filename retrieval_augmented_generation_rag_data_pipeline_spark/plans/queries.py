@@ -2696,6 +2696,54 @@ def sample_exact_k(spark, sf):
     return sample_exact(docs, k=40, id_col="doc_id", seed=17).select("doc_id")
 
 
+_EXACTK_GROUP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {O.md5_long("'7' || ':' || CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
+@_q("sample_group_k", _EXACTK_GROUP_SQL)
+def sample_group_k(spark, sf):
+    # balanced per-source cut: the window is PARTITIONED by source, so
+    # parallelism scales with group count (contrast sample_exact_k's
+    # global TakeOrdered)
+    from ..operators.sampling import sample_exact_per_group
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return sample_exact_per_group(
+        docs, k=5, group_cols=["source"], id_col="doc_id", seed=7
+    )
+
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         -ln((({O.md5_long("'3' || ':' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1)
+             / 1000000.0) / CAST(n_chars AS DOUBLE) AS _es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+ORDER BY _es_key ASC, doc_id ASC LIMIT 25
+"""
+
+
+@_q("sample_weighted_k", _WEIGHTED_SQL)
+def sample_weighted_k(spark, sf):
+    # Efraimidis-Spirakis weighted sample (inclusion tracks n_chars),
+    # deterministic u from hash(seed:id); TakeOrdered top-k plan
+    from ..operators.sampling import sample_weighted
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return sample_weighted(
+        docs, k=25, weight_col="n_chars", id_col="doc_id", seed=3
+    ).select("doc_id")
+
+
 def _zorder_sql() -> str:
     from ..sources.sinks import morton_key_sql
 
@@ -2738,6 +2786,8 @@ def zorder_key(spark, sf):
 _PRIORITY_QUERIES = [
     "bloom_anti_join",
     "dedup_chunks",
+    "sample_group_k",
+    "sample_weighted_k",
     "filter_year",
     "project_arith",
     "project_derived",

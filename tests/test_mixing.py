@@ -190,3 +190,45 @@ def test_sample_exact_k_deterministic_and_take_ordered(spark):
     ranked = sample_exact(df, 10, "k", seed=3, with_rank=True).collect()
     assert sorted(r.sample_rank for r in ranked) == list(range(1, 11))
     assert "_sample_h" not in sample_exact(df, 5, "k").columns
+
+
+def test_sample_exact_per_group_counts_and_determinism(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import sample_exact_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], ["doc_id", "grp"]
+    )
+    out = sample_exact_per_group(df, k=4, group_cols=["grp"], id_col="doc_id", seed=1)
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r.doc_id)
+    assert {g: len(v) for g, v in by_grp.items()} == {"g0": 4, "g1": 4, "g2": 4}
+    # deterministic across re-evaluation
+    again = sample_exact_per_group(df, k=4, group_cols=["grp"], id_col="doc_id", seed=1)
+    assert sorted((r.grp, r.doc_id) for r in again.collect()) == sorted(
+        (r.grp, r.doc_id) for r in rows
+    )
+    # small group (< k) keeps everything
+    tiny = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "grp"])
+    assert sample_exact_per_group(tiny, k=5, group_cols=["grp"]).count() == 3
+
+
+def test_sample_weighted_tracks_weights(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import sample_weighted
+
+    # one row with overwhelming weight is (essentially) always sampled
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {r.doc_id for r in sample_weighted(df, k=10, weight_col="w").collect()}
+    assert len(got) == 10
+    assert 999 in got
+    # null / non-positive weights are dropped, never sampled
+    bad = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], ["doc_id", "w"]
+    )
+    assert {r.doc_id for r in sample_weighted(bad, k=10, weight_col="w").collect()} == {1}
+    # reproducible
+    a = sorted(r.doc_id for r in sample_weighted(df, k=10, weight_col="w", seed=5).collect())
+    b = sorted(r.doc_id for r in sample_weighted(df, k=10, weight_col="w", seed=5).collect())
+    assert a == b
