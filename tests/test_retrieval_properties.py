@@ -93,3 +93,61 @@ def test_assign_split_matches_python_hash_line(spark, ids, seed, fracs):
         bkt = py_bucket(seed, i)
         exp = "train" if bkt < t1 else ("val" if bkt < t2 else "test")
         assert got[i] == exp, (i, bkt, got[i], exp)
+
+
+# ---------------------------------------------------------------------
+# bloom_anti_join and chunk_dedup vs direct Python references
+# ---------------------------------------------------------------------
+
+keys_strategy = st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30)
+
+
+@settings(max_examples=10, deadline=None)
+@given(left_keys=keys_strategy, right_keys=keys_strategy)
+def test_bloom_anti_join_matches_set_difference(spark, left_keys, right_keys):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.bloom import bloom_anti_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left_keys)], "k long, ord long"
+    )
+    right = spark.createDataFrame([(k,) for k in right_keys] or [(None,)], "k long")
+    if not right_keys:
+        right = right.filter("k IS NOT NULL")
+    got = sorted((r.k, r.ord) for r in bloom_anti_join(left, right, "k", fpp=0.3).collect())
+    want = sorted((k, i) for i, k in enumerate(left_keys) if k not in set(right_keys))
+    assert got == want
+
+
+chunk_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=9).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=chunk_corpus_strategy)
+def test_chunk_dedup_matches_python_reference(spark, texts):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import chunk_dedup
+
+    cw = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # direct reference: first occurrence of each chunk in (doc_id, idx) order
+    seen: set[str] = set()
+    want: dict[int, tuple[str, int, int]] = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        chunks = [" ".join(toks[j : j + cw]) for j in range(0, len(toks), cw)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        want[i] = (" ".join(kept), len(kept), len(chunks))
+    got = {
+        r.doc_id: (r.text_dedup, r.n_chunks_kept, r.n_chunks_orig)
+        for r in chunk_dedup(df, chunk_words=cw).collect()
+    }
+    assert got == want
