@@ -526,3 +526,54 @@ def chunk_dedup(
             F.count("*").cast("long").alias("n_chunks_orig"),
         )
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 32,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Incremental-ingest dedup: drop every NEW document that shares at
+    least one ``chunk_words``-word chunk with the EXISTING corpus; the
+    steady-state form of corpus building (the reference reprocesses the
+    whole bucket each run, `/root/reference/src/aws_bucket.py` — here
+    only the new batch is scanned against a fixed-size sketch of what's
+    already ingested).
+
+    Exactness via the Bloom recheck pattern (`operators/bloom.py`): the
+    existing corpus's chunk digests fold into a broadcast bitmap; new
+    chunks that miss are definitively novel, and only the ~fpp
+    maybe-hits enter an exact semi-join recheck. A new doc is dropped
+    iff one of its chunks CONFIRMS. Returns the surviving new_docs rows
+    unchanged.
+
+    Scale: existing is scanned twice (bitmap build, recheck join) but
+    never shuffled whole — the recheck join's build side is only the
+    maybe-hit digests. New-batch cost is one narrow chunk pass + the
+    tiny confirmed-id anti-join.
+    """
+    from .bloom import build_bloom, with_bloom_contains
+    from .text import chunk_text
+
+    ex_digests = chunk_text(
+        existing, id_col=id_col, text_col=text_col, chunk_words=chunk_words
+    ).select(F.md5("chunk_text").alias("_d"))
+    bitmap, m, k = build_bloom(ex_digests, "_d", fpp=fpp)
+
+    new_chunks = chunk_text(
+        new_docs, id_col=id_col, text_col=text_col, chunk_words=chunk_words
+    ).select("doc_id", F.md5("chunk_text").alias("_d"))
+    maybe = with_bloom_contains(new_chunks, bitmap, m, k, "_d").filter(
+        F.col("_bloom_maybe")
+    )
+    confirmed = (
+        maybe.join(ex_digests.distinct(), "_d", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return new_docs.join(
+        confirmed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

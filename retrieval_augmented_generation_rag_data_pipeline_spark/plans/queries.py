@@ -2696,6 +2696,40 @@ def sample_exact_k(spark, sf):
     return sample_exact(docs, k=40, id_col="doc_id", seed=17).select("doc_id")
 
 
+_INCR_DEDUP_SQL = r"""
+WITH t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, source,
+             unnest(generate_series(0, CAST(floor((len(tk)-1)/32) AS INT))) AS chunk_idx,
+             tk
+      FROM t),
+x AS (SELECT doc_id, source,
+             array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text
+      FROM c)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.source <> 'src0'
+  AND NOT EXISTS (
+    SELECT 1 FROM x n
+    WHERE n.doc_id = d.doc_id
+      AND n.chunk_text IN (SELECT chunk_text FROM x WHERE source = 'src0'))
+"""
+
+
+@_q("dedup_incremental", _INCR_DEDUP_SQL)
+def dedup_incremental(spark, sf):
+    # steady-state ingest: new batch (source != src0) deduped against
+    # the already-ingested corpus (src0) by shared 32-word chunks —
+    # Bloom bitmap prefilter + exact semi-join recheck, so the SQL
+    # NOT EXISTS is the oracle
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    existing = docs.filter(F.col("source") == "src0")
+    new_batch = docs.filter(F.col("source") != "src0")
+    return dedup.incremental_dedup(new_batch, existing).select(
+        "doc_id", "source"
+    )
+
+
 _EXACTK_GROUP_SQL = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source,
@@ -2788,6 +2822,7 @@ _PRIORITY_QUERIES = [
     "dedup_chunks",
     "sample_group_k",
     "sample_weighted_k",
+    "dedup_incremental",
     "filter_year",
     "project_arith",
     "project_derived",

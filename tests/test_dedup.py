@@ -261,3 +261,29 @@ def test_chunk_dedup_keeps_first_occurrence(spark):
     assert (out[2].n_chunks_kept, out[2].n_chunks_orig) == (1, 2)
     assert out[3].text_dedup == ""
     assert (out[3].n_chunks_kept, out[3].n_chunks_orig) == (0, 1)
+
+
+def test_incremental_dedup_drops_chunk_overlap(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    existing = spark.createDataFrame(
+        [(1, boiler + " " + " ".join(f"e{i}" for i in range(4)))],
+        ["doc_id", "text"],
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (10, " ".join(f"n{i}" for i in range(8))),      # novel -> kept
+            (11, boiler + " " + " ".join(f"m{i}" for i in range(4))),  # shares boiler -> dropped
+            (12, boiler.upper()),                            # chunking lowercases -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in incremental_dedup(new_batch, existing, chunk_words=4).collect()
+    )
+    assert kept == [10]
+    # empty existing corpus keeps everything
+    empty = existing.filter("doc_id < 0")
+    assert incremental_dedup(new_batch, empty, chunk_words=4).count() == 3
