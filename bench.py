@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_pq_topk",
     "bloom_anti_join",
     "dedup_chunks",
+    "dedup_incremental",
 ]
 
 

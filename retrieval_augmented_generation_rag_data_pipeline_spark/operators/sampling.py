@@ -162,9 +162,9 @@ def sample_exact(
     serializes through one task. (A bare unpartitioned
     `row_number() OVER (ORDER BY ...)` would — that is the
     `WindowExec: No Partition Defined` anti-pattern this operator
-    exists to replace.) When ``with_rank`` is set, the rank window runs
-    AFTER the limit, over <= k rows — the same post-limit ranking
-    pattern as `retrieval.bm25_search`.
+    exists to replace.) When ``with_rank`` is set, the <= k survivors
+    are ranked window-free via `relational.rank_small` — the same
+    post-limit ranking pattern as `retrieval.bm25_search`.
     """
     h = md5_long(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
