@@ -194,6 +194,37 @@ def main() -> None:
         "speedup": round(plain_s / max(salted_s, 1e-9), 2),
     }
 
+    # ---- Bloom anti-join at Nx: probe side Nx1M rows, key-set Nx100k.
+    # Compared against the plain shuffle anti-join with broadcast
+    # disabled (the 100 TB regime, where the key set exceeds the
+    # broadcast-hash-relation budget but its bitmap does not).
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.bloom import bloom_anti_join
+
+    n_probe = 1_000_000 * n
+    n_keys = 100_000 * n
+    probe_df = spark.range(n_probe).select((F.col("id") % (2 * n_keys)).alias("k"))
+    keys_df = spark.range(n_keys).select(F.col("id").alias("k"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        plain_anti = probe_df.join(keys_df, "k", "left_anti").count()
+        plain_anti_s = round(time.time() - t0, 2)
+        t0 = time.time()
+        bloom_anti = bloom_anti_join(
+            probe_df, keys_df, "k", expected_items=n_keys
+        ).count()
+        bloom_anti_s = round(time.time() - t0, 2)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            prev["spark.sql.autoBroadcastJoinThreshold"],
+        )
+    assert plain_anti == bloom_anti, (plain_anti, bloom_anti)
+    results["bloom_anti_join"] = {
+        "probe_rows": n_probe, "key_rows": n_keys,
+        "plain_sec": plain_anti_s, "bloom_sec": bloom_anti_s,
+    }
+
     # ---- chain-graph connected components: diameter = vertex count,
     # the worst case for plain label propagation (O(diameter) rounds);
     # pointer jumping must converge in O(log diameter).
