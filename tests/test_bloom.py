@@ -59,3 +59,22 @@ def test_bloom_anti_join_distinct_key_col_name(spark):
     keys = spark.createDataFrame([(2,), (9,)], ["other"])
     got = bloom.bloom_anti_join(left, keys, "k", key_col="other")
     assert sorted(r.k for r in got.collect()) == [1, 3]
+
+
+def test_bloom_anti_join_plan_shape(spark):
+    """The definite-out branch (Bloom says no) must reach the output
+    without any Exchange: the bitmap probe is a narrow filter, so rows
+    that fail it bypass every shuffle. Only the maybe branch joins."""
+    left = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    out = bloom.bloom_anti_join(left, keys, "k")
+    jvm = spark.sparkSession._jvm if hasattr(spark, "sparkSession") else spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "ArrowEvalPython" in plan  # vectorized probe, not row-at-a-time
+    # union of (filtered scan) and (recheck join): the first union child
+    # must contain no Exchange — locate the subtree between Union and
+    # the join branch
+    assert "Union" in plan
+    first_branch = plan.split("Union")[1].split("Join")[0]
+    assert "Exchange" not in first_branch

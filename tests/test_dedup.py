@@ -287,3 +287,19 @@ def test_incremental_dedup_drops_chunk_overlap(spark):
     # empty existing corpus keeps everything
     empty = existing.filter("doc_id < 0")
     assert incremental_dedup(new_batch, empty, chunk_words=4).count() == 3
+
+
+def test_chunk_dedup_plan_has_two_shuffles(spark):
+    """chunk_dedup's contract: exactly two Exchanges — the digest-keyed
+    window and the per-doc regroup. A third would mean a join crept in."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    out = chunk_dedup(df, chunk_words=3)
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    # count tree nodes only ("+- Exchange"); formatted mode repeats the
+    # node name in the per-node detail section
+    assert plan.count("+- Exchange") == 2
+    assert "Join" not in plan

@@ -209,20 +209,28 @@ def main() -> None:
         t0 = time.time()
         plain_anti = probe_df.join(keys_df, "k", "left_anti").count()
         plain_anti_s = round(time.time() - t0, 2)
+        # cold includes the Python-worker-pool spin-up for the Arrow
+        # UDF; warm is the steady-state probe cost
         t0 = time.time()
         bloom_anti = bloom_anti_join(
             probe_df, keys_df, "k", expected_items=n_keys
         ).count()
-        bloom_anti_s = round(time.time() - t0, 2)
+        bloom_cold_s = round(time.time() - t0, 2)
+        t0 = time.time()
+        bloom_anti2 = bloom_anti_join(
+            probe_df, keys_df, "k", expected_items=n_keys
+        ).count()
+        bloom_warm_s = round(time.time() - t0, 2)
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold",
             prev["spark.sql.autoBroadcastJoinThreshold"],
         )
-    assert plain_anti == bloom_anti, (plain_anti, bloom_anti)
+    assert plain_anti == bloom_anti == bloom_anti2, (plain_anti, bloom_anti)
     results["bloom_anti_join"] = {
         "probe_rows": n_probe, "key_rows": n_keys,
-        "plain_sec": plain_anti_s, "bloom_sec": bloom_anti_s,
+        "plain_sec": plain_anti_s,
+        "bloom_cold_sec": bloom_cold_s, "bloom_warm_sec": bloom_warm_s,
     }
 
     # ---- chain-graph connected components: diameter = vertex count,
