@@ -2823,8 +2823,6 @@ _PRIORITY_QUERIES = [
     "sample_group_k",
     "sample_weighted_k",
     "dedup_incremental",
-    "filter_year",
-    "project_arith",
     "project_derived",
     "scan_catalog",
     "scan_documents",
@@ -2870,6 +2868,10 @@ _PRIORITY_QUERIES = [
     "dedup_corpus",
     "decontaminate",
     "normalize_text",
+    # positions 51-52: miss the 50-entry round-5 window by design -
+    # the two most trivial entries slip to the front of round 6
+    "filter_year",
+    "project_arith",
 ]
 
 
