@@ -118,6 +118,11 @@ def with_bloom_contains(
     (measured on a 10M-row probe: ~13s array-column vs 1.3s warm with
     the struct form, k=7).
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"column {out_col!r} already exists on the input; pass a "
+            "different out_col"
+        )
     sc = df.sparkSession.sparkContext
     b_bitmap = sc.broadcast(bitmap)
 
@@ -161,10 +166,27 @@ def bloom_anti_join(
     the filter only reduces shuffle volume, never changes the answer.
     """
     key_col = key_col or on
-    bitmap, m, k = build_bloom(keys, key_col, fpp, expected_items)
-    flagged = with_bloom_contains(df, bitmap, m, k, on)
-    definite_out = flagged.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
-    maybe = flagged.filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
+    # Hash inputs must agree wherever the JOIN would match: the join
+    # coerces both sides to a common type, but the Bloom build/probe
+    # hash each side's own string form ('1' vs '1.0' for BIGINT vs
+    # DOUBLE) — a silent false NEGATIVE, which the recheck cannot
+    # repair (it only sees Bloom-positives). The BITMAP is therefore
+    # built over the key side cast to the probe column's type (for
+    # join-equal numeric pairs that cast reproduces the probe value, so
+    # no false negatives; a value-changing cast of a non-matching key
+    # only adds false positives). The RECHECK join keeps the key side's
+    # NATIVE type so its semantics are exactly the plain join's.
+    # Caveat: probe/key types must be equal or both numeric.
+    hash_aligned = keys.select(
+        F.col(key_col).cast(df.schema[on].dataType).alias(on)
+    )
+    bitmap, m, k = build_bloom(hash_aligned, on, fpp, expected_items)
+    flag = "_bloom_maybe"
+    while flag in df.columns:  # never clobber a caller column
+        flag = "_" + flag
+    flagged = with_bloom_contains(df, bitmap, m, k, on, out_col=flag)
+    definite_out = flagged.filter(~F.col(flag)).drop(flag)
+    maybe = flagged.filter(F.col(flag)).drop(flag)
     rechecked = maybe.join(
         keys.select(F.col(key_col).alias(on)).distinct(), on, "left_anti"
     )

@@ -498,17 +498,28 @@ def chunk_dedup(
     Returns (doc_id, text_dedup, n_chunks_kept, n_chunks_orig); a doc
     whose every chunk already appeared elsewhere keeps an empty string.
 
-    Scale: two shuffles — a window keyed on the chunk digest (high
-    cardinality, skew-free: identical chunks co-locate but a group is
-    only as big as one chunk's duplication count), then the per-doc
-    regroup. Chunking itself is a narrow explode; no joins back to the
-    original table.
+    Scale: the winner per digest comes from `groupBy(digest).min(struct)`
+    — partial aggregation combines map-side, so a boilerplate chunk
+    repeated in millions of docs sends at most one candidate row per
+    input partition to the reducer (a digest-keyed WINDOW would instead
+    sort every copy of the hot chunk in one task — the exact skew the
+    motivating C4/CCNet boilerplate case exhibits). The flag join back
+    is a hash equi-join AQE can skew-split, followed by the per-doc
+    regroup. Chunking itself is a narrow explode.
     """
     from .text import chunk_text
 
-    chunks = chunk_text(df, id_col=id_col, text_col=text_col, chunk_words=chunk_words)
-    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
-    flagged = chunks.withColumn("_keep", F.row_number().over(w) == 1)
+    chunks = chunk_text(
+        df, id_col=id_col, text_col=text_col, chunk_words=chunk_words
+    ).withColumn("_d", F.md5("chunk_text"))
+    winners = chunks.groupBy("_d").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_w")
+    )
+    flagged = chunks.join(winners, "_d").withColumn(
+        "_keep",
+        (F.col("doc_id") == F.col("_w.doc_id"))
+        & (F.col("chunk_idx") == F.col("_w.chunk_idx")),
+    )
     kept_struct = F.when(
         F.col("_keep"), F.struct("chunk_idx", "chunk_text")
     )  # NULL for dropped chunks -> collect_list skips them
@@ -550,17 +561,19 @@ def incremental_dedup(
     iff one of its chunks CONFIRMS. Returns the surviving new_docs rows
     unchanged.
 
-    Scale: existing is scanned twice (bitmap build, recheck join) but
-    never shuffled whole — the recheck join's build side is only the
-    maybe-hit digests. New-batch cost is one narrow chunk pass + the
-    tiny confirmed-id anti-join.
+    Scale: the existing corpus's chunk+digest lineage is materialized
+    ONCE (localCheckpoint) and reused by the three consumers that would
+    otherwise each re-run the explode+md5 scan — the bitmap sizing
+    count, the bitmap aggregation, and the recheck join (whose build
+    side is then only the digest table, never the corpus). New-batch
+    cost is one narrow chunk pass + the tiny confirmed-id anti-join.
     """
     from .bloom import build_bloom, with_bloom_contains
     from .text import chunk_text
 
     ex_digests = chunk_text(
         existing, id_col=id_col, text_col=text_col, chunk_words=chunk_words
-    ).select(F.md5("chunk_text").alias("_d"))
+    ).select(F.md5("chunk_text").alias("_d")).localCheckpoint(eager=True)
     bitmap, m, k = build_bloom(ex_digests, "_d", fpp=fpp)
 
     new_chunks = chunk_text(

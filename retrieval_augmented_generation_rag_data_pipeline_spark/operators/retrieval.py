@@ -188,11 +188,12 @@ def bm25_search(
         F.round(F.sum("s"), 6).alias("score")
     )
     # TakeOrdered top-k, then rank the <= topk survivors via the
-    # window-free broadcast rank (no single-partition WindowExec)
+    # window-free broadcast rank (no single-partition WindowExec); the
+    # final orderBy restores the API's rank-ordered rows (k-row sort)
     return rank_small(
         scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk),
         [("score", "desc"), ("doc_id", "asc")],
-    )
+    ).orderBy("rank")
 
 
 def rrf_fuse(
@@ -224,8 +225,9 @@ def rrf_fuse(
     for c in contribs[1:]:
         unioned = unioned.unionByName(c)
     fused = unioned.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("rrf"))
-    # window-free rank of the <= topk post-limit rows
+    # window-free rank of the <= topk post-limit rows, returned in rank
+    # order as the docstring promises
     return rank_small(
         fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topk),
         [("rrf", "desc"), ("doc_id", "asc")],
-    )
+    ).orderBy("rank")

@@ -180,7 +180,7 @@ def sample_exact(
             out,
             [("_sample_h", "asc"), (id_col, "asc")],
             rank_col="sample_rank",
-        )
+        ).orderBy("sample_rank")
     return out.drop("_sample_h")
 
 
@@ -231,8 +231,9 @@ def sample_weighted(
 
     Scale: narrow per-row key + `orderBy(key).limit(k)` =
     TakeOrderedAndProject, per-partition partial top-k. Weights must be
-    strictly positive; rows with NULL or non-positive weight are
-    dropped (documented, not silently kept).
+    strictly positive; rows with NULL, NaN, or non-positive weight are
+    dropped (documented, not silently kept — note NaN > 0 is TRUE in
+    Spark's ordering, so the explicit isnan guard is required).
     """
     u = (
         (
@@ -247,8 +248,9 @@ def sample_weighted(
         / RESOLUTION
     )
     key = -F.log(u) / F.col(weight_col).cast("double")
+    w_d = F.col(weight_col).cast("double")
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.filter(w_d.isNotNull() & ~F.isnan(w_d) & (w_d > 0))
         .withColumn("_es_key", key)
         .orderBy(F.col("_es_key").asc(), F.col(id_col).asc())
         .limit(int(k))

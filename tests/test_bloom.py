@@ -78,3 +78,31 @@ def test_bloom_anti_join_plan_shape(spark):
     assert "Union" in plan
     first_branch = plan.split("Union")[1].split("Join")[0]
     assert "Exchange" not in first_branch
+
+
+def test_bloom_anti_join_mixed_numeric_types(spark):
+    """BIGINT keys vs DOUBLE probe: the join coerces to a common type,
+    so the Bloom hash must too — a member row must never slip through
+    as a false negative (reviewed bug: '1' vs '1.0' string hashes)."""
+    left = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (3.5, "c")], ["k", "v"]
+    )
+    keys = spark.createDataFrame([(1,), (3,)], "k long")
+    got = sorted(r.v for r in bloom.bloom_anti_join(left, keys, "k").collect())
+    want = sorted(
+        r.v for r in left.join(keys.withColumnRenamed("k", "kk"),
+                               F.col("k") == F.col("kk"), "left_anti").collect()
+    )
+    assert got == want == ["b", "c"]
+
+
+def test_bloom_contains_rejects_existing_out_col(spark):
+    df = spark.createDataFrame([(1, True)], ["k", "_bloom_maybe"])
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    bitmap, m, k = bloom.build_bloom(keys, "k")
+    with pytest.raises(ValueError, match="_bloom_maybe"):
+        bloom.with_bloom_contains(df, bitmap, m, k, "k")
+    # bloom_anti_join must still work and preserve the caller's column
+    out = bloom.bloom_anti_join(df, keys, "k")
+    assert out.columns == ["k", "_bloom_maybe"]
+    assert out.count() == 0

@@ -225,7 +225,8 @@ def test_sample_weighted_tracks_weights(spark):
     assert 999 in got
     # null / non-positive weights are dropped, never sampled
     bad = spark.createDataFrame(
-        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], ["doc_id", "w"]
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, float("nan"))],
+        ["doc_id", "w"],
     )
     assert {r.doc_id for r in sample_weighted(bad, k=10, weight_col="w").collect()} == {1}
     # reproducible

@@ -148,3 +148,14 @@ def test_assign_split_remainder_goes_to_last_label(spark):
               out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert sum(counts.values()) == 500
     assert counts["holdout"] > 0.3 * 500  # 0.1 slice + 0.4 remainder
+
+
+def test_bm25_rows_come_back_rank_ordered(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.retrieval import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, "alpha " * (i % 5 + 1) + "beta") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(df, ["alpha"], topk=10).collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
