@@ -23,10 +23,19 @@ LEDGER_SCHEMA = T.StructType(
 
 
 def load_ledger(spark: SparkSession, path: str) -> DataFrame:
+    """First run = no ledger yet = empty frame. ONLY the missing-path
+    analysis error maps to empty: a transient read failure (S3 flake,
+    corrupt footer, permission denied) must FAIL the batch — treating
+    it as an empty ledger would silently disable dedup and re-ingest
+    everything already processed."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
     try:
         return spark.read.schema(LEDGER_SCHEMA).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], LEDGER_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], LEDGER_SCHEMA)
+        raise
 
 
 def append_processed(df: DataFrame, key_col: str, path: str) -> None:

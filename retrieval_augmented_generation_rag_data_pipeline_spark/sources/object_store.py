@@ -38,7 +38,7 @@ def s3a_conf(
     path_style_access: bool | None = None,
     anonymous: bool = False,
     fadvise: str = "random",
-    magic_committer: bool = True,
+    magic_committer: bool = False,
 ) -> dict[str, str]:
     """Build the `spark.hadoop.fs.s3a.*` conf map for an S3-compatible
     store. Pure function (unit-testable, no Spark needed); apply via
@@ -48,7 +48,19 @@ def s3a_conf(
     omit both for AWS. With no explicit keys the AWS default provider
     chain (env vars, instance profile) applies — credentials should
     come from the environment in production, not code.
+
+    ``magic_committer`` is OPT-IN: it points the session-wide commit
+    protocol at spark-hadoop-cloud's PathOutputCommitProtocol, a class
+    that hadoop-aws alone does NOT provide — enabling it without that
+    jar breaks every subsequent write (even local ones) with
+    ClassNotFoundException. Turn it on only when spark-hadoop-cloud is
+    on the classpath (`committer_available(spark)`).
     """
+    if anonymous and (access_key or secret_key or session_token):
+        raise ValueError(
+            "anonymous=True conflicts with explicit credentials — both "
+            "set fs.s3a.aws.credentials.provider; pass one or the other"
+        )
     conf: dict[str, str] = {
         _P + "list.version": "2",
         _P + "experimental.input.fadvise": fadvise,
@@ -95,6 +107,18 @@ def configure_s3a(spark: SparkSession, **kwargs) -> SparkSession:
         else:
             spark.conf.set(k, v)
     return spark
+
+
+def committer_available(spark: SparkSession) -> bool:
+    """True when spark-hadoop-cloud's PathOutputCommitProtocol is on
+    the classpath — the prerequisite for ``magic_committer=True``."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        )
+        return True
+    except Exception:
+        return False
 
 
 def s3a_available(spark: SparkSession) -> bool:

@@ -22,8 +22,11 @@ def derive_artifact(
 ) -> DataFrame:
     """Sibling-artifact path: swap the file extension for ``suffix``
     (the relational ``Path.with_suffix``, reference src/main.py:81).
-    Paths without an extension get the suffix appended."""
-    stem = F.regexp_replace(F.col(src_col), r"\.[^./]+$", "")
+    Paths without an extension get the suffix appended. The lookbehind
+    requires a character before the final dot, so a dotfile
+    ('/data/.config') keeps its name — matching Path.with_suffix,
+    which never treats a leading dot as a suffix."""
+    stem = F.regexp_replace(F.col(src_col), r"(?<=[^/])\.[^./]+$", "")
     return df.withColumn(out_col, F.concat(stem, F.lit(suffix)))
 
 

@@ -42,13 +42,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both paths produce the same micros values DuckDB surfaces for the
     same file (oracle parity), with a stable TIMESTAMP (ltz) schema.
     """
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prev = spark.conf.get(conf_key, None)
     except Exception:
-        pass  # conf removed — the native-read branch below handles it
+        prev = None
+    try:
+        spark.conf.set(conf_key, "true")
+        changed = True
+    except Exception:
+        changed = False  # conf removed — the native-read branch handles it
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
+        # legacy path (Spark <= 4.0): the conf is consulted again at
+        # execution, so it must STAY set for this frame's lifetime —
+        # the session-wide leak is inherent to the legacy conf design
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # native path (Spark 4.1+ ignores the conf): restore it so later
+    # unrelated nanos-parquet reads in the session keep their schema
+    if changed:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -79,7 +95,19 @@ def scan_catalog(
 
 
 def scan_globs(spark: SparkSession, path: str, globs: Sequence[str]) -> DataFrame:
-    """Multi-extension union scan (reference src/transcription.py:431-432)."""
+    """Multi-extension scan (reference src/transcription.py:431-432).
+
+    Simple patterns are combined into ONE Hadoop brace alternation
+    (`{*.wav,*.mp3}`) so the store prefix is listed once — N separate
+    scans would each run a full recursive listing (N rounds of
+    paginated LIST calls on an object store). Falls back to a union of
+    per-glob scans only when a pattern already contains braces (nested
+    alternation isn't portable); a file matching several globs appears
+    once on the combined path, which is also what callers want.
+    """
+    globs = list(globs)
+    if len(globs) > 1 and not any("{" in g or "}" in g for g in globs):
+        return scan_catalog(spark, path, "{" + ",".join(globs) + "}")
     dfs = [scan_catalog(spark, path, g) for g in globs]
     out = dfs[0]
     for d in dfs[1:]:
@@ -136,9 +164,13 @@ def scan_csv(
     schema: T.StructType | str | None = None,
     header: bool = True,
     delimiter: str = ",",
+    glob: str | None = None,
 ) -> DataFrame:
     """CSV scan with the same schema-first stance as scan_jsonl
-    (inference costs a full extra pass; headers alone don't give types)."""
+    (inference costs a full extra pass; headers alone don't give
+    types). Recursive like every sibling scanner — nested shard
+    layouts (path/source=x/part-*.csv) are read fully, not silently
+    truncated to the top-level directory."""
     reader = spark.read.option("header", str(header).lower()).option(
         "delimiter", delimiter
     )
@@ -146,4 +178,6 @@ def scan_csv(
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", "true")
-    return reader.csv(path)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.option("recursiveFileLookup", "true").csv(path)

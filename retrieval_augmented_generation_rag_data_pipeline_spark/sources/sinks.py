@@ -207,7 +207,17 @@ def morton_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
     curve. Inputs must be non-negative; values >= 2**bits contribute
     only their low ``bits`` bits, so distinct rows can alias into the
     same curve region (clustering quality, not correctness) — pick
-    ``bits`` to cover the value range."""
+    ``bits`` to cover the value range.
+
+    ``bits`` is capped at 31: at 32 the b-operand's top bit lands on
+    BIGINT bit 63 (the sign), making large-b keys NEGATIVE — they sort
+    FIRST and interleave unrelated ranges into the same files, which
+    silently defeats min/max data skipping."""
+    if not 1 <= bits <= 31:
+        raise ValueError(
+            f"bits must be in [1, 31] (got {bits}): bit 2*{bits}-1 "
+            "would reach the BIGINT sign bit and invert the curve order"
+        )
     a = f"CAST({col_a} AS BIGINT)"
     b = f"CAST({col_b} AS BIGINT)"
     terms = []

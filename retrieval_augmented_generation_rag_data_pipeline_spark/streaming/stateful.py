@@ -176,10 +176,14 @@ def first_seen_keys_ttl(
         for pdf in pdfs:
             if len(pdf):
                 lo, hi = pdf[ts_col].min(), pdf[ts_col].max()
+                # all-null event times give NaT (not None), and NaT
+                # poisons min()/max() and the epoch math below — skip
+                if pd.isna(lo):
+                    continue
                 ts_min = lo if ts_min is None else min(ts_min, lo)
                 ts_max = hi if ts_max is None else max(ts_max, hi)
         first = not state.exists
-        if ts_max is None:
+        if ts_max is None or pd.isna(ts_max):
             return
         # A fall-back repeated hour makes the naive value ambiguous:
         # resolve by taking the LATER of the two epochs (DST vs

@@ -20,9 +20,14 @@ def test_s3a_conf_defaults_are_scale_safe():
     # paginated listing + parquet-friendly ranged reads
     assert conf["spark.hadoop.fs.s3a.list.version"] == "2"
     assert conf["spark.hadoop.fs.s3a.experimental.input.fadvise"] == "random"
-    # magic committer: no O(files) copy-rename phase on object stores
-    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
-    assert "PathOutputCommitProtocol" in conf["spark.sql.sources.commitProtocolClass"]
+    # magic committer is OPT-IN: its commit-protocol class lives in
+    # spark-hadoop-cloud, which hadoop-aws alone doesn't provide —
+    # defaulting it on would break every write on a classpath without
+    # that jar (ClassNotFoundException on even local writes)
+    assert "spark.sql.sources.commitProtocolClass" not in conf
+    magic = s3a_conf(magic_committer=True)
+    assert magic["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in magic["spark.sql.sources.commitProtocolClass"]
     # AWS default: virtual-host addressing, provider-chain credentials
     assert conf["spark.hadoop.fs.s3a.path.style.access"] == "false"
     assert "access.key" not in {k.rsplit(".", 2)[-2] for k in conf}
@@ -48,6 +53,11 @@ def test_s3a_conf_temporary_and_anonymous_credentials():
     assert "AnonymousAWSCredentialsProvider" in anon[
         "spark.hadoop.fs.s3a.aws.credentials.provider"
     ]
+    # conflicting credential modes must raise, not silently pick one
+    import pytest
+
+    with pytest.raises(ValueError, match="anonymous"):
+        s3a_conf(anonymous=True, session_token="t")
 
 
 def test_s3a_live_bucket_smoke(spark):

@@ -194,3 +194,52 @@ def test_scan_csv_schema_first(spark, tmp_path):
         (1, "alpha", 0.5),
         (2, "beta", 1.25),
     ]
+
+
+def test_derive_artifact_keeps_dotfile_names(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.probe import derive_artifact
+
+    df = spark.createDataFrame(
+        [("/d/a.webm",), ("/d/.config",), ("/d/noext",), ("/d/x.tar.gz",)],
+        ["path"],
+    )
+    got = {r.path: r.artifact_path for r in derive_artifact(df, suffix=".wav").collect()}
+    # matches pathlib.Path.with_suffix: a leading dot is a name, not a suffix
+    assert got == {
+        "/d/a.webm": "/d/a.wav",
+        "/d/.config": "/d/.config.wav",
+        "/d/noext": "/d/noext.wav",
+        "/d/x.tar.gz": "/d/x.tar.wav",
+    }
+
+
+def test_morton_key_rejects_sign_bit_bits():
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import morton_key_sql
+
+    with pytest.raises(ValueError, match="sign bit"):
+        morton_key_sql("a", "b", bits=32)
+    assert "<< 61" in morton_key_sql("a", "b", bits=31)
+
+
+def test_scan_globs_combines_into_one_listing(spark, tmp_path):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import scan_globs
+
+    (tmp_path / "a.wav").write_bytes(b"x")
+    (tmp_path / "b.mp3").write_bytes(b"y")
+    (tmp_path / "c.txt").write_bytes(b"z")
+    out = scan_globs(spark, str(tmp_path), ["*.wav", "*.mp3"])
+    names = sorted(r.path.rsplit("/", 1)[-1] for r in out.collect())
+    assert names == ["a.wav", "b.mp3"]
+
+
+def test_scan_csv_reads_nested_shards(spark, tmp_path):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import scan_csv
+
+    sub = tmp_path / "source=x"
+    sub.mkdir()
+    (sub / "part-0.csv").write_text("id,v\n1,a\n2,b\n")
+    (tmp_path / "part-1.csv").write_text("id,v\n3,c\n")
+    out = scan_csv(spark, str(tmp_path), schema="id INT, v STRING")
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
