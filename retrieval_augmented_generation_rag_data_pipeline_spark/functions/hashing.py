@@ -35,8 +35,15 @@ def md5_long(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens. Assumes non-empty trimmed input."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    """Lowercased whitespace tokens, empty strings dropped.
+
+    The filter (not trim) handles EVERY whitespace edge: Spark's trim
+    strips only ASCII spaces, so "hello\\n" used to yield a trailing
+    empty token and "\\n\\t" a whole phantom token — inflating token
+    counts and polluting shingles for newline-terminated documents.
+    Mirrored exactly by functions.oracle.tokens (DuckDB list_filter).
+    """
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:

@@ -19,7 +19,10 @@ def md5_long(x: str) -> str:
 
 
 def tokens(x: str) -> str:
-    return r"string_split_regex(lower(trim(" + x + r")), '\s+')"
+    # empty tokens dropped — the exact mirror of functions.hashing.tokens
+    return (
+        r"list_filter(string_split_regex(lower(" + x + r"), '\s+'), t -> t <> '')"
+    )
 
 
 def word_shingles(toks: str, k: int = 3) -> str:

@@ -247,16 +247,22 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 def sample_video_frames(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Frame sampling (STUB without ffmpeg): emits (media_id, frame_idx,
     t_offset_s) rows derived from duration metadata — the explode shape
-    a real decoder would produce, deterministic for tests."""
+    a real decoder would produce, deterministic for tests.
+
+    Frame timestamps are STRICTLY inside [0, duration): ceil(d/every_s)
+    frames, so a 10s clip at 1fps yields t = 0..9 (never a frame AT the
+    end, which no decoder produces), and zero/NULL-duration videos
+    yield no frames at all.
+    """
     n_frames = F.greatest(
-        F.floor(F.coalesce(F.col("duration_s"), F.lit(0.0)) / every_s).cast("int"),
+        F.ceil(F.coalesce(F.col("duration_s"), F.lit(0.0)) / every_s).cast("int"),
         F.lit(0),
     )
     return (
-        df.filter(F.col("kind") == "video")
+        df.filter((F.col("kind") == "video") & (n_frames > 0))
         .select(
             "media_id",
-            F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
         )
         .select(
             "media_id",

@@ -43,6 +43,19 @@ SEGMENT_SCHEMA = T.ArrayType(
 )
 
 
+# Process-wide model cache: the iterator-of-batches form amortizes a
+# load only WITHIN one task; without this cache a 500-partition scan
+# would reload multi-GB weights 500 times per python worker. Keyed on
+# the full construction signature so distinct configs coexist.
+_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _cached_model(key: tuple, loader):
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = loader()
+    return _MODEL_CACHE[key]
+
+
 def _try_import(mod: str):
     try:
         return __import__(mod)
@@ -91,37 +104,40 @@ def make_asr_udf(
             raise NotImplementedError(
                 "transformers/torch not installed — use fake_transcribe for tests"
             )
-        import torch
-        from transformers import pipeline as hf_pipeline
+        def _load():
+            import torch
+            from transformers import pipeline as hf_pipeline
 
-        use_cuda = torch.cuda.is_available()
-        if use_cuda:
-            torch.backends.cuda.matmul.allow_tf32 = True
-            torch.backends.cudnn.allow_tf32 = True
-        pipeline_kwargs = {
-            "task": "automatic-speech-recognition",
-            "model": model_name,
-            "torch_dtype": torch.float16 if use_cuda else torch.float32,
-            "device": 0 if use_cuda else "cpu",
-        }
-        model_kwargs = {}
-        if use_cuda:
+            use_cuda = torch.cuda.is_available()
+            if use_cuda:
+                torch.backends.cuda.matmul.allow_tf32 = True
+                torch.backends.cudnn.allow_tf32 = True
+            pipeline_kwargs = {
+                "task": "automatic-speech-recognition",
+                "model": model_name,
+                "torch_dtype": torch.float16 if use_cuda else torch.float32,
+                "device": 0 if use_cuda else "cpu",
+            }
+            model_kwargs = {}
+            if use_cuda:
+                try:
+                    from transformers.utils import is_flash_attn_2_available
+
+                    if is_flash_attn_2_available():
+                        model_kwargs["use_flash_attention_2"] = True
+                except ImportError:
+                    pass
             try:
-                from transformers.utils import is_flash_attn_2_available
+                return hf_pipeline(
+                    **pipeline_kwargs,
+                    **({"model_kwargs": model_kwargs} if model_kwargs else {}),
+                )
+            except TypeError:
+                if not model_kwargs:
+                    raise
+                return hf_pipeline(**pipeline_kwargs)
 
-                if is_flash_attn_2_available():
-                    model_kwargs["use_flash_attention_2"] = True
-            except ImportError:
-                pass
-        try:
-            model = hf_pipeline(
-                **pipeline_kwargs,
-                **({"model_kwargs": model_kwargs} if model_kwargs else {}),
-            )
-        except TypeError:
-            if not model_kwargs:
-                raise
-            model = hf_pipeline(**pipeline_kwargs)
+        model = _cached_model(("asr", model_name), _load)
         for series in batches:
             out = []
             for blob in series:
@@ -164,7 +180,9 @@ def make_embed_udf(model_name: str = "all-MiniLM-L6-v2", batch_size: int = 64):
             )
         from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(model_name)
+        model = _cached_model(
+            ("st", model_name), lambda: SentenceTransformer(model_name)
+        )
         for series in batches:
             vecs = model.encode(
                 series.tolist(), batch_size=batch_size, normalize_embeddings=True
@@ -231,18 +249,25 @@ def make_diarize_udf(
         import torch
         from pyannote.audio import Pipeline as PyannotePipeline
 
-        pipeline = None
-        if auth_token is not None:
-            # older/newer pyannote disagree on the token kwarg name;
-            # retry across the API variants like the reference loader
-            for kwargs in ({"use_auth_token": auth_token}, {"token": auth_token}):
-                try:
-                    pipeline = PyannotePipeline.from_pretrained(model_name, **kwargs)
-                    break
-                except TypeError:
-                    continue
-        if pipeline is None:
-            pipeline = PyannotePipeline.from_pretrained(model_name)
+        def _load():
+            if auth_token is not None:
+                # older/newer pyannote disagree on the token kwarg name;
+                # retry across the API variants like the reference loader
+                for kwargs in (
+                    {"use_auth_token": auth_token},
+                    {"token": auth_token},
+                ):
+                    try:
+                        return PyannotePipeline.from_pretrained(
+                            model_name, **kwargs
+                        )
+                    except TypeError:
+                        continue
+            return PyannotePipeline.from_pretrained(model_name)
+
+        pipeline = _cached_model(
+            ("diarize", model_name, auth_token is not None), _load
+        )
         for series in batches:
             out = []
             for wave in series:

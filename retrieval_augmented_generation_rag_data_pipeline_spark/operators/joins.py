@@ -277,7 +277,19 @@ def broadcast_lookup(
 # Joins where replicating the dim side `salt` times cannot duplicate
 # output rows: every dim row's copies either all match the same fact
 # sub-keys (inner/left/semi) or are never emitted on their own.
-_SALT_SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi"}
+# left_anti is also safe: the dim copy with the fact row's own salt
+# exists iff the key exists at all, so the anti result is exactly
+# facts-without-key — dim replication can't duplicate fact rows.
+_SALT_SAFE_HOW = {
+    "inner",
+    "left",
+    "leftouter",
+    "left_outer",
+    "leftsemi",
+    "left_semi",
+    "leftanti",
+    "left_anti",
+}
 
 
 def salted_join(
@@ -298,9 +310,10 @@ def salted_join(
     the fact side (null never matches an equi-join anyway).
 
     ``how`` is restricted to fact-preserving joins (inner/left/
-    left_semi): any join that can emit unmatched DIM rows (right/full/
-    left_anti-of-dim) would emit each one ``salt`` times because the dim
-    side is replicated — a silent row duplication, so it raises.
+    left_semi/left_anti — the anti form covers the skewed ledger skip-
+    join): any join that can emit unmatched DIM rows (right/full) would
+    emit each one ``salt`` times because the dim side is replicated —
+    a silent row duplication, so it raises.
     """
     if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
         raise ValueError(

@@ -55,7 +55,10 @@ def chunk_text(
         ),
     )
     return (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        # at least one REAL token — length(trim(..)) > 0 would pass
+        # newline/tab-only docs (Spark trim strips spaces only) and
+        # emit a bogus empty chunk for them
+        df.filter(n > 0)
         .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
         .select(
             "doc_id",
@@ -125,22 +128,10 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Heuristic document quality: length, punctuation ratio, stopword
-    ratio, mean word length -> composite score in [0,1]-ish.
-
-    Mirrors the standard pretraining-data quality filters (C4/Gopher
-    style rules) as pure column arithmetic.
-    """
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_t"),
-        tokens(F.col(text_col)).alias("_tk"),
-    )
-    t = F.col("_t")
-    toks = F.col("_tk")
+def _quality_signals(t, toks):
+    """The shared (n_tok, punct, stop_ratio, mean_wlen, score) Column
+    family — quality_score REPORTS it, quality_filter GATES on it; one
+    builder so a weight tweak can never desynchronize the two."""
     n_tok = F.size(toks).cast("double")
     n_chars = F.length(t).cast("double")
     punct = (
@@ -156,6 +147,26 @@ def quality_score(
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
         + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.3).otherwise(0.0)
         - punct
+    )
+    return n_tok, punct, stop_ratio, mean_wlen, score
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length -> composite score in [0,1]-ish.
+
+    Mirrors the standard pretraining-data quality filters (C4/Gopher
+    style rules) as pure column arithmetic.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    n_tok, punct, stop_ratio, mean_wlen, score = _quality_signals(
+        F.col("_t"), F.col("_tk")
     )
     return staged.select(
         "doc_id",
@@ -331,23 +342,8 @@ def quality_filter(
         tokens(F.col(text_col)).alias("_tk"),
     )
     t, toks = F.col("_t"), F.col("_tk")
-    n_tok = F.size(toks).cast("double")
-    n_chars = F.length(t).cast("double")
-    punct = (
-        n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
-    ) / F.greatest(n_chars, F.lit(1.0))
-    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
-    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n_tok
-    mean_wlen = F.aggregate(
-        toks, F.lit(0.0), lambda s, x: s + F.length(x).cast("double")
-    ) / n_tok
-    quality = F.round(
-        F.least(n_tok / 64.0, F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
-        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.3).otherwise(0.0)
-        - punct,
-        6,
-    )
+    n_tok, _punct, _stop_ratio, _mean_wlen, score = _quality_signals(t, toks)
+    quality = F.round(score, 6)
     tri = word_shingles(toks, 3)
     n3 = F.size(tri)
     dup3 = F.when(

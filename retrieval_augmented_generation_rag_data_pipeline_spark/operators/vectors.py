@@ -24,12 +24,26 @@ from ..functions.hashing import hyperplane_component
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product (deterministic fold order —
-    bit-identical to the DuckDB oracle fragment)."""
-    return F.aggregate(
+    bit-identical to the DuckDB oracle fragment).
+
+    Guarded against silent length mismatch: zip_with null-pads the
+    shorter array, which would make the whole sum NULL and quietly rank
+    every candidate arbitrarily — assert_true turns that into a loud
+    error instead (returns NULL when the sizes agree, so the coalesce
+    adds 0 and the fold order is unchanged).
+    """
+    raw = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda s, v: s + v,
     )
+    guard = F.coalesce(
+        F.assert_true(
+            F.size(a) == F.size(b), F.lit("dot(): vector length mismatch")
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    return raw + guard
 
 
 def l2_norm(a: Column) -> Column:
@@ -51,6 +65,21 @@ def l2_normalize(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _topk_per_query(scored, corpus_id: str, k: int, score_col: str = "sim"):
+    """Shared per-query top-k tail: rank within query by score desc,
+    tie-break lowest corpus id, keep k. One definition so a tie-break
+    or column change can never drift between the ANN variants."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", corpus_id, score_col, "rank")
+    )
+
 
 
 def knn_topk(
@@ -75,16 +104,20 @@ def knn_topk(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = corpus.select(F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv"))
-    sim_fn = cosine if metric == "cosine" else dot
+    if metric == "cosine":
+        # norms depend on ONE side each — computing cosine() per pair
+        # would re-derive both inside the O(|Q|x|C|) loop (3 array
+        # traversals per pair instead of 1). Same expressions on the
+        # same arrays, so the factored sim is bit-identical.
+        q = q.withColumn("_qn", l2_norm(F.col("_qv")))
+        c = c.withColumn("_cn", l2_norm(F.col("_cv")))
+        sim = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    else:
+        sim = dot(F.col("_qv"), F.col("_cv"))
     scored = c.join(F.broadcast(q)).select(
-        "query_id", corpus_id, sim_fn(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id", corpus_id, sim.alias("sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, "sim", "rank")
-    )
+    return _topk_per_query(scored, corpus_id, k, "sim")
 
 
 def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8) -> Column:
@@ -184,12 +217,25 @@ def train_ivf_centroids(
 
 def _dot_sql(col_name: str, values: list[float]) -> str:
     """SQL-text dot product against a literal vector — same fold order
-    as the Column-API `dot` (zip_with then sequential aggregate)."""
+    as the Column-API `dot` (zip_with then sequential aggregate).
+
+    Guarded like `dot`: a dim mismatch (wrong `dim` argument vs actual
+    vector length) null-pads zip_with, nulls the sum, and silently
+    collapses IVF/LSH cell assignment — assert_true raises instead.
+    The passing branch returns NULL, so the coalesce adds 0D and the
+    numeric result is bit-unchanged.
+    """
+    n = len(values)
     arr = "array(" + ",".join(f"{v!r}D" for v in values) + ")"
-    return (
+    agg = (
         f"aggregate(zip_with({col_name}, {arr}, "
         f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
     )
+    guard = (
+        f"coalesce(CAST(assert_true(size({col_name}) = {n}, "
+        f"'vector length <> dim={n}') AS DOUBLE), 0D)"
+    )
+    return f"({agg} + {guard})"
 
 
 def _cell_rank_sql(
@@ -265,22 +311,23 @@ def ann_ivf_topk(
         n_cells = len(centroids)
     cb = corpus.select(
         F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv")
-    ).withColumn("_cell", ivf_cell("_cv", dim, n_cells, centroids))
+    ).withColumn("_cell", ivf_cell("_cv", dim, n_cells, centroids)).withColumn(
+        "_cn", l2_norm(F.col("_cv"))  # once per corpus row, not per pair
+    )
     probes = F.expr(
         f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
     )
     qb = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).select("query_id", "_qv", F.explode(probes).alias("_cell"))
+    ).select("query_id", "_qv", F.explode(probes).alias("_cell")).withColumn(
+        "_qn", l2_norm(F.col("_qv"))
+    )
     scored = cb.join(F.broadcast(qb), "_cell").select(
-        "query_id", corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+        "query_id",
+        corpus_id,
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, "sim", "rank")
-    )
+    return _topk_per_query(scored, corpus_id, k, "sim")
 
 
 def ann_ivf_topk_indexed(
@@ -367,17 +414,19 @@ def ann_ivf_topk_indexed(
     )
     cells = sorted(r["_cell"] for r in qb.select("_cell").distinct().collect())
     corpus = spark.read.parquet(index_path).filter(F.col("_cell").isin(cells))
-    scored = corpus.join(F.broadcast(qb), "_cell").select(
-        "query_id",
-        corpus_id,
-        cosine(F.col("_qv"), F.col(index_vec_col)).alias("sim"),
+    scored = (
+        corpus.withColumn("_cn", l2_norm(F.col(index_vec_col)))
+        .join(F.broadcast(qb.withColumn("_qn", l2_norm(F.col("_qv")))), "_cell")
+        .select(
+            "query_id",
+            corpus_id,
+            (
+                dot(F.col("_qv"), F.col(index_vec_col))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("sim"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, "sim", "rank")
-    )
+    return _topk_per_query(scored, corpus_id, k, "sim")
 
 
 # Offset keeps the PQ codebook family disjoint from the sign-LSH
@@ -532,12 +581,7 @@ def ann_pq_topk(
     scored = corpus_codes.join(F.broadcast(qb)).select(
         "query_id", corpus_id, score.alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, "score", "rank")
-    )
+    return _topk_per_query(scored, corpus_id, k, "score")
 
 
 def ann_ivfpq_topk_mem(
@@ -591,12 +635,7 @@ def ann_ivfpq_topk_mem(
     scored = cb.join(F.broadcast(qb), "_cell").select(
         "query_id", corpus_id, score.alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, "score", "rank")
-    )
+    return _topk_per_query(scored, corpus_id, k, "score")
 
 
 def ann_ivfpq_topk(
@@ -684,12 +723,7 @@ def ann_ivfpq_topk(
     scored = corpus.join(F.broadcast(qb), "_cell").select(
         "query_id", corpus_id, score.alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, "score", "rank")
-    )
+    return _topk_per_query(scored, corpus_id, k, "score")
 
 
 def ann_lsh_topk(
@@ -713,13 +747,14 @@ def ann_lsh_topk(
     ).withColumn("_bucket", lsh_bucket("_qv", dim, n_planes))
     cb = corpus.select(
         F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv")
-    ).withColumn("_bucket", lsh_bucket("_cv", dim, n_planes))
-    scored = cb.join(F.broadcast(qb), "_bucket").select(
-        "query_id", corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("sim")
+    ).withColumn("_bucket", lsh_bucket("_cv", dim, n_planes)).withColumn(
+        "_cn", l2_norm(F.col("_cv"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, "sim", "rank")
+    scored = cb.join(
+        F.broadcast(qb.withColumn("_qn", l2_norm(F.col("_qv")))), "_bucket"
+    ).select(
+        "query_id",
+        corpus_id,
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
     )
+    return _topk_per_query(scored, corpus_id, k, "sim")

@@ -36,11 +36,16 @@ def merge_islands(
     w = Window.partitionBy(*part_cols).orderBy(order_col)
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
+    # first row detected by row_number, label comparison null-SAFE: the
+    # old "lag IS NULL" idiom conflated 'first row' with 'previous
+    # label is NULL', so a NULL-labeled segment never opened an island
+    # and absorbed its successor (eqNullSafe treats NULL as a label
+    # value: consecutive NULLs merge, NULL<->non-NULL transitions split)
     flagged = df.withColumn(
         "_chg",
         F.when(
-            F.lag(label_col).over(w).isNull()
-            | (F.col(label_col) == F.lag(label_col).over(w)),
+            (F.row_number().over(w) == 1)
+            | F.col(label_col).eqNullSafe(F.lag(label_col).over(w)),
             F.lit(0),
         ).otherwise(F.lit(1)),
     ).withColumn("_island", F.sum("_chg").over(w)).withColumn(

@@ -79,6 +79,12 @@ def run_once(
         docs = ledger_mod.pending(
             docs.withColumn("key", F.col("doc_id").cast("string")), led
         )
+        # Pin the pending set: the index write and the ledger append are
+        # two separate actions, and re-evaluating a live source between
+        # them could mark docs processed that were never indexed (a doc
+        # landing in the scan after the write would be ledgered and then
+        # skipped forever). One materialization serves both.
+        docs = docs.localCheckpoint(eager=True)
     chunks = chunk_text(docs, chunk_words=chunk_words)
     index = embed_chunks(chunks)
     sinks.write_vector_index(index, index_path)

@@ -702,8 +702,9 @@ _ISLANDS_SQL = r"""
 WITH e AS (
   SELECT user_id, event_id, event_type, epoch(ts) AS t FROM events
 ), f AS (
-  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-                   OR lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+  SELECT *, CASE WHEN row_number() OVER w = 1
+                   OR lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                 THEN 0 ELSE 1 END AS chg
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 ), i AS (
   SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
@@ -980,7 +981,7 @@ def math_funcs(spark, sf):
 
 @_q(
     "array_funcs",
-    r"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+    r"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
                    FROM documents)
         SELECT doc_id,
                CAST(len(tk) AS INT) AS n_tokens,
@@ -1779,12 +1780,13 @@ def doc_fingerprint(spark, sf):
 
 
 _CHUNK_SQL = r"""
-WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-           FROM documents WHERE length(trim(text)) > 0),
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+           FROM documents),
+t2 AS (SELECT * FROM t WHERE len(tk) > 0),
 c AS (SELECT doc_id,
              unnest(generate_series(0, CAST(floor((len(tk)-1)/32) AS INT))) AS chunk_idx,
              tk
-      FROM t),
+      FROM t2),
 x AS (SELECT doc_id, chunk_idx,
              array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text
       FROM c)
@@ -1800,12 +1802,13 @@ def chunk_documents(spark, sf):
 
 
 _CHUNK_DEDUP_SQL = r"""
-WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-           FROM documents WHERE length(trim(text)) > 0),
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+           FROM documents),
+t2 AS (SELECT * FROM t WHERE len(tk) > 0),
 c AS (SELECT doc_id,
              unnest(generate_series(0, CAST(floor((len(tk)-1)/32) AS INT))) AS chunk_idx,
              tk
-      FROM t),
+      FROM t2),
 x AS (SELECT doc_id, chunk_idx,
              array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text
       FROM c),
@@ -2697,12 +2700,13 @@ def sample_exact_k(spark, sf):
 
 
 _INCR_DEDUP_SQL = r"""
-WITH t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk
-           FROM documents WHERE length(trim(text)) > 0),
+WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+           FROM documents),
+t2 AS (SELECT * FROM t WHERE len(tk) > 0),
 c AS (SELECT doc_id, source,
              unnest(generate_series(0, CAST(floor((len(tk)-1)/32) AS INT))) AS chunk_idx,
              tk
-      FROM t),
+      FROM t2),
 x AS (SELECT doc_id, source,
              array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text
       FROM c)

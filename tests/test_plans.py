@@ -98,7 +98,7 @@ def test_lsh_pairs_evaluates_hash_pipeline_once(spark):
     # evaluates it once per row.)
     plan = plan_of(spark, "dedup_lsh_pairs")
     lines_with_pipeline = [
-        ln for ln in plan.splitlines() if "split(lower(trim(" in ln
+        ln for ln in plan.splitlines() if "split(lower(" in ln
     ]
     assert len(lines_with_pipeline) == 1, plan[: plan.index("(1)")]
 
