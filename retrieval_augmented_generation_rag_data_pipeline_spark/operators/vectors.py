@@ -215,7 +215,7 @@ def train_ivf_centroids(
     return cents
 
 
-def _dot_sql(col_name: str, values: list[float]) -> str:
+def _dot_sql(col_name: str, values: list[float], guard: bool = True) -> str:
     """SQL-text dot product against a literal vector — same fold order
     as the Column-API `dot` (zip_with then sequential aggregate).
 
@@ -223,7 +223,11 @@ def _dot_sql(col_name: str, values: list[float]) -> str:
     vector length) null-pads zip_with, nulls the sum, and silently
     collapses IVF/LSH cell assignment — assert_true raises instead.
     The passing branch returns NULL, so the coalesce adds 0D and the
-    numeric result is bit-unchanged.
+    numeric result is bit-unchanged. Generated families that emit MANY
+    dots over the SAME column per row (cell ranking, PQ codebooks) pass
+    guard=False on all but one — one size check per row suffices, and
+    the per-dot guard measurably slowed the ADC path (1.7s -> 2.7s at
+    sf0.1 before this flag).
     """
     n = len(values)
     arr = "array(" + ",".join(f"{v!r}D" for v in values) + ")"
@@ -231,11 +235,13 @@ def _dot_sql(col_name: str, values: list[float]) -> str:
         f"aggregate(zip_with({col_name}, {arr}, "
         f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
     )
-    guard = (
+    if not guard:
+        return f"({agg})"
+    g = (
         f"coalesce(CAST(assert_true(size({col_name}) = {n}, "
         f"'vector length <> dim={n}') AS DOUBLE), 0D)"
     )
-    return f"({agg} + {guard})"
+    return f"({agg} + {g})"
 
 
 def _cell_rank_sql(
@@ -259,7 +265,7 @@ def _cell_rank_sql(
         else [ivf_centroid(c, dim) for c in range(n_cells)]
     )
     cells = ", ".join(
-        f"named_struct('nd', -({_dot_sql(col_name, cents[c])}), 'c', {c})"
+        f"named_struct('nd', -({_dot_sql(col_name, cents[c], guard=(c == 0))}), 'c', {c})"
         for c in range(len(cents))
     )
     return f"array_sort(array({cells}))"
@@ -504,7 +510,7 @@ def _pq_encode_sql(col_name: str, codebooks: list[list[list[float]]]) -> str:
         dsub = len(cb[0])
         sub = f"slice({col_name}, {j * dsub + 1}, {dsub})"
         cells = ", ".join(
-            f"named_struct('nd', -({_dot_sql(sub, c)} - {0.5 * sum(x * x for x in c)!r}D), 'c', {ci})"
+            f"named_struct('nd', -({_dot_sql(sub, c, guard=(ci == 0))} - {0.5 * sum(x * x for x in c)!r}D), 'c', {ci})"
             for ci, c in enumerate(cb)
         )
         parts.append(f"element_at(array_sort(array({cells})), 1).c")
@@ -537,7 +543,9 @@ def _pq_tables_sql(col_name: str, codebooks: list[list[list[float]]]) -> str:
     for j, cb in enumerate(codebooks):
         dsub = len(cb[0])
         sub = f"slice({col_name}, {j * dsub + 1}, {dsub})"
-        entries.extend(_dot_sql(sub, c) for c in cb)
+        entries.extend(
+            _dot_sql(sub, c, guard=(i == 0)) for i, c in enumerate(cb)
+        )
     return "array(" + ", ".join(entries) + ")"
 
 
