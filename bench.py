@@ -59,6 +59,8 @@ HEADLINE = [
     "bloom_anti_join",
     "dedup_chunks",
     "dedup_incremental",
+    "prepare_corpus",
+    "sample_weighted_k",
 ]
 
 

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import NumericType
 
 
 def _position_cols(col: Column, k: int, m: int) -> list[Column]:
@@ -63,24 +64,35 @@ def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def build_bloom(
-    keys: DataFrame,
-    key_col: str,
-    fpp: float = 0.01,
-    expected_items: int | None = None,
-) -> tuple[np.ndarray, int, int]:
-    """Build a Bloom bitmap over `keys[key_col]` distributed-side.
+# One-pass build cap: an 8 MiB bitmap (2^26 bits). With the fixed k
+# below this delivers <=1% fpp for key sets up to ~5.6M rows — beyond
+# that, build_bloom pays one exactly-sized second pass (which a key set
+# that large amortizes anyway).
+_ONEPASS_M_CAP = 1 << 26
+_ONEPASS_K = 7  # fpp-optimal k for ~9.6 bits/key (the 1% design point)
 
-    Returns (bitmap: uint64[m/64], m, k). Only the folded bitmap words
-    reach the driver: explode the k positions, map each to
-    (word_index, 1 << bit), and `groupBy(word).agg(bit_or)` — a
-    map-side-combined shuffle whose output is at most m/64 rows
-    regardless of |keys|.
+
+def _fpp_est(m: int, k: int, n: int) -> float:
+    """Standard Bloom false-positive estimate (1 - e^(-kn/m))^k."""
+    if n <= 0:
+        return 0.0
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def _fold_bitmap_words(
+    keys: DataFrame, key_col: str, m: int, k: int, with_count: bool
+) -> tuple[list, int]:
+    """One distributed pass: explode the k positions mod m, fold into
+    (word_index, bit_or) rows — at most m/64 rows reach the driver
+    regardless of |keys|. When `with_count` is set, the SAME aggregation
+    also counts exploded positions per word; the total is exactly n*k,
+    so the caller recovers the exact key count with no extra job.
     """
-    n = expected_items if expected_items is not None else keys.count()
-    m, k = bloom_params(n, fpp)
     pos = F.explode(F.array(*_position_cols(F.col(key_col), k, m))).alias("p")
-    words = (
+    aggs = [F.bit_or("b").alias("bits")]
+    if with_count:
+        aggs.append(F.count("*").alias("cnt"))
+    rows = (
         keys.select(pos)
         .select(
             F.shiftright("p", 6).alias("w"),
@@ -89,13 +101,95 @@ def build_bloom(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
         )
         .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
+        .agg(*aggs)
         .collect()
     )
+    n = (sum(r.cnt for r in rows) // k) if with_count else -1
+    return rows, n
+
+
+def _rows_to_bitmap(rows: list, m: int) -> np.ndarray:
     bitmap = np.zeros(m // 64, dtype=np.uint64)
-    for r in words:
+    for r in rows:
         bitmap[r.w] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
-    return bitmap, m, k
+    return bitmap
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> tuple[np.ndarray, int, int]:
+    """Build a Bloom bitmap over `keys[key_col]` distributed-side.
+
+    Returns (bitmap: uint64[m/64], m, k). Only folded bitmap words reach
+    the driver (a map-side-combined `groupBy(word).bit_or` shuffle).
+
+    Sizing never costs an extra scan of `keys` (the round-5 advisory
+    flagged the old `keys.count()` pre-pass):
+
+    - `expected_items` given: size (m, k) directly, one build pass.
+    - `expected_items` absent: ONE pass builds the bitmap at a fixed
+      power-of-two cap (2^26 bits, 8 MiB) and recovers the exact key
+      count from the same aggregation (total exploded positions = n*k).
+      The bitmap is then folded down to the smallest power-of-two m
+      meeting `fpp` — sound because m | M makes
+      (h mod M) mod m == h mod m, so probe positions computed mod m
+      match the folded build exactly. Only a key set too large for the
+      cap at the requested fpp (> ~5.6M keys at 1%) pays a second,
+      exactly-sized pass.
+    """
+    if expected_items is not None:
+        m, k = bloom_params(expected_items, fpp)
+        rows, _ = _fold_bitmap_words(keys, key_col, m, k, with_count=False)
+        return _rows_to_bitmap(rows, m), m, k
+
+    cap, k = _ONEPASS_M_CAP, _ONEPASS_K
+    pos = F.explode(F.array(*_position_cols(F.col(key_col), k, cap))).alias("p")
+    words = (
+        keys.select(pos)
+        .select(
+            F.shiftright("p", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"), F.count("*").alias("cnt"))
+        .persist()
+    )
+    try:
+        # one scan of `keys` materializes the cached word table (bounded:
+        # <= cap/64 = 1M rows distributed, never collected at this size);
+        # total exploded positions = n*k recovers the exact key count.
+        total = words.agg(F.sum("cnt")).first()[0]
+        n = int(total or 0) // k
+        if n == 0:
+            return np.zeros(1, dtype=np.uint64), 64, k
+        if _fpp_est(cap, k, n) > fpp:
+            # cap can't meet the target for this n: one exactly-sized
+            # second pass (n is now exact, so no over/under-sizing).
+            m, k2 = bloom_params(n, fpp)
+            rows2, _ = _fold_bitmap_words(keys, key_col, m, k2, with_count=False)
+            return _rows_to_bitmap(rows2, m), m, k2
+        m = 64
+        while m < cap and _fpp_est(m, k, n) > fpp:
+            m *= 2
+        if m == cap:
+            rows = words.select("w", "bits").collect()
+            return _rows_to_bitmap(rows, cap), cap, k
+        # OR-fold DISTRIBUTED-side down to m bits before collecting —
+        # sound because 64 | m | cap: bit j = 64w+off folds to word
+        # w mod (m/64) at the same intra-word offset, and probe
+        # positions (h mod m) == (h mod cap) mod m. The driver only
+        # ever receives <= m/64 folded rows, not the cap-sized table.
+        rows = (
+            words.groupBy(F.pmod(F.col("w"), F.lit(m // 64)).alias("w"))
+            .agg(F.bit_or("bits").alias("bits"))
+            .collect()
+        )
+        return _rows_to_bitmap(rows, m), m, k
+    finally:
+        words.unpersist()
 
 
 def with_bloom_contains(
@@ -176,7 +270,21 @@ def bloom_anti_join(
     # no false negatives; a value-changing cast of a non-matching key
     # only adds false positives). The RECHECK join keeps the key side's
     # NATIVE type so its semantics are exactly the plain join's.
-    # Caveat: probe/key types must be equal or both numeric.
+    # Precondition (enforced): probe/key types equal or both numeric —
+    # e.g. a STRING probe vs BIGINT key would join-coerce both to
+    # DOUBLE ('1.0' matches 1) while the Bloom hashes the raw strings,
+    # a false negative the recheck never sees.
+    probe_t = df.schema[on].dataType
+    key_t = keys.schema[key_col].dataType
+    if probe_t != key_t and not (
+        isinstance(probe_t, NumericType) and isinstance(key_t, NumericType)
+    ):
+        raise ValueError(
+            f"bloom_anti_join: probe column {on!r} ({probe_t.simpleString()}) "
+            f"and key column {key_col!r} ({key_t.simpleString()}) must have "
+            "equal types or both be numeric; cast one side explicitly — a "
+            "mixed-type join coercion would produce Bloom false negatives"
+        )
     hash_aligned = keys.select(
         F.col(key_col).cast(df.schema[on].dataType).alias(on)
     )

@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 # ---- filters / projections (reference §2.2) --------------------------------
@@ -134,7 +135,21 @@ def rank_small(
     a foldable PARTITION BY lit(0), so the window form can't be made
     quiet. For the <= k rows that survive a TakeOrdered limit, the k^2
     broadcast comparison is cheaper than the exchange a window needs.
+
+    "desc" is implemented as unary minus inside the struct key, which
+    is only meaningful for numeric columns — a string column would be
+    cast to double (NULLs under non-ANSI), silently ranking every row
+    1. Enforced: a desc direction on a non-numeric column raises.
     """
+    for c, direction in order:
+        if direction == "desc" and not isinstance(
+            df.schema[c].dataType, NumericType
+        ):
+            raise ValueError(
+                f"rank_small: desc ordering requires a numeric column; "
+                f"{c!r} is {df.schema[c].dataType.simpleString()} — negate "
+                "via an explicit numeric key expression instead"
+            )
 
     def _key(prefix: str) -> Column:
         # struct comparison is ascending lexicographic; negate desc

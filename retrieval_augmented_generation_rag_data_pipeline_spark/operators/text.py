@@ -329,42 +329,70 @@ def quality_filter(
     al. '21 §A1.1 — length floor, composite quality floor, repeated
     n-gram ceiling), with per-rule flags so drops are auditable.
 
-    Computes every signal in ONE scan pass (the tokens array is staged
-    once and shared by the length, quality, and repetition arithmetic) —
-    calling quality_score + repetition_metrics separately and joining
-    would scan the corpus twice and shuffle on doc_id for no reason.
+    Computes every signal in ONE evaluation of the tokenize pipeline per
+    row — and stays one evaluation even under predicate pushdown. A
+    plain staged-projection (`.select(tokens(text).alias("_tk"))`) is
+    NOT enough: a downstream `.filter(keep)` pushes the predicate
+    through the projection, substituting the tokens expression at every
+    reference (~30x here), and the duplicated higher-order lambdas get
+    fresh variable ids, defeating codegen subexpression elimination —
+    measured 42s for 5k docs at sf0.1 before this fix. The let-binding
+    idiom `transform(array(expensive), x -> body)[1]` binds the
+    expensive array to a lambda variable evaluated once per row no
+    matter how many times the body references it, and the whole
+    expression survives pushdown intact. The token array and trigram
+    array are nested bindings; all outputs (metrics + flags + keep) are
+    fields of ONE struct, so a pushed filter on `keep` inlines exactly
+    one tokenize.
+
     Returns (doc_id, n_tokens, quality, dup_trigram_frac, is_too_short,
     is_low_quality, is_repetitive, keep). Narrow, no shuffle.
     """
+    def _struct_of(t):
+        def with_tokens(tk):
+            n_tok, _punct, _stop_ratio, _mean_wlen, score = _quality_signals(t, tk)
+            n_tokens = n_tok.cast("long")
+            quality = F.round(score, 6)
+
+            def with_trigrams(tri):
+                n3 = F.size(tri)
+                dup3 = F.when(
+                    n3 > 0,
+                    F.round(
+                        (n3 - F.size(F.array_distinct(tri))) / n3.cast("double"), 6
+                    ),
+                ).otherwise(F.lit(0.0))
+                too_short = n_tokens < F.lit(min_tokens)
+                low_q = quality < F.lit(min_quality)
+                rep = dup3 > F.lit(max_dup_trigram)
+                return F.struct(
+                    n_tokens.alias("n_tokens"),
+                    quality.alias("quality"),
+                    dup3.alias("dup_trigram_frac"),
+                    too_short.alias("is_too_short"),
+                    low_q.alias("is_low_quality"),
+                    rep.alias("is_repetitive"),
+                    (~too_short & ~low_q & ~rep).alias("keep"),
+                )
+
+            return F.element_at(
+                F.transform(F.array(word_shingles(tk, 3)), with_trigrams), 1
+            )
+
+        return F.element_at(F.transform(F.array(tokens(t)), with_tokens), 1)
+
     staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_t"),
-        tokens(F.col(text_col)).alias("_tk"),
+        F.col(id_col).alias("doc_id"), _struct_of(F.col(text_col)).alias("_m")
     )
-    t, toks = F.col("_t"), F.col("_tk")
-    n_tok, _punct, _stop_ratio, _mean_wlen, score = _quality_signals(t, toks)
-    quality = F.round(score, 6)
-    tri = word_shingles(toks, 3)
-    n3 = F.size(tri)
-    dup3 = F.when(
-        n3 > 0,
-        F.round((n3 - F.size(F.array_distinct(tri))) / n3.cast("double"), 6),
-    ).otherwise(F.lit(0.0))
-    out = staged.select(
+    return staged.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        quality.alias("quality"),
-        dup3.alias("dup_trigram_frac"),
-    )
-    too_short = F.col("n_tokens") < min_tokens
-    low_q = F.col("quality") < min_quality
-    rep = F.col("dup_trigram_frac") > max_dup_trigram
-    return out.select(
-        "*",
-        too_short.alias("is_too_short"),
-        low_q.alias("is_low_quality"),
-        rep.alias("is_repetitive"),
-        (~too_short & ~low_q & ~rep).alias("keep"),
+        F.col("_m.n_tokens").alias("n_tokens"),
+        F.col("_m.quality").alias("quality"),
+        F.col("_m.dup_trigram_frac").alias("dup_trigram_frac"),
+        F.col("_m.is_too_short").alias("is_too_short"),
+        F.col("_m.is_low_quality").alias("is_low_quality"),
+        F.col("_m.is_repetitive").alias("is_repetitive"),
+        F.col("_m.keep").alias("keep"),
     )
 
 

@@ -29,8 +29,12 @@ def dot(a: Column, b: Column) -> Column:
     Guarded against silent length mismatch: zip_with null-pads the
     shorter array, which would make the whole sum NULL and quietly rank
     every candidate arbitrarily — assert_true turns that into a loud
-    error instead (returns NULL when the sizes agree, so the coalesce
-    adds 0 and the fold order is unchanged).
+    error instead. The guard term comes FIRST in the sum: Spark's
+    null-safe Add short-circuits when the left operand is NULL, and a
+    mismatch always NULLs the aggregate, so ``raw + guard`` would never
+    evaluate the assertion (the round-5 advisory found exactly that dead
+    guard). A NULL input vector is explicitly allowed through and yields
+    a NULL dot (NULL-in -> NULL-out), matching pre-guard behavior.
     """
     raw = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -39,11 +43,12 @@ def dot(a: Column, b: Column) -> Column:
     )
     guard = F.coalesce(
         F.assert_true(
-            F.size(a) == F.size(b), F.lit("dot(): vector length mismatch")
+            a.isNull() | b.isNull() | (F.size(a) == F.size(b)),
+            F.lit("dot(): vector length mismatch"),
         ).cast("double"),
         F.lit(0.0),
     )
-    return raw + guard
+    return guard + raw
 
 
 def l2_norm(a: Column) -> Column:
@@ -222,8 +227,12 @@ def _dot_sql(col_name: str, values: list[float], guard: bool = True) -> str:
     Guarded like `dot`: a dim mismatch (wrong `dim` argument vs actual
     vector length) null-pads zip_with, nulls the sum, and silently
     collapses IVF/LSH cell assignment — assert_true raises instead.
-    The passing branch returns NULL, so the coalesce adds 0D and the
-    numeric result is bit-unchanged. Generated families that emit MANY
+    The guard term is emitted FIRST (``guard + agg``): null-safe Add
+    short-circuits on a NULL left operand, and the aggregate is NULL
+    exactly when the guard must fire, so ``agg + guard`` never raises
+    (round-5 advisory). A NULL vector column passes the guard and
+    yields NULL. The passing branch returns NULL, so the coalesce adds
+    0D and the numeric result is bit-unchanged. Generated families that emit MANY
     dots over the SAME column per row (cell ranking, PQ codebooks) pass
     guard=False on all but one — one size check per row suffices, and
     the per-dot guard measurably slowed the ADC path (1.7s -> 2.7s at
@@ -238,10 +247,10 @@ def _dot_sql(col_name: str, values: list[float], guard: bool = True) -> str:
     if not guard:
         return f"({agg})"
     g = (
-        f"coalesce(CAST(assert_true(size({col_name}) = {n}, "
+        f"coalesce(CAST(assert_true({col_name} IS NULL OR size({col_name}) = {n}, "
         f"'vector length <> dim={n}') AS DOUBLE), 0D)"
     )
-    return f"({agg} + {g})"
+    return f"({g} + {agg})"
 
 
 def _cell_rank_sql(

@@ -149,6 +149,14 @@ def prepare_corpus(
         min_tokens=min_tokens, min_quality=min_quality,
         max_dup_trigram=max_dup_trigram,
     ).select("doc_id", F.col("keep").alias("keep_quality"))
+    # Pin the two-column quality verdict once (lazy; materializes at the
+    # first downstream action): dedup_corpus evaluates its input lineage
+    # several times (exact-edge build, LSH-edge build, closure seed), and
+    # each evaluation would otherwise replay the Gopher tokenize pipeline
+    # over the full corpus. (doc_id, keep_quality) is the cheapest frame
+    # in this plan to materialize; the normalize regex that remains in
+    # the replayed lineage is a single linear pass.
+    qf = qf.localCheckpoint(eager=False)
     norm = normalize_text(df, id_col, text_col)
     cand = norm.join(
         qf.filter(F.col("keep_quality")).select("doc_id"), "doc_id", "left_semi"

@@ -106,3 +106,42 @@ def test_bloom_contains_rejects_existing_out_col(spark):
     out = bloom.bloom_anti_join(df, keys, "k")
     assert out.columns == ["k", "_bloom_maybe"]
     assert out.count() == 0
+
+
+def test_bloom_anti_join_rejects_string_vs_numeric_key(spark):
+    """Round-5 advisory: a STRING probe vs BIGINT key would join-coerce
+    both to DOUBLE while the Bloom hashes raw strings — a false negative
+    the recheck never sees. The precondition is now enforced."""
+    left = spark.createDataFrame([("1.0", "a"), ("2.5", "b")], ["k", "v"])
+    keys = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="must have\n?.*equal types|equal types"):
+        bloom.bloom_anti_join(left, keys, "k")
+
+
+def test_build_bloom_onepass_matches_sized_build(spark):
+    """No expected_items -> single-pass capped build + fold-down. The
+    folded bitmap must behave like a directly-sized one: zero false
+    negatives, fpp near target, and the recovered n must be exact."""
+    members = spark.range(0, 3000).select(F.col("id").alias("k"))
+    bitmap, m, k = bloom.build_bloom(members, "k", fpp=0.01)
+    # m is a power of two (fold-down invariant) sized for ~3000 keys
+    assert m & (m - 1) == 0 and 64 <= m < bloom._ONEPASS_M_CAP
+    assert k == bloom._ONEPASS_K
+    probed = bloom.with_bloom_contains(members, bitmap, m, k, "k")
+    assert probed.filter(~F.col("_bloom_maybe")).count() == 0
+    outsiders = spark.range(5_000_000, 5_010_000).select(F.col("id").alias("k"))
+    fp = (
+        bloom.with_bloom_contains(outsiders, bitmap, m, k, "k")
+        .filter(F.col("_bloom_maybe"))
+        .count()
+    )
+    assert fp / 10_000 < 0.05
+
+
+def test_build_bloom_empty_keys(spark):
+    keys = spark.range(0).select(F.col("id").alias("k"))
+    bitmap, m, k = bloom.build_bloom(keys, "k")
+    assert (bitmap == 0).all() and m == 64
+    probe = spark.range(5).select(F.col("id").alias("k"))
+    flagged = bloom.with_bloom_contains(probe, bitmap, m, k, "k")
+    assert flagged.filter(F.col("_bloom_maybe")).count() == 0

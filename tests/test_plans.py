@@ -387,3 +387,18 @@ def test_rank_small_total_order(spark):
         for r in rank_small(df, [("score", "asc"), ("doc_id", "asc")], rank_col="r2").collect()
     }
     assert asc == {4: 1, 1: 2, 2: 3, 3: 4}
+
+
+def test_rank_small_rejects_string_desc(spark):
+    """Round-5 advisory: desc-by-negation on a string column would cast
+    to double (NULLs), silently ranking every row 1. Must raise."""
+    import pytest as _pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.relational import rank_small
+
+    df = spark.createDataFrame([("b", 1), ("a", 2)], ["name", "doc_id"])
+    with _pytest.raises(ValueError, match="desc ordering requires a numeric"):
+        rank_small(df, [("name", "desc"), ("doc_id", "asc")])
+    # asc on a string stays allowed (struct comparison, no negation)
+    got = {r.name: r.rank for r in rank_small(df, [("name", "asc")]).collect()}
+    assert got == {"a": 1, "b": 2}

@@ -184,3 +184,35 @@ def test_pq_adc_approximates_exact_dot(spark):
     r_fixed = recall(default_pq_codebooks(64, m=8, ksub=16))
     assert r_trained > r_fixed, (r_trained, r_fixed)
     assert r_trained >= 0.30, r_trained  # 8x16 PQ on isotropic data; >> 1% random
+
+
+def test_dot_guard_raises_on_length_mismatch(spark):
+    """Round-5 advisory: `raw + guard` never evaluated the assertion
+    (null-safe Add short-circuits on the NULL left operand a mismatch
+    produces). The guard now comes first and must actually fire."""
+    df = spark.createDataFrame([([1.0, 2.0], [1.0])], ["a", "b"])
+    with pytest.raises(Exception, match="length mismatch"):
+        df.select(dot(F.col("a"), F.col("b")).alias("d")).collect()
+
+
+def test_dot_null_vector_yields_null_not_error(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], None), (None, [1.0, 2.0]), ([1.0, 2.0], [3.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(dot(F.col("a"), F.col("b")).alias("d")).collect()
+    assert [r.d for r in rows] == [None, None, 11.0]
+
+
+def test_dot_sql_guard_raises_on_dim_mismatch(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import _dot_sql
+
+    df = spark.createDataFrame([([1.0, 2.0],)], ["v"])
+    # wrong declared dim (1 element vs length-2 column) must raise, not NULL
+    with pytest.raises(Exception, match="dim=1"):
+        df.selectExpr(f"{_dot_sql('v', [1.0])} AS d").collect()
+    # matching dim still computes; NULL vector passes through as NULL
+    ok = spark.createDataFrame(
+        [([1.0, 2.0],), (None,)], "v array<double>"
+    ).selectExpr(f"{_dot_sql('v', [3.0, 4.0])} AS d").collect()
+    assert [r.d for r in ok] == [11.0, None]
