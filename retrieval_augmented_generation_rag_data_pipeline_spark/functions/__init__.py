@@ -1,1 +1,1 @@
-from . import hashing, oracle  # noqa: F401
+from . import binding, hashing, oracle  # noqa: F401

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.binding import let
 from ..functions.hashing import hash_array, md5_long, tokens, word_shingles
 from ..session import ensure_parallelism
 
@@ -92,39 +93,49 @@ def format_dialogue(
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax over per-language function-word hit
     rate. Returns (doc_id, pred_lang, lang_score). Deterministic
-    tie-break: higher score, then lexicographic language code."""
-    # stage the token array once; the per-language scores below reference
-    # it NUM_LANGS+1 times and would otherwise re-tokenize per reference
-    staged = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
-    )
-    toks = F.col("_tk")
-    n = F.size(toks)
-    scores = []
-    for code, words in sorted(LANG_PROFILES.items()):
-        stop = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-        scores.append(
-            F.struct(
-                (hits / n.cast("double")).alias("score"),
-                F.lit(code).alias("code"),
+    tie-break: higher score, then lexicographic language code.
+
+    The token array is let-bound (functions.binding.let): the
+    per-language scores reference it NUM_LANGS+1 times, and a plain
+    staged projection would re-tokenize per reference as soon as a
+    caller filters on pred_lang (filter pushdown inlines the alias)."""
+
+    def with_tokens(toks):
+        n = F.size(toks)
+        scores = []
+        for code, words in sorted(LANG_PROFILES.items()):
+            stop = F.array(*[F.lit(w) for w in words])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            scores.append(
+                F.struct(
+                    (hits / n.cast("double")).alias("score"),
+                    F.lit(code).alias("code"),
+                )
             )
+        # array_max on struct orders by (score, code); flip code ordering
+        # by sorting desc on score then asc on code via a two-step reduce.
+        best = F.aggregate(
+            F.array(*scores),
+            scores[0],
+            lambda acc, s: F.when(
+                (s["score"] > acc["score"])
+                | ((s["score"] == acc["score"]) & (s["code"] < acc["code"])),
+                s,
+            ).otherwise(acc),
         )
-    # array_max on struct orders by (score, code); flip code ordering by
-    # sorting desc on score then asc on code via a two-step reduce.
-    best = F.aggregate(
-        F.array(*scores),
-        scores[0],
-        lambda acc, s: F.when(
-            (s["score"] > acc["score"])
-            | ((s["score"] == acc["score"]) & (s["code"] < acc["code"])),
-            s,
-        ).otherwise(acc),
+        return F.struct(
+            best["code"].alias("pred_lang"),
+            F.round(best["score"], 6).alias("lang_score"),
+        )
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        let(tokens(F.col(text_col)), with_tokens).alias("_m"),
     )
     return staged.select(
         "doc_id",
-        best["code"].alias("pred_lang"),
-        F.round(best["score"], 6).alias("lang_score"),
+        F.col("_m.pred_lang").alias("pred_lang"),
+        F.col("_m.lang_score").alias("lang_score"),
     )
 
 
@@ -158,23 +169,33 @@ def quality_score(
     ratio, mean word length -> composite score in [0,1]-ish.
 
     Mirrors the standard pretraining-data quality filters (C4/Gopher
-    style rules) as pure column arithmetic.
+    style rules) as pure column arithmetic. The token array is
+    let-bound and all metrics emitted as one struct, so a caller
+    filtering on any metric (pushdown inlines the projection) still
+    tokenizes once per row — see functions.binding.let.
     """
+    t = F.col(text_col)
+
+    def with_tokens(tk):
+        n_tok, punct, stop_ratio, mean_wlen, score = _quality_signals(t, tk)
+        return F.struct(
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(punct, 6).alias("punct_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(mean_wlen, 6).alias("mean_word_len"),
+            F.round(score, 6).alias("quality"),
+        )
+
     staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_t"),
-        tokens(F.col(text_col)).alias("_tk"),
-    )
-    n_tok, punct, stop_ratio, mean_wlen, score = _quality_signals(
-        F.col("_t"), F.col("_tk")
+        F.col(id_col).alias("doc_id"), let(tokens(t), with_tokens).alias("_m")
     )
     return staged.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(punct, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(score, 6).alias("quality"),
+        F.col("_m.n_tokens").alias("n_tokens"),
+        F.col("_m.punct_ratio").alias("punct_ratio"),
+        F.col("_m.stopword_ratio").alias("stopword_ratio"),
+        F.col("_m.mean_word_len").alias("mean_word_len"),
+        F.col("_m.quality").alias("quality"),
     )
 
 
@@ -196,16 +217,29 @@ def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """Rolling-shingle-hash document fingerprint: min and max shingle hash
-    (a 1-permutation MinHash sketch — stable under reordering-free edits)."""
+    (a 1-permutation MinHash sketch — stable under reordering-free edits).
+    Shingle hashes and the whole-doc digest are let-bound so a pushed
+    filter on either fingerprint hashes once, not per reference."""
+
+    def with_hashes(h):
+        def with_whole(whole):
+            return F.struct(
+                F.coalesce(F.array_min(h), whole).alias("fp_min"),
+                F.coalesce(F.array_max(h), whole).alias("fp_max"),
+            )
+
+        return let(md5_long(F.trim(F.col(text_col))), with_whole)
+
     staged = df.select(
         F.col(id_col).alias("doc_id"),
-        hash_array(word_shingles(tokens(F.col(text_col)), k)).alias("_h"),
-        md5_long(F.trim(F.col(text_col))).alias("_whole"),
+        let(
+            hash_array(word_shingles(tokens(F.col(text_col)), k)), with_hashes
+        ).alias("_m"),
     )
     return staged.select(
         "doc_id",
-        F.coalesce(F.array_min("_h"), F.col("_whole")).alias("fp_min"),
-        F.coalesce(F.array_max("_h"), F.col("_whole")).alias("fp_max"),
+        F.col("_m.fp_min").alias("fp_min"),
+        F.col("_m.fp_max").alias("fp_max"),
     )
 
 
@@ -218,8 +252,11 @@ def repetition_metrics(
 
     Pure per-row array arithmetic (tokens -> shingles -> distinct
     counts) — narrow, scan-side, no shuffle; empty/short docs yield 0.
+    Token and shingle arrays are let-bound (functions.binding.let): the
+    old staged projection built THREE tokenize copies (one inside each
+    shingle expr), and a pushed filter on any fraction would multiply
+    that further.
     """
-    toks = tokens(F.col(text_col))
 
     def dup_frac(arr):
         n = F.size(arr)
@@ -230,17 +267,28 @@ def repetition_metrics(
             ),
         ).otherwise(F.lit(0.0))
 
+    def with_tokens(tk):
+        def with_bigrams(t2):
+            def with_trigrams(t3):
+                return F.struct(
+                    dup_frac(tk).alias("dup_unigram_frac"),
+                    dup_frac(t2).alias("dup_bigram_frac"),
+                    dup_frac(t3).alias("dup_trigram_frac"),
+                )
+
+            return let(word_shingles(tk, 3), with_trigrams)
+
+        return let(word_shingles(tk, 2), with_bigrams)
+
     staged = df.select(
         F.col(id_col).alias("doc_id"),
-        toks.alias("_t1"),
-        word_shingles(toks, 2).alias("_t2"),
-        word_shingles(toks, 3).alias("_t3"),
+        let(tokens(F.col(text_col)), with_tokens).alias("_m"),
     )
     return staged.select(
         "doc_id",
-        dup_frac(F.col("_t1")).alias("dup_unigram_frac"),
-        dup_frac(F.col("_t2")).alias("dup_bigram_frac"),
-        dup_frac(F.col("_t3")).alias("dup_trigram_frac"),
+        F.col("_m.dup_unigram_frac").alias("dup_unigram_frac"),
+        F.col("_m.dup_bigram_frac").alias("dup_bigram_frac"),
+        F.col("_m.dup_trigram_frac").alias("dup_trigram_frac"),
     )
 
 
@@ -337,13 +385,12 @@ def quality_filter(
     reference (~30x here), and the duplicated higher-order lambdas get
     fresh variable ids, defeating codegen subexpression elimination —
     measured 42s for 5k docs at sf0.1 before this fix. The let-binding
-    idiom `transform(array(expensive), x -> body)[1]` binds the
-    expensive array to a lambda variable evaluated once per row no
-    matter how many times the body references it, and the whole
-    expression survives pushdown intact. The token array and trigram
-    array are nested bindings; all outputs (metrics + flags + keep) are
-    fields of ONE struct, so a pushed filter on `keep` inlines exactly
-    one tokenize.
+    idiom (functions.binding.let) binds the expensive array to a lambda
+    variable evaluated once per row no matter how many times the body
+    references it, and the whole expression survives pushdown intact.
+    The token array and trigram array are nested bindings; all outputs
+    (metrics + flags + keep) are fields of ONE struct, so a pushed
+    filter on `keep` inlines exactly one tokenize.
 
     Returns (doc_id, n_tokens, quality, dup_trigram_frac, is_too_short,
     is_low_quality, is_repetitive, keep). Narrow, no shuffle.
@@ -375,11 +422,9 @@ def quality_filter(
                     (~too_short & ~low_q & ~rep).alias("keep"),
                 )
 
-            return F.element_at(
-                F.transform(F.array(word_shingles(tk, 3)), with_trigrams), 1
-            )
+            return let(word_shingles(tk, 3), with_trigrams)
 
-        return F.element_at(F.transform(F.array(tokens(t)), with_tokens), 1)
+        return let(tokens(t), with_tokens)
 
     staged = df.select(
         F.col(id_col).alias("doc_id"), _struct_of(F.col(text_col)).alias("_m")
@@ -411,25 +456,36 @@ def vocab_entropy(
     documents; corpus-level distributions belong to ngram_topk/
     corpus_stats, not here. Empty docs yield 0.0.
     """
+    def with_tokens(toks):
+        def with_uniq(uniq):
+            n = F.size(toks).cast("double")
+            h = F.aggregate(
+                uniq,
+                F.lit(0.0),
+                lambda acc, t: acc
+                - (
+                    lambda p: p * F.log(p)
+                )(F.size(F.filter(toks, lambda x: x == t)).cast("double") / n),
+            )
+            return F.struct(
+                F.size(toks).cast("long").alias("n_tokens"),
+                F.size(uniq).cast("long").alias("n_distinct"),
+                F.when(F.size(toks) > 0, F.round(h, 6))
+                .otherwise(0.0)
+                .alias("entropy"),
+            )
+
+        return let(F.array_sort(F.array_distinct(toks)), with_uniq)
+
     staged = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
-    )
-    toks = F.col("_tk")
-    n = F.size(toks).cast("double")
-    uniq = F.array_sort(F.array_distinct(toks))
-    h = F.aggregate(
-        uniq,
-        F.lit(0.0),
-        lambda acc, t: acc
-        - (
-            lambda p: p * F.log(p)
-        )(F.size(F.filter(toks, lambda x: x == t)).cast("double") / n),
+        F.col(id_col).alias("doc_id"),
+        let(tokens(F.col(text_col)), with_tokens).alias("_m"),
     )
     return staged.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(uniq).cast("long").alias("n_distinct"),
-        F.when(F.size(toks) > 0, F.round(h, 6)).otherwise(0.0).alias("entropy"),
+        F.col("_m.n_tokens").alias("n_tokens"),
+        F.col("_m.n_distinct").alias("n_distinct"),
+        F.col("_m.entropy").alias("entropy"),
     )
 
 

@@ -45,3 +45,41 @@ def test_vocab_entropy_known_values(spark):
     assert out[1].entropy == round(math.log(4), 6)
     expected = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
     assert abs(out[2].entropy - expected) < 1e-6
+
+
+def test_quality_filter_pushed_predicate_tokenizes_once(spark):
+    """Round-6 regression guard: filtering on `keep` pushes the
+    predicate through the projection; before the let-binding fix the
+    substitution inlined the tokenize pipeline ~30x (fresh lambda ids
+    defeat codegen CSE — 42s for 5k docs at sf0.1). The whole plan must
+    now contain at most a couple of tokenize occurrences."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame([(1, "the quick brown fox " * 10)], ["doc_id", "text"])
+    out = quality_filter(df, "doc_id", "text").filter(F.col("keep"))
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    n_tokenize = plan.count("split(lower(")
+    assert 1 <= n_tokenize <= 3, f"tokenize inlined {n_tokenize}x in plan"
+
+
+def test_let_binding_basics(spark):
+    """functions.binding.let: value evaluated per-row, NULL passes
+    through to the body, multi-reference bodies see one binding."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.binding import let
+
+    df = spark.createDataFrame([("a b",), (None,)], "t string")
+    rows = df.select(
+        let(
+            F.split(F.col("t"), " "),
+            lambda tk: F.size(tk) + F.size(tk),  # two refs, one binding
+        ).alias("twice_n")
+    ).collect()
+    # NULL input -> the body runs on a NULL binding (size(NULL) = NULL),
+    # matching the unbound expression's null behavior
+    assert [r.twice_n for r in rows] == [4, None]
