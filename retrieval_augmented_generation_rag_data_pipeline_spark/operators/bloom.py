@@ -64,35 +64,13 @@ def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-# One-pass build cap: an 8 MiB bitmap (2^26 bits). With the fixed k
-# below this delivers <=1% fpp for key sets up to ~5.6M rows — beyond
-# that, build_bloom pays one exactly-sized second pass (which a key set
-# that large amortizes anyway).
-_ONEPASS_M_CAP = 1 << 26
-_ONEPASS_K = 7  # fpp-optimal k for ~9.6 bits/key (the 1% design point)
-
-
-def _fpp_est(m: int, k: int, n: int) -> float:
-    """Standard Bloom false-positive estimate (1 - e^(-kn/m))^k."""
-    if n <= 0:
-        return 0.0
-    return (1.0 - math.exp(-k * n / m)) ** k
-
-
-def _fold_bitmap_words(
-    keys: DataFrame, key_col: str, m: int, k: int, with_count: bool
-) -> tuple[list, int]:
+def _fold_bitmap_words(keys: DataFrame, key_col: str, m: int, k: int) -> list:
     """One distributed pass: explode the k positions mod m, fold into
     (word_index, bit_or) rows — at most m/64 rows reach the driver
-    regardless of |keys|. When `with_count` is set, the SAME aggregation
-    also counts exploded positions per word; the total is exactly n*k,
-    so the caller recovers the exact key count with no extra job.
+    regardless of |keys|.
     """
     pos = F.explode(F.array(*_position_cols(F.col(key_col), k, m))).alias("p")
-    aggs = [F.bit_or("b").alias("bits")]
-    if with_count:
-        aggs.append(F.count("*").alias("cnt"))
-    rows = (
+    return (
         keys.select(pos)
         .select(
             F.shiftright("p", 6).alias("w"),
@@ -101,11 +79,9 @@ def _fold_bitmap_words(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
         )
         .groupBy("w")
-        .agg(*aggs)
+        .agg(F.bit_or("b").alias("bits"))
         .collect()
     )
-    n = (sum(r.cnt for r in rows) // k) if with_count else -1
-    return rows, n
 
 
 def _rows_to_bitmap(rows: list, m: int) -> np.ndarray:
@@ -126,70 +102,36 @@ def build_bloom(
     Returns (bitmap: uint64[m/64], m, k). Only folded bitmap words reach
     the driver (a map-side-combined `groupBy(word).bit_or` shuffle).
 
-    Sizing never costs an extra scan of `keys` (the round-5 advisory
-    flagged the old `keys.count()` pre-pass):
+    Sizing when `expected_items` is absent uses an HLL sketch
+    (`approx_count_distinct`, rsd 15%) instead of the old full
+    `keys.count()` (round-5 advisory): the sizing job reads only the key
+    column, hashes once per row into a KB-sized sketch, and shuffles one
+    sketch per partition — orders of magnitude lighter than the build
+    pass, at any ledger size. Distinct count is also the RIGHT sizing
+    quantity (duplicate keys set the same bits; the old row count
+    oversized on duplicate-heavy ledgers). The estimate is inflated by
+    2x rsd as a safety margin — an undersized bitmap only raises fpp
+    (more rows into the exact recheck), never correctness.
 
-    - `expected_items` given: size (m, k) directly, one build pass.
-    - `expected_items` absent: ONE pass builds the bitmap at a fixed
-      power-of-two cap (2^26 bits, 8 MiB) and recovers the exact key
-      count from the same aggregation (total exploded positions = n*k).
-      The bitmap is then folded down to the smallest power-of-two m
-      meeting `fpp` — sound because m | M makes
-      (h mod M) mod m == h mod m, so probe positions computed mod m
-      match the folded build exactly. Only a key set too large for the
-      cap at the requested fpp (> ~5.6M keys at 1%) pays a second,
-      exactly-sized pass.
+    (A one-pass build-at-a-cap-then-fold design was tried and reverted:
+    hashing into a fixed 2^26-bit space inflated the build shuffle ~20x
+    for small ledgers, and ledgers beyond the cap's capacity paid a full
+    second build pass anyway — worse at both ends than one cheap sketch
+    job plus one exactly-sized build.)
     """
     if expected_items is not None:
-        m, k = bloom_params(expected_items, fpp)
-        rows, _ = _fold_bitmap_words(keys, key_col, m, k, with_count=False)
-        return _rows_to_bitmap(rows, m), m, k
-
-    cap, k = _ONEPASS_M_CAP, _ONEPASS_K
-    pos = F.explode(F.array(*_position_cols(F.col(key_col), k, cap))).alias("p")
-    words = (
-        keys.select(pos)
-        .select(
-            F.shiftright("p", 6).alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"), F.count("*").alias("cnt"))
-        .persist()
-    )
-    try:
-        # one scan of `keys` materializes the cached word table (bounded:
-        # <= cap/64 = 1M rows distributed, never collected at this size);
-        # total exploded positions = n*k recovers the exact key count.
-        total = words.agg(F.sum("cnt")).first()[0]
-        n = int(total or 0) // k
-        if n == 0:
-            return np.zeros(1, dtype=np.uint64), 64, k
-        if _fpp_est(cap, k, n) > fpp:
-            # cap can't meet the target for this n: one exactly-sized
-            # second pass (n is now exact, so no over/under-sizing).
-            m, k2 = bloom_params(n, fpp)
-            rows2, _ = _fold_bitmap_words(keys, key_col, m, k2, with_count=False)
-            return _rows_to_bitmap(rows2, m), m, k2
-        m = 64
-        while m < cap and _fpp_est(m, k, n) > fpp:
-            m *= 2
-        if m == cap:
-            rows = words.select("w", "bits").collect()
-            return _rows_to_bitmap(rows, cap), cap, k
-        # OR-fold DISTRIBUTED-side down to m bits before collecting —
-        # sound because 64 | m | cap: bit j = 64w+off folds to word
-        # w mod (m/64) at the same intra-word offset, and probe
-        # positions (h mod m) == (h mod cap) mod m. The driver only
-        # ever receives <= m/64 folded rows, not the cap-sized table.
-        rows = (
-            words.groupBy(F.pmod(F.col("w"), F.lit(m // 64)).alias("w"))
-            .agg(F.bit_or("bits").alias("bits"))
-            .collect()
-        )
-        return _rows_to_bitmap(rows, m), m, k
-    finally:
-        words.unpersist()
+        n = expected_items
+    else:
+        est = keys.agg(
+            F.approx_count_distinct(key_col, rsd=0.15).alias("n")
+        ).first()["n"]
+        n = int((est or 0) * 1.3)
+    if n <= 0:
+        # empty key set: everything is definitively absent
+        return np.zeros(1, dtype=np.uint64), 64, 1
+    m, k = bloom_params(n, fpp)
+    rows = _fold_bitmap_words(keys, key_col, m, k)
+    return _rows_to_bitmap(rows, m), m, k
 
 
 def with_bloom_contains(

@@ -118,15 +118,16 @@ def test_bloom_anti_join_rejects_string_vs_numeric_key(spark):
         bloom.bloom_anti_join(left, keys, "k")
 
 
-def test_build_bloom_onepass_matches_sized_build(spark):
-    """No expected_items -> single-pass capped build + fold-down. The
-    folded bitmap must behave like a directly-sized one: zero false
-    negatives, fpp near target, and the recovered n must be exact."""
+def test_build_bloom_hll_sizing(spark):
+    """No expected_items -> HLL-estimated distinct count (+30% margin)
+    sizes the bitmap: zero false negatives, fpp near target, and m in
+    the right ballpark for ~3000 distinct keys. Duplicate keys must NOT
+    inflate m (distinct count, not row count, is the sizing quantity)."""
     members = spark.range(0, 3000).select(F.col("id").alias("k"))
     bitmap, m, k = bloom.build_bloom(members, "k", fpp=0.01)
-    # m is a power of two (fold-down invariant) sized for ~3000 keys
-    assert m & (m - 1) == 0 and 64 <= m < bloom._ONEPASS_M_CAP
-    assert k == bloom._ONEPASS_K
+    lo, _ = bloom.bloom_params(int(3000 * 0.7), 0.01)
+    hi, _ = bloom.bloom_params(int(3000 * 2.0), 0.01)
+    assert lo <= m <= hi, (lo, m, hi)
     probed = bloom.with_bloom_contains(members, bitmap, m, k, "k")
     assert probed.filter(~F.col("_bloom_maybe")).count() == 0
     outsiders = spark.range(5_000_000, 5_010_000).select(F.col("id").alias("k"))
@@ -136,12 +137,16 @@ def test_build_bloom_onepass_matches_sized_build(spark):
         .count()
     )
     assert fp / 10_000 < 0.05
+    # duplicate-heavy ledger: same distinct keys 10x over -> same-size m
+    dup = members.crossJoin(spark.range(10).select(F.lit(1).alias("_d"))).select("k")
+    _, m_dup, _ = bloom.build_bloom(dup, "k", fpp=0.01)
+    assert m_dup <= hi, (m_dup, hi)
 
 
 def test_build_bloom_empty_keys(spark):
     keys = spark.range(0).select(F.col("id").alias("k"))
     bitmap, m, k = bloom.build_bloom(keys, "k")
-    assert (bitmap == 0).all() and m == 64
+    assert (bitmap == 0).all() and m == 64 and k == 1
     probe = spark.range(5).select(F.col("id").alias("k"))
     flagged = bloom.with_bloom_contains(probe, bitmap, m, k, "k")
     assert flagged.filter(F.col("_bloom_maybe")).count() == 0
