@@ -41,20 +41,27 @@ def chunk_text(
     the text analog for RAG is fixed-token chunking).
 
     Returns (doc_id, chunk_idx, chunk_text, n_words) — one row per chunk,
-    via explode (narrow, no shuffle).
+    via explode (narrow, no shuffle). The token array is let-bound: the
+    chunk-builder lambda slices it per chunk, and HOF lambdas run
+    interpreted, so an inline tokens(text) would re-tokenize per chunk.
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.floor((n - 1) / chunk_words).cast("int"))
-    chunks = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("chunk_idx"),
-            F.array_join(
-                F.slice(toks, i * chunk_words + 1, chunk_words), " "
-            ).alias("chunk_text"),
-        ),
-    )
+
+    def build_chunks(tk):
+        n_b = F.size(tk)
+        idx = F.sequence(F.lit(0), F.floor((n_b - 1) / chunk_words).cast("int"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.array_join(
+                    F.slice(tk, i * chunk_words + 1, chunk_words), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    chunks = let(toks, build_chunks)
     return (
         # at least one REAL token — length(trim(..)) > 0 would pass
         # newline/tab-only docs (Spark trim strips spaces only) and

@@ -63,9 +63,23 @@ def l2_norm(a: Column) -> Column:
 
 def l2_normalize(a: Column) -> Column:
     """L2-normalize (reference normalize_embeddings=True at
-    src/embedding_engine.py:20; torch F.normalize at src/transcription.py:187)."""
-    n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    src/embedding_engine.py:20; torch F.normalize at src/transcription.py:187).
+
+    Both the input array and its norm are let-bound: the norm is
+    referenced inside the transform lambda, and HOF lambdas run
+    interpreted (no subexpression elimination), so an inline norm would
+    be re-aggregated once PER ELEMENT — O(dim^2) per row; the array
+    itself is referenced twice (norm + transform), which doubles
+    expensive inputs like the mock-embed md5 component array."""
+    from ..functions.binding import let
+
+    return let(
+        a,
+        lambda arr: let(
+            l2_norm(arr),
+            lambda n: F.transform(arr, lambda x: x.cast("double") / n),
+        ),
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
