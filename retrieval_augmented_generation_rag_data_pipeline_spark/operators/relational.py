@@ -140,7 +140,14 @@ def rank_small(
     is only meaningful for numeric columns — a string column would be
     cast to double (NULLs under non-ANSI), silently ranking every row
     1. Enforced: a desc direction on a non-numeric column raises.
+
+    The input is pinned (lazy localCheckpoint) before the self-join:
+    both join sides otherwise replay the FULL upstream lineage — for
+    bm25_search that meant two complete postings passes over the corpus
+    just to rank the 20 surviving rows. The contract is post-limit
+    (<= k rows), so the pin materializes a trivially small frame once.
     """
+    df = df.localCheckpoint(eager=False)
     for c, direction in order:
         if direction == "desc" and not isinstance(
             df.schema[c].dataType, NumericType

@@ -52,11 +52,20 @@ def doc_terms(
 ) -> DataFrame:
     """(doc_id, term, tf, dl): per-document term frequencies plus the
     document length in tokens. One explode (narrow) + one hash
-    aggregation on (doc_id, term) with map-side combine."""
-    exploded = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+    aggregation on (doc_id, term) with map-side combine.
+
+    The token array is staged in its own projection: dl and the explode
+    both consume it, and building both from an inline tokens(text)
+    evaluates the tokenizer twice per row (CollapseProject refuses to
+    inline the staged non-cheap multi-referenced alias, so the staging
+    sticks — no filter reaches below the explode here)."""
+    staged = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("dl"),
+        F.explode("_tk").alias("term"),
     )
     return exploded.groupBy("doc_id", "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
@@ -141,10 +150,14 @@ def bm25_search(
     doc lengths. The final top-k is TakeOrderedAndProject.
     """
     qset = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
-    exploded = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+    # token array staged once for dl + explode (see doc_terms)
+    staged = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("dl"),
+        F.explode("_tk").alias("term"),
     )
     matched = exploded.filter(F.array_contains(qset, F.col("term")))
     tf = matched.groupBy("doc_id", "dl", "term").agg(
