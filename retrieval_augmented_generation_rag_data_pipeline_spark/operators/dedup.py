@@ -198,10 +198,21 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(tokens(F.col(text_col)), k)).alias("_sh"),
     )
-    sizes = shingled.select("doc_id", F.size("_sh").alias("n_sh"))
-    inv = shingled.select("doc_id", F.explode("_sh").alias("shingle")).select(
-        "doc_id", md5_long(F.col("shingle")).alias("_h")
+    # The inverted index is pinned (lazy localCheckpoint): it feeds BOTH
+    # sides of the pair self-join (plus the optional hot-shingle cap),
+    # and each consumer would otherwise replay the whole tokenize ->
+    # shingle -> md5 pipeline over the corpus. Materializing the
+    # (doc_id, hash) postings once is exactly what "building an inverted
+    # index" means; per-doc sizes derive from it (one count per doc —
+    # _sh is already distinct, so rows per doc == n_sh) instead of a
+    # separate pass. Zero-shingle docs drop out of sizes, which is
+    # harmless: they can never appear in a candidate pair.
+    inv = (
+        shingled.select("doc_id", F.explode("_sh").alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
+        .localCheckpoint(eager=False)
     )
+    sizes = inv.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     if df_cap is not None:
         hot = inv.groupBy("_h").count().filter(F.col("count") > df_cap).select("_h")
         inv = inv.join(F.broadcast(hot), "_h", "left_anti")
@@ -374,9 +385,13 @@ def dedup_corpus(
     if verify_jaccard is not None:
         # reuse the staged (and ensure_parallelism'd) shingle pipeline —
         # an inline re-derivation would skip the repartition and
-        # serialize the expensive hashing on under-split inputs
-        sh = _shingle_hashes(docs, "doc_id", "text", k).select(
-            "doc_id", F.array_distinct(F.col("_h")).alias("_sh")
+        # serialize the expensive hashing on under-split inputs; pinned
+        # because BOTH sides of the pair-rescore join consume it (each
+        # would replay the tokenize->shingle->md5 pass otherwise)
+        sh = (
+            _shingle_hashes(docs, "doc_id", "text", k)
+            .select("doc_id", F.array_distinct(F.col("_h")).alias("_sh"))
+            .localCheckpoint(eager=False)
         )
         a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
         b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
