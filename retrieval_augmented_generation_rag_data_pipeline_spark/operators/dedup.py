@@ -207,10 +207,11 @@ def ngram_jaccard_pairs(
     # _sh is already distinct, so rows per doc == n_sh) instead of a
     # separate pass. Zero-shingle docs drop out of sizes, which is
     # harmless: they can never appear in a candidate pair.
-    inv = (
+    from .pinning import pin
+
+    inv = pin(
         shingled.select("doc_id", F.explode("_sh").alias("shingle"))
         .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
-        .localCheckpoint(eager=False)
     )
     sizes = inv.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     if df_cap is not None:
@@ -388,10 +389,11 @@ def dedup_corpus(
         # serialize the expensive hashing on under-split inputs; pinned
         # because BOTH sides of the pair-rescore join consume it (each
         # would replay the tokenize->shingle->md5 pass otherwise)
-        sh = (
+        from .pinning import pin
+
+        sh = pin(
             _shingle_hashes(docs, "doc_id", "text", k)
             .select("doc_id", F.array_distinct(F.col("_h")).alias("_sh"))
-            .localCheckpoint(eager=False)
         )
         a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
         b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))

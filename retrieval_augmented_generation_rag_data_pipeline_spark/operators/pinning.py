@@ -1,0 +1,49 @@
+"""Lineage pinning (lazy localCheckpoint) with a plan-inspection switch.
+
+Several operators pin an intermediate frame because more than one
+consumer (a self-join side, a multi-action edge build) would otherwise
+replay its full upstream lineage — see rank_small, ngram_jaccard_pairs,
+prepare_corpus. Pinning is a pure performance decision; it never
+changes results.
+
+The switch exists for plan tooling: a checkpoint truncates the visible
+plan to an ExistingRDD scan, so tools/plan_guard.py and
+tools/make_explain.py would only ever see the post-pin tail of a pinned
+query (and a regression upstream of the pin would be invisible to the
+recorded operator counts). Those tools disable pinning while they
+explain, recovering the full lineage. Note that `localCheckpoint(
+eager=False)` is NOT free at build time either — under AQE it submits
+the shuffle-stage jobs of the checkpointed plan when called — so
+disabling pins also keeps plan inspection from executing those stages.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_DISABLED = False
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Lazily checkpoint `df` (materialize once, reuse across consumers)
+    unless pinning is disabled for plan inspection."""
+    if _DISABLED:
+        return df
+    return df.localCheckpoint(eager=False)
+
+
+@contextmanager
+def pinning_disabled():
+    """Context manager: build DataFrames with pins as no-ops so their
+    FULL lineage is visible to explain/plan tooling. Never use around
+    code whose results you execute twice — the pins exist because
+    re-execution is expensive."""
+    global _DISABLED
+    prev = _DISABLED
+    _DISABLED = True
+    try:
+        yield
+    finally:
+        _DISABLED = prev

@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
+from .pinning import pin
+
 
 # ---- filters / projections (reference §2.2) --------------------------------
 
@@ -141,13 +143,15 @@ def rank_small(
     cast to double (NULLs under non-ANSI), silently ranking every row
     1. Enforced: a desc direction on a non-numeric column raises.
 
-    The input is pinned (lazy localCheckpoint) before the self-join:
-    both join sides otherwise replay the FULL upstream lineage — for
-    bm25_search that meant two complete postings passes over the corpus
-    just to rank the 20 surviving rows. The contract is post-limit
-    (<= k rows), so the pin materializes a trivially small frame once.
+    The input is pinned (operators.pinning.pin, a lazy localCheckpoint)
+    before the self-join: both join sides otherwise replay the FULL
+    upstream lineage — for bm25_search that meant two complete postings
+    passes over the corpus just to rank the 20 surviving rows. The
+    contract is post-limit (<= k rows), so the pin materializes a
+    trivially small frame once. Validation runs BEFORE the pin: the
+    checkpoint submits upstream jobs at call time under AQE, and a
+    schema error is decidable without executing anything.
     """
-    df = df.localCheckpoint(eager=False)
     for c, direction in order:
         if direction == "desc" and not isinstance(
             df.schema[c].dataType, NumericType
@@ -157,6 +161,7 @@ def rank_small(
                 f"{c!r} is {df.schema[c].dataType.simpleString()} — negate "
                 "via an explicit numeric key expression instead"
             )
+    df = pin(df)
 
     def _key(prefix: str) -> Column:
         # struct comparison is ascending lexicographic; negate desc

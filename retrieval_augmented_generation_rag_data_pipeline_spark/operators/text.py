@@ -44,30 +44,39 @@ def chunk_text(
     via explode (narrow, no shuffle). The token array is let-bound: the
     chunk-builder lambda slices it per chunk, and HOF lambdas run
     interpreted, so an inline tokens(text) would re-tokenize per chunk.
+    Empty/whitespace-only docs are handled by emitting an EMPTY chunk
+    array inside the binding (explode drops it) rather than a separate
+    `.filter(size(tokens) > 0)` — the filter's predicate would carry its
+    own tokens(text) copy in a different operator, which codegen CSE
+    cannot merge with the projection's, doubling the tokenize per row
+    (round-6 review finding).
     """
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
 
     def build_chunks(tk):
         n_b = F.size(tk)
         idx = F.sequence(F.lit(0), F.floor((n_b - 1) / chunk_words).cast("int"))
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                i.alias("chunk_idx"),
-                F.array_join(
-                    F.slice(tk, i * chunk_words + 1, chunk_words), " "
-                ).alias("chunk_text"),
+        # guard: sequence(0, -1) for an empty doc would yield [0, -1]
+        # (negative step), emitting a bogus empty chunk — and a NULL
+        # text must yield no rows, same as the old filter
+        return F.when(
+            n_b > 0,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.array_join(
+                        F.slice(tk, i * chunk_words + 1, chunk_words), " "
+                    ).alias("chunk_text"),
+                ),
             ),
+        ).otherwise(
+            F.array().cast("array<struct<chunk_idx:int,chunk_text:string>>")
         )
 
     chunks = let(toks, build_chunks)
     return (
-        # at least one REAL token — length(trim(..)) > 0 would pass
-        # newline/tab-only docs (Spark trim strips spaces only) and
-        # emit a bogus empty chunk for them
-        df.filter(n > 0)
-        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_idx").cast("long").alias("chunk_idx"),

@@ -156,7 +156,9 @@ def prepare_corpus(
     # over the full corpus. (doc_id, keep_quality) is the cheapest frame
     # in this plan to materialize; the normalize regex that remains in
     # the replayed lineage is a single linear pass.
-    qf = qf.localCheckpoint(eager=False)
+    from ..operators.pinning import pin
+
+    qf = pin(qf)
     norm = normalize_text(df, id_col, text_col)
     cand = norm.join(
         qf.filter(F.col("keep_quality")).select("doc_id"), "doc_id", "left_semi"

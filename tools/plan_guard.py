@@ -8,10 +8,29 @@ an extra Exchange, a join that stopped broadcasting, a window that
 appeared in a TakeOrdered path, or Python eval creeping into a JVM
 pipeline all show up here deterministically.
 
-Counts are taken from the FORMATTED explain tree (initial plan — no
-execution, so AQE runtime re-planning doesn't add noise) at sf0.001;
-plan shapes are scale-independent apart from AQE coalescing, and both
-record and check use the same SF so broadcast-threshold effects cancel.
+Counts are taken from the FORMATTED explain tree (initial plans — AQE
+runtime re-planning doesn't add noise) at sf0.001; plan shapes are
+scale-independent apart from AQE coalescing, and both record and check
+use the same SF so broadcast-threshold effects cancel. Subquery plan
+blocks (scalar subqueries, dynamic partition pruning) are parsed and
+counted too, not just the main tree.
+
+Honest boundaries of the guard (round-6 review):
+
+- Queries are built with lineage PINNING DISABLED
+  (operators.pinning.pinning_disabled), so the recorded shape covers
+  the FULL lineage of lazily-pinned queries (bm25_search, hybrid_rrf,
+  dedup_ngram_jaccard, prepare_corpus) — not just the post-checkpoint
+  tail a production explain shows.
+- Iterative operators that EAGERLY checkpoint inside a loop
+  (dedup_corpus, dedup_clusters via connected_components) return a
+  final frame whose plan is inherently an ExistingRDD scan; their
+  recorded shape is {} and plan regressions there are covered by the
+  oracle-parity suite and the bench, not this guard.
+- "Building" a query is not always execution-free: bloom bitmap
+  builds, positional-zip partition counts, and the iterative closure
+  run bounded construction-time jobs, so this tool reads test data and
+  can fail at runtime, not just at planning.
 
 Usage:
   python tools/plan_guard.py --record   # rewrite PLAN_GUARD.json
@@ -54,14 +73,22 @@ NODES = [
 
 
 def tree_of(plan: str) -> str:
-    """The tree block of a formatted plan (detail sections repeat node
-    names, so counting must stop at the first '(N) ' detail line)."""
-    lines = []
+    """Every tree block of a formatted plan: the main tree plus each
+    subquery's tree (formatted explain appends '===== Subqueries ====='
+    sections whose plans would otherwise be invisible to the counts).
+    Detail sections repeat node names, so collection stops at each
+    block's first '(N) ' detail line and resumes at the next header."""
+    out, in_tree = [], True
     for ln in plan.splitlines():
         if re.match(r"^\(\d+\) ", ln):
-            break
-        lines.append(ln)
-    return "\n".join(lines)
+            in_tree = False
+            continue
+        if ln.startswith("Subquery:") or ln.startswith("== Physical Plan"):
+            in_tree = True
+            continue
+        if in_tree:
+            out.append(ln)
+    return "\n".join(out)
 
 
 def count_nodes(plan: str) -> dict[str, int]:
@@ -75,6 +102,7 @@ def count_nodes(plan: str) -> dict[str, int]:
 
 
 def collect(names: list[str]) -> dict[str, dict[str, int]]:
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import pinning_disabled
     from retrieval_augmented_generation_rag_data_pipeline_spark.plans.queries import REGISTRY
     from retrieval_augmented_generation_rag_data_pipeline_spark.session import get_spark
 
@@ -82,10 +110,11 @@ def collect(names: list[str]) -> dict[str, dict[str, int]]:
     jvm = spark.sparkContext._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     shapes = {}
-    for name in names:
-        df = REGISTRY[name][0](spark, SF_DIR)
-        plan = df._jdf.queryExecution().explainString(mode)
-        shapes[name] = count_nodes(plan)
+    with pinning_disabled():
+        for name in names:
+            df = REGISTRY[name][0](spark, SF_DIR)
+            plan = df._jdf.queryExecution().explainString(mode)
+            shapes[name] = count_nodes(plan)
     return shapes
 
 
