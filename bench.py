@@ -4,7 +4,14 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <warm total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "cold_value": <first-run total>,
-   "cold_queries": {...}, "sf": <sf>}
+   "cold_queries": {...}, "sf": <sf>,
+   "loadavg_start": [1m, 5m, 15m], "loadavg_end": [1m, 5m, 15m]}
+
+The loadavg fields make each recording self-describing (round-6 lesson:
+a 36.5s loaded reading vs 25.3s idle reading of the SAME code cost a
+whole investigation) — loadavg_start is the host's OTHER load (sampled
+before Spark starts); loadavg_end includes the bench's own 32 threads,
+so compare start values across rounds.
 
 Protocol: two passes per query. "cold" = the first pass (includes
 whole-stage-codegen compilation and any page-cache misses); "warm" =
@@ -72,6 +79,7 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="bench")
 
     # JVM + parquet-footer warmup so per-query numbers measure the
@@ -100,6 +108,8 @@ def main() -> None:
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "sf": sf,
+                "loadavg_start": load_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

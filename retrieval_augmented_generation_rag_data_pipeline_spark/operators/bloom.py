@@ -120,15 +120,27 @@ def build_bloom(
     job plus one exactly-sized build.)
     """
     if expected_items is not None:
+        # An explicit non-positive size with a (possibly) non-empty key
+        # frame must NOT take the empty-bitmap shortcut below: an
+        # all-zero bitmap means "definitively absent", and callers like
+        # bloom_anti_join never re-check Bloom-negative rows — real
+        # members would silently survive the anti-join (round-6
+        # advisory). Only the measured-empty path may conclude that.
+        if expected_items <= 0:
+            raise ValueError(
+                f"build_bloom: expected_items must be positive, got "
+                f"{expected_items}; omit it to size from an HLL sketch "
+                "of the actual keys"
+            )
         n = expected_items
     else:
         est = keys.agg(
             F.approx_count_distinct(key_col, rsd=0.15).alias("n")
         ).first()["n"]
         n = int((est or 0) * 1.3)
-    if n <= 0:
-        # empty key set: everything is definitively absent
-        return np.zeros(1, dtype=np.uint64), 64, 1
+        if n <= 0:
+            # measured-empty key set: everything is definitively absent
+            return np.zeros(1, dtype=np.uint64), 64, 1
     m, k = bloom_params(n, fpp)
     rows = _fold_bitmap_words(keys, key_col, m, k)
     return _rows_to_bitmap(rows, m), m, k

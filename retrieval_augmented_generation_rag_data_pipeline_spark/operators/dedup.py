@@ -242,6 +242,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def cc_edge_list(
+    edges: DataFrame, edge_cols: tuple[str, str] = ("doc_a", "doc_b")
+) -> DataFrame:
+    """Undirected (_src, _dst) edge list — each input pair emitted in
+    both directions. This is the frame ``connected_components``
+    materializes once before iterating; exposed unpinned so plan
+    tooling can guard its shape (the end-to-end closure plan is
+    truncated to an ExistingRDD scan by the per-round checkpoints)."""
+    a, b = edge_cols
+    return edges.select(
+        F.col(a).alias("_src"), F.col(b).alias("_dst")
+    ).unionByName(
+        edges.select(F.col(b).alias("_src"), F.col(a).alias("_dst"))
+    )
+
+
+def cc_seed_labels(
+    vertices: DataFrame, und: DataFrame, vertex_col: str = "doc_id"
+) -> DataFrame:
+    """Initial (doc_id, component_id=doc_id) labels over vertices UNION
+    edge endpoints: a dangling endpoint absent from `vertices` would
+    otherwise never get its own label, be invisible to the convergence
+    check (inner join on old labels), and could freeze the loop early
+    with a wrong component."""
+    seeds = (
+        vertices.select(F.col(vertex_col).alias("doc_id"))
+        .unionByName(und.select(F.col("_src").alias("doc_id")))
+        .distinct()
+    )
+    return seeds.select("doc_id", F.col("doc_id").alias("component_id"))
+
+
+def cc_jump_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation + pointer-jump round: every vertex
+    takes the min of its own, its neighbors', and its label's label
+    (path halving). Returns the new labels frame unpinned — the loop in
+    ``connected_components`` checkpoints it per round; plan tooling
+    guards this shape directly (two hash-agg/join shuffles keyed on the
+    vertex, never a cartesian or a window)."""
+    nbr = und.join(
+        labels, und["_src"] == labels["doc_id"], "inner"
+    ).select(F.col("_dst").alias("doc_id"), "component_id")
+    hop = (
+        labels.unionByName(nbr)
+        .groupBy("doc_id")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+    # pointer jump: comp(v) := comp(comp(v)) — labels are always
+    # existing doc ids, so the self-join resolves every label
+    lab_map = hop.select(
+        F.col("doc_id").alias("component_id"),
+        F.col("component_id").alias("_cc"),
+    )
+    return hop.join(lab_map, "component_id", "left").select(
+        "doc_id",
+        F.coalesce("_cc", "component_id").alias("component_id"),
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -252,60 +311,24 @@ def connected_components(
     """Duplicate-cluster assignment: (doc_id, component_id) where
     component_id = min doc_id reachable through candidate-pair edges.
 
-    Iterative min-label propagation with pointer jumping: each round
-    every vertex takes the min of its own, its neighbors', and its
-    label's label (path halving), so convergence is O(log diameter)
-    rounds — not O(diameter) as plain propagation would be on chain
-    graphs. Each round is two shuffles keyed on the vertex; lineage is
-    truncated per round with a local checkpoint so the plan doesn't grow
-    with iterations. The driver sees only a changed-row count per round
-    — no data collects.
+    Iterative min-label propagation with pointer jumping
+    (``cc_jump_round``), so convergence is O(log diameter) rounds — not
+    O(diameter) as plain propagation would be on chain graphs. Each
+    round is two shuffles keyed on the vertex; lineage is truncated per
+    round with a local checkpoint so the plan doesn't grow with
+    iterations. The driver sees only a changed-row count per round — no
+    data collects.
     """
-    a, b = edge_cols
     # materialize the edge list ONCE: without this every iteration
     # re-executes the upstream pipeline that produced the edges (for
     # LSH candidate pairs that is the whole tokenize->minhash->band
     # join — measured 5x the loop's own cost at sf0.1)
-    und = (
-        edges.select(F.col(a).alias("_src"), F.col(b).alias("_dst"))
-        .unionByName(edges.select(F.col(b).alias("_src"), F.col(a).alias("_dst")))
-        .localCheckpoint(eager=True)
+    und = cc_edge_list(edges, edge_cols).localCheckpoint(eager=True)
+    labels = cc_seed_labels(vertices, und, vertex_col).localCheckpoint(
+        eager=True
     )
-    # seed labels from vertices UNION edge endpoints: a dangling
-    # endpoint absent from `vertices` would otherwise never get its own
-    # label, be invisible to the convergence check (inner join on old
-    # labels), and could freeze the loop early with a wrong component
-    seeds = (
-        vertices.select(F.col(vertex_col).alias("doc_id"))
-        .unionByName(und.select(F.col("_src").alias("doc_id")))
-        .distinct()
-    )
-    labels = seeds.select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr = und.join(
-            labels, und["_src"] == labels["doc_id"], "inner"
-        ).select(F.col("_dst").alias("doc_id"), "component_id")
-        hop = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("component_id").alias("component_id"))
-        )
-        # pointer jump: comp(v) := comp(comp(v)) — labels are always
-        # existing doc ids, so the self-join resolves every label
-        lab_map = hop.select(
-            F.col("doc_id").alias("component_id"),
-            F.col("component_id").alias("_cc"),
-        )
-        new_labels = (
-            hop.join(lab_map, "component_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("_cc", "component_id").alias("component_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = cc_jump_round(und, labels).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -317,6 +340,58 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def dedup_corpus_edges(
+    docs: DataFrame,
+    k: int = 3,
+    max_bucket_size: int | None = None,
+    min_bands: int = 1,
+    verify_jaccard: float | None = None,
+) -> DataFrame:
+    """The (doc_a, doc_b) duplicate-edge union ``dedup_corpus`` feeds to
+    the transitive closure: exact-digest star edges (canonical -> each
+    copy) UNION MinHash-banded-LSH near-duplicate candidate edges,
+    optionally band-count-filtered and exact-Jaccard-verified. `docs`
+    must carry (doc_id, text). Exposed as its own operator so plan
+    tooling can guard its shape — inside ``dedup_corpus`` the eager
+    per-round checkpoints truncate the visible plan."""
+    exact_edges = (
+        dedup_exact(docs)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(
+            F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    near_edges = lsh_candidate_pairs(
+        docs, k=k, max_bucket_size=max_bucket_size
+    )
+    if min_bands > 1:
+        near_edges = near_edges.filter(F.col("n_bands") >= min_bands)
+    near_edges = near_edges.select("doc_a", "doc_b")
+    if verify_jaccard is not None:
+        # reuse the staged (and ensure_parallelism'd) shingle pipeline —
+        # an inline re-derivation would skip the repartition and
+        # serialize the expensive hashing on under-split inputs; pinned
+        # because BOTH sides of the pair-rescore join consume it (each
+        # would replay the tokenize->shingle->md5 pass otherwise)
+        from .pinning import pin
+
+        sh = pin(
+            _shingle_hashes(docs, "doc_id", "text", k)
+            .select("doc_id", F.array_distinct(F.col("_h")).alias("_sh"))
+        )
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+        inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
+        near_edges = (
+            near_edges.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter((inter / F.greatest(union, F.lit(1))) >= verify_jaccard)
+            .select("doc_a", "doc_b")
+        )
+    return exact_edges.unionByName(near_edges)
 
 
 def dedup_corpus(
@@ -370,43 +445,15 @@ def dedup_corpus(
     more than (id, id) edge rows after the LSH bucket join.
     """
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    exact_edges = (
-        dedup_exact(docs)
-        .filter(F.col("doc_id") != F.col("canonical_id"))
-        .select(
-            F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
-        )
-    )
-    near_edges = lsh_candidate_pairs(
-        docs, k=k, max_bucket_size=max_bucket_size
-    )
-    if min_bands > 1:
-        near_edges = near_edges.filter(F.col("n_bands") >= min_bands)
-    near_edges = near_edges.select("doc_a", "doc_b")
-    if verify_jaccard is not None:
-        # reuse the staged (and ensure_parallelism'd) shingle pipeline —
-        # an inline re-derivation would skip the repartition and
-        # serialize the expensive hashing on under-split inputs; pinned
-        # because BOTH sides of the pair-rescore join consume it (each
-        # would replay the tokenize->shingle->md5 pass otherwise)
-        from .pinning import pin
-
-        sh = pin(
-            _shingle_hashes(docs, "doc_id", "text", k)
-            .select("doc_id", F.array_distinct(F.col("_h")).alias("_sh"))
-        )
-        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
-        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
-        inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
-        union = F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter
-        near_edges = (
-            near_edges.join(a, "doc_a")
-            .join(b, "doc_b")
-            .filter((inter / F.greatest(union, F.lit(1))) >= verify_jaccard)
-            .select("doc_a", "doc_b")
-        )
     comp = connected_components(
-        docs.select("doc_id"), exact_edges.unionByName(near_edges)
+        docs.select("doc_id"),
+        dedup_corpus_edges(
+            docs,
+            k=k,
+            max_bucket_size=max_bucket_size,
+            min_bands=min_bands,
+            verify_jaccard=verify_jaccard,
+        ),
     )
     return comp.select(
         "doc_id",

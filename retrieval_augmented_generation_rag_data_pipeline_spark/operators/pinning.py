@@ -20,16 +20,21 @@ disabling pins also keeps plan inspection from executing those stages.
 from __future__ import annotations
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 
 from pyspark.sql import DataFrame
 
-_DISABLED = False
+# ContextVar, not a module global: the disable flag is scoped to the
+# current thread/async context, so a pinning_disabled() block in plan
+# tooling can never silently strip the pins off DataFrames being built
+# concurrently in another thread (round-6 advisory).
+_DISABLED: ContextVar[bool] = ContextVar("pinning_disabled", default=False)
 
 
 def pin(df: DataFrame) -> DataFrame:
     """Lazily checkpoint `df` (materialize once, reuse across consumers)
     unless pinning is disabled for plan inspection."""
-    if _DISABLED:
+    if _DISABLED.get():
         return df
     return df.localCheckpoint(eager=False)
 
@@ -39,11 +44,10 @@ def pinning_disabled():
     """Context manager: build DataFrames with pins as no-ops so their
     FULL lineage is visible to explain/plan tooling. Never use around
     code whose results you execute twice — the pins exist because
-    re-execution is expensive."""
-    global _DISABLED
-    prev = _DISABLED
-    _DISABLED = True
+    re-execution is expensive. Thread-scoped: only this thread's (or
+    async context's) pins are disabled."""
+    token = _DISABLED.set(True)
     try:
         yield
     finally:
-        _DISABLED = prev
+        _DISABLED.reset(token)

@@ -2816,69 +2816,69 @@ def zorder_key(spark, sf):
 # the 21 that sat at positions 51-71 during round 3 (green in
 # CORRECTNESS_r02.json) plus the 9 queries new this round.
 #
-# STANDING ROTATION (round 6): `list(REGISTRY)[50:]` from the round-5
-# ordering — the 52 entries whose latest driver evidence is r4 (or r3
-# for the first two, which slipped the r5 window). The two MOST STALE
-# (filter_year, project_arith — last green r3) lead; the two positions
-# that overflow the 50-entry window this round are the two most
-# trivial, most-stable predicates (filter_suffix, filter_nonempty —
-# green r4, one-line filters) which lead round 7's rotation.
+# STANDING ROTATION (round 7): `list(REGISTRY)[50:]` from the round-6
+# ordering — filter_suffix/filter_nonempty (last green r4, the only
+# entries whose evidence is more than one round old) LEAD per the
+# round-6 verdict, followed by the 50 entries whose latest driver
+# evidence is r5. The two positions that overflow the 50-entry window
+# this round (sample_group_k, sample_weighted_k — green r5, both also
+# unit-tested in test_sampling.py) lead round 8's rotation.
 # Next round: replace with `list(REGISTRY)[50:]` + new queries.
 _PRIORITY_QUERIES = [
-    "filter_year",
-    "project_arith",
-    "sort_desc",
-    "topn_per_group",
-    "join_asof",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_mem",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_lsh_pairs",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "lang_id",
-    "quality_score",
-    "quality_filter",
-    "token_count",
-    "doc_fingerprint",
-    "chunk_documents",
-    "multimodal_features",
-    "artifact_probe",
-    "sample_stratified",
-    "repetition_metrics",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "bm25_search",
-    "hybrid_rrf",
-    "ngram_topk",
-    "corpus_stats",
-    "vocab_entropy",
-    "assign_split",
-    "mix_corpora",
-    "window_rank",
-    "prepare_corpus",
-    "window_lead_lag",
-    "window_first_last",
-    "agg_stats",
-    "agg_pivot",
-    "unpivot_melt",
-    "join_interval",
-    "agg_mode",
-    "set_ops",
-    "null_funcs",
-    "explode_pos",
-    "str_distance",
-    "sample_exact_k",
-    "zorder_key",
-    "filter_notnull",
-    # positions 51-52: miss the 50-entry round-6 window by design —
-    # the two most trivial r4-green entries lead round 7
     "filter_suffix",
     "filter_nonempty",
+    "project_derived",
+    "scan_catalog",
+    "scan_documents",
+    "agg_conditional_count",
+    "agg_multi_counter",
+    "agg_by_year",
+    "agg_histogram",
+    "agg_mean",
+    "agg_max",
+    "agg_count",
+    "agg_concat",
+    "agg_tpch_q1",
+    "agg_percentile",
+    "agg_tpch_q6",
+    "top_revenue_orders",
+    "join_broadcast",
+    "semi_join",
+    "anti_join_ledger",
+    "join_salted",
+    "bloom_anti_join",
+    "join_positional",
+    "distinct_keys",
+    "union_globs",
+    "limit_n",
+    "limit_pushdown",
+    "sessionize_islands",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "agg_rollup",
+    "agg_cube",
+    "argmin_nearest",
+    "window_running",
+    "format_dialogue",
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "map_funcs",
+    "knn_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "dedup_corpus",
+    "decontaminate",
+    "normalize_text",
+    "dedup_chunks",
+    "dedup_incremental",
+    # positions 51-52: miss the 50-entry round-7 window by design —
+    # these two r5-green sampling queries lead round 8
+    "sample_group_k",
+    "sample_weighted_k",
 ]
 
 

@@ -114,7 +114,7 @@ def test_bloom_anti_join_rejects_string_vs_numeric_key(spark):
     the recheck never sees. The precondition is now enforced."""
     left = spark.createDataFrame([("1.0", "a"), ("2.5", "b")], ["k", "v"])
     keys = spark.createDataFrame([(1,)], "k long")
-    with pytest.raises(ValueError, match="must have\n?.*equal types|equal types"):
+    with pytest.raises(ValueError, match="equal types or both be numeric"):
         bloom.bloom_anti_join(left, keys, "k")
 
 
@@ -146,6 +146,23 @@ def test_build_bloom_hll_sizing(spark):
 def test_build_bloom_empty_keys(spark):
     keys = spark.range(0).select(F.col("id").alias("k"))
     bitmap, m, k = bloom.build_bloom(keys, "k")
+    assert (bitmap == 0).all() and m == 64 and k == 1
+
+
+def test_build_bloom_rejects_nonpositive_expected_items(spark):
+    """Round-6 advisory: an explicit expected_items<=0 with non-empty
+    keys must raise, NOT return the all-zero 'definitively absent'
+    bitmap — bloom_anti_join never rechecks Bloom-negative rows, so the
+    shortcut would let real members survive the anti-join."""
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="expected_items must be positive"):
+            bloom.build_bloom(keys, "k", expected_items=bad)
+        with pytest.raises(ValueError, match="expected_items must be positive"):
+            bloom.bloom_anti_join(keys, keys, "k", expected_items=bad)
+    # the measured-empty shortcut (no expected_items) is unaffected
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    bitmap, m, k = bloom.build_bloom(empty, "k")
     assert (bitmap == 0).all() and m == 64 and k == 1
     probe = spark.range(5).select(F.col("id").alias("k"))
     flagged = bloom.with_bloom_contains(probe, bitmap, m, k, "k")

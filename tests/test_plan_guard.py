@@ -1,5 +1,7 @@
-"""Load-independent perf signal: the physical plan shape of every bench
-headline query must match the recorded PLAN_GUARD.json.
+"""Load-independent perf signal: the physical plan shape of every
+registry query (all 102 oracle-checked entries) plus the
+connected-components building blocks must match the recorded
+PLAN_GUARD.json.
 
 Wall-clock on a shared box moves up to 3x with neighbor load, so
 bench.py alone can't distinguish host noise from a plan regression. An
@@ -10,7 +12,8 @@ disabled so lazily-pinned queries expose their full lineage; building
 them is still not execution-free (bloom bitmap builds, positional-zip
 counts, and the iterative closure run bounded construction-time jobs) —
 see tools/plan_guard.py for the guard's honest boundaries, including
-the two iterative queries whose recorded shape is legitimately {}.
+the two kinds of legitimately-{} rows (iterative plan truncation vs
+narrow plans containing no guarded nodes).
 
 On intentional plan changes: `python tools/plan_guard.py --record`.
 """
@@ -25,28 +28,54 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def test_headline_plan_shapes_match_recorded(spark):
+def test_registry_plan_shapes_match_recorded(spark):
     from bench import HEADLINE
-    from tools.plan_guard import GUARD_FILE, SF_DIR, count_nodes
+    from tools.plan_guard import GUARD_FILE, guarded_names, shape_of
 
     from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import pinning_disabled
-    from retrieval_augmented_generation_rag_data_pipeline_spark.plans.queries import REGISTRY
 
     want = json.loads(GUARD_FILE.read_text())
-    assert set(want) == set(HEADLINE), (
-        "PLAN_GUARD.json is stale vs bench.HEADLINE — rerun "
-        "tools/plan_guard.py --record"
+    names = guarded_names()
+    assert set(want) == set(names), (
+        "PLAN_GUARD.json is stale vs the registry + cc pseudo-queries — "
+        "rerun tools/plan_guard.py --record"
     )
-    jvm = spark.sparkContext._jvm
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    # every bench headline query is a registry entry, so the full-registry
+    # guard subsumes the old headline-only check
+    assert set(HEADLINE) <= set(names)
     drift = {}
     with pinning_disabled():
-        for name in HEADLINE:
-            df = REGISTRY[name][0](spark, SF_DIR)
-            got = count_nodes(df._jdf.queryExecution().explainString(mode))
+        for name in names:
+            got = shape_of(spark, name)
             if got != want[name]:
                 drift[name] = {"want": want[name], "got": got}
     assert not drift, json.dumps(drift, indent=2, sort_keys=True)
+
+
+def test_pinning_disabled_is_thread_scoped(spark):
+    """Round-6 advisory: the disable flag is a ContextVar, so a
+    pinning_disabled() block in plan tooling must NOT strip pins off
+    DataFrames built concurrently in another thread."""
+    import threading
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import (
+        pin,
+        pinning_disabled,
+    )
+
+    df = spark.range(3)
+    seen = {}
+
+    def other_thread():
+        seen["pinned"] = pin(df) is not df
+
+    with pinning_disabled():
+        assert pin(df) is df  # disabled here
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+    assert seen["pinned"], "pin() was a no-op in a thread that never disabled it"
+    assert pin(df) is not df  # re-enabled after the block
 
 
 def test_no_row_at_a_time_python_in_headline_plans():
