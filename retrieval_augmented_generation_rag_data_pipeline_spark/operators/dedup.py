@@ -471,6 +471,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     n_planes: int = 4,
     exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos_sim).
 
@@ -492,6 +493,16 @@ def embedding_near_dup_pairs(
     12 planes, 1B -> ~27; add tables to buy back the recall the extra
     planes cost (each plane multiplies per-table recall by
     (1-theta/pi)). tools/scale_probe.py measures the 20k config.
+
+    ``max_bucket_size`` drops (table, bucket) groups larger than the cap
+    before the self-join — the same inverted-index hygiene as
+    ``lsh_candidate_pairs``. A bucket of m colliding vectors emits
+    m(m-1)/2 scored candidates, so one degenerate bucket (a template
+    embedding repeated across the corpus, or an undersized n_planes)
+    can dominate the whole job quadratically; members of a dropped
+    bucket can still pair through their other n_tables-1 tables, and a
+    truly hot vector cluster is better handled by exact dedup upstream.
+    None (default) keeps the oracle exact.
 
     ``exact=True`` keeps the all-pairs self-join — the verification /
     small-n mode (and the only mode that guarantees recall 1.0).
@@ -521,6 +532,18 @@ def embedding_near_dup_pairs(
     ).withColumn(
         "_bk", F.explode(lsh_band_keys("_v", dim, n_tables, n_planes))
     )
+    if max_bucket_size is not None:
+        # map-side-combined count per bucket, then an equi-join back on
+        # the bucket key — co-partitioned with the pair self-join's own
+        # shuffle, and the sizes frame is one row per bucket (tiny next
+        # to `keyed`, broadcast under AQE at bench scale)
+        ok = (
+            keyed.groupBy("_bk")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("_bk")
+        )
+        keyed = keyed.join(ok, "_bk")
     a = keyed.alias("a")
     b = keyed.alias("b")
     # Score at the collision site, THEN threshold, THEN dedup pairs that

@@ -1365,11 +1365,18 @@ def ann_ivfpq_mem(spark, sf):
     )
 
 
-def _emb_blocked_sql(dim: int = 64, n_tables: int = 4, n_planes: int = 4) -> str:
+def _emb_blocked_sql(
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    max_bucket: int | None = None,
+) -> str:
     """Oracle mirror of the BLOCKED near-dup path: same multi-table
     sign-LSH bucket join (vectors.lsh_band_keys planes), same exact
     cosine rerank — not the all-pairs form, so the driver checks the
-    production plan's semantics, not a weaker stand-in."""
+    production plan's semantics, not a weaker stand-in. `max_bucket`
+    mirrors the operator's max_bucket_size skew cap: (tbl, bkt) groups
+    larger than the cap are dropped before pairing."""
     from ..functions.hashing import hyperplane_component
     from ..operators.vectors import LSH_TABLE_OFFSET
 
@@ -1382,6 +1389,12 @@ def _emb_blocked_sql(dim: int = 64, n_tables: int = 4, n_planes: int = 4) -> str
             ) + "]"
             rows.append(f"({t}, {p}, CAST({lit} AS DOUBLE[]))")
     values = ",\n  ".join(rows)
+    cap_cte, pair_src = "", "d"
+    if max_bucket is not None:
+        cap_cte = f""",
+sz AS (SELECT tbl, bkt FROM d GROUP BY tbl, bkt HAVING count(*) <= {max_bucket}),
+dc AS (SELECT d.vec_id, d.tbl, d.bkt FROM d JOIN sz ON d.tbl = sz.tbl AND d.bkt = sz.bkt)"""
+        pair_src = "dc"
     return f"""
 WITH planes(tbl, pid, pvec) AS (VALUES
   {values}
@@ -1391,10 +1404,11 @@ d AS (
          CAST(sum(CASE WHEN {O.dot('e.embedding', 'pl.pvec')} > 0
                        THEN 1 << pl.pid ELSE 0 END) AS INT) AS bkt
   FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl
-),
+){cap_cte},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM d a JOIN d b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+  FROM {pair_src} a JOIN {pair_src} b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
 ),
 p AS (
   SELECT c.vec_a, c.vec_b, {O.cosine('ea.embedding', 'eb.embedding')} AS cos_sim
@@ -1411,6 +1425,24 @@ FROM p ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50
 def dedup_embedding_cosine(spark, sf):
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
     pairs = dedup.embedding_near_dup_pairs(emb, threshold=-2.0, dim=64)
+    return (
+        pairs.orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+@_q("dedup_embedding_capped", _emb_blocked_sql(max_bucket=8))
+def dedup_embedding_capped(spark, sf):
+    """Blocked near-dup with the max_bucket_size skew cap engaged: at
+    200 vectors / 16 buckets per table the average bucket holds ~12, so
+    a cap of 8 genuinely drops buckets and the oracle checks the capped
+    candidate set — the degenerate-template hygiene path the 100x scale
+    probe exercises (see tools/scale_probe.py embedding_near_dup_capped)."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, threshold=-2.0, dim=64, max_bucket_size=8
+    )
     return (
         pairs.orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)
@@ -2819,14 +2851,18 @@ def zorder_key(spark, sf):
 # STANDING ROTATION (round 7): `list(REGISTRY)[50:]` from the round-6
 # ordering — filter_suffix/filter_nonempty (last green r4, the only
 # entries whose evidence is more than one round old) LEAD per the
-# round-6 verdict, followed by the 50 entries whose latest driver
-# evidence is r5. The two positions that overflow the 50-entry window
-# this round (sample_group_k, sample_weighted_k — green r5, both also
-# unit-tested in test_sampling.py) lead round 8's rotation.
-# Next round: replace with `list(REGISTRY)[50:]` + new queries.
+# round-6 verdict, then the query new this round
+# (dedup_embedding_capped — no evidence yet), then the entries whose
+# latest driver evidence is r5. The three positions that overflow the
+# 50-entry window this round (dedup_incremental, sample_group_k,
+# sample_weighted_k — green r5, all also unit-tested) lead round 8's
+# rotation. Next round: replace with `list(REGISTRY)[50:]` + new
+# queries.
 _PRIORITY_QUERIES = [
     "filter_suffix",
     "filter_nonempty",
+    # new this round (no evidence yet -> into the window first)
+    "dedup_embedding_capped",
     "project_derived",
     "scan_catalog",
     "scan_documents",

@@ -173,6 +173,37 @@ def test_blocked_near_dup_is_subset_of_exact_with_same_scores(spark):
     assert planted <= set(blocked), f"missed {planted - set(blocked)}"
 
 
+def test_embedding_near_dup_bucket_cap(spark):
+    """max_bucket_size drops oversized (table, bucket) groups before the
+    self-join: a degenerate bucket (here: the same vector replicated 30x
+    — all copies collide in every table) must stop emitting its
+    quadratic pair set, while pairs in small buckets survive with their
+    exact scores."""
+    import random
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    hot = [rng.uniform(-1, 1) for _ in range(16)]
+    cold = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(i, hot) for i in range(30)]  # 30 identical copies -> 435 pairs
+    rows += [(100, cold), (101, [x + 0.01 for x in cold])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    uncapped = embedding_near_dup_pairs(emb, 0.99, dim=16).collect()
+    capped = embedding_near_dup_pairs(
+        emb, 0.99, dim=16, max_bucket_size=8
+    ).collect()
+    hot_pairs = lambda rs: {(r.vec_a, r.vec_b) for r in rs if r.vec_a < 100}
+    assert len(hot_pairs(uncapped)) == 30 * 29 // 2
+    assert not hot_pairs(capped), "cap failed to drop the degenerate bucket"
+    # the small-bucket planted pair survives the cap with its exact score
+    cold_pair = {(r.vec_a, r.vec_b): round(r.cos_sim, 9) for r in capped}
+    assert (100, 101) in cold_pair
+
+
 def test_connected_components_handles_dangling_endpoints(spark):
     from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
         connected_components,

@@ -132,9 +132,29 @@ def main() -> None:
     npairs = dedup.embedding_near_dup_pairs(
         big_emb, threshold=0.9, dim=64, n_tables=4, n_planes=n_planes
     ).count()
+    sec = round(time.time() - t0, 2)
+    # pairs/sec is the output-bound check: the replica corpus repeats
+    # every vector N times, so emitted pairs grow ~N^2 — runtime is
+    # supposed to track the OUTPUT (pairs/sec flat-or-rising across
+    # 10x/30x/100x), not the input
     results["embedding_near_dup"] = {
         "vectors": 2000 * n, "n_planes": n_planes, "pairs": npairs,
-        "sec": round(time.time() - t0, 2),
+        "sec": sec, "pairs_per_sec": round(npairs / max(sec, 1e-9)),
+    }
+
+    # capped-bucket variant: every replica of a vector lands in the
+    # same buckets, so each bucket holds >= N members at Nx — a cap
+    # below N collapses the replica-quadratic output, which is exactly
+    # the degenerate-template hygiene max_bucket_size exists for
+    t0 = time.time()
+    npairs_cap = dedup.embedding_near_dup_pairs(
+        big_emb, threshold=0.9, dim=64, n_tables=4, n_planes=n_planes,
+        max_bucket_size=64,
+    ).count()
+    sec_cap = round(time.time() - t0, 2)
+    results["embedding_near_dup_capped"] = {
+        "vectors": 2000 * n, "max_bucket_size": 64, "pairs": npairs_cap,
+        "sec": sec_cap,
     }
 
     # ---- distributed positional zip at Nx rows (replaced the
