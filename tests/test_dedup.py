@@ -216,6 +216,64 @@ def test_connected_components_handles_dangling_endpoints(spark):
     assert out == {1: 1, 2: 2, 5: 2, 9: 2}
 
 
+def test_connected_components_property_matches_union_find(spark):
+    """Differential property check of the iterative pointer-jumping
+    closure against a driver-side union-find, over random graphs
+    (including self-loops, duplicate edges, dangling endpoints, and
+    isolated vertices). This is the correctness net for exactly the
+    code the plan guard can't see end-to-end (per-round checkpoints
+    truncate the plan): min-label propagation must assign every vertex
+    the MINIMUM reachable id, whatever the edge topology."""
+    import random
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find_components(vertex_ids, edge_list):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component id = min member id
+        comp_min = {}
+        for v in set(vertex_ids) | {x for e in edge_list for x in e}:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {
+            v: comp_min[find(v)]
+            for v in set(vertex_ids) | {x for e in edge_list for x in e}
+        }
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(1, 40)
+        verts = rng.sample(range(1000), n)
+        m = rng.randint(0, 60)
+        edges = [
+            (rng.choice(range(1000)), rng.choice(verts)) for _ in range(m)
+        ]  # endpoints may dangle outside verts; self-loops and dupes allowed
+        if not edges:  # keep the edge frame non-empty via a no-op self-loop
+            edges = [(verts[0], verts[0])]
+        expected = union_find_components(verts, edges)
+        vdf = spark.createDataFrame([(v,) for v in verts], ["doc_id"])
+        edf = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r.doc_id: r.component_id
+            for r in connected_components(vdf, edf).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
 def test_dedup_corpus_collapses_exact_and_near_dups(spark):
     base = (
         "alpha beta gamma delta epsilon zeta eta theta iota kappa "
