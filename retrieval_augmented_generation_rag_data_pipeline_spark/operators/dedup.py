@@ -533,6 +533,15 @@ def embedding_near_dup_pairs(
         "_bk", F.explode(lsh_band_keys("_v", dim, n_tables, n_planes))
     )
     if max_bucket_size is not None:
+        # Pin the keyed frame first: FOUR consumers would otherwise
+        # replay the hyperplane hashing (dim x n_planes x n_tables dots
+        # per vector) — the count aggregate plus both self-join sides
+        # each carry the full scan->hash lineage. The pin is narrow
+        # (no shuffle stages submitted at call time), so it is safe
+        # under the lazy-localCheckpoint-executes-under-AQE hazard.
+        from .pinning import pin
+
+        keyed = pin(keyed)
         # map-side-combined count per bucket, then an equi-join back on
         # the bucket key — co-partitioned with the pair self-join's own
         # shuffle, and the sizes frame is one row per bucket (tiny next

@@ -2911,8 +2911,9 @@ _PRIORITY_QUERIES = [
     "normalize_text",
     "dedup_chunks",
     "dedup_incremental",
-    # positions 51-52: miss the 50-entry round-7 window by design —
-    # these two r5-green sampling queries lead round 8
+    # positions 51-53: miss the 50-entry round-7 window by design —
+    # these three r5-green entries (dedup_incremental at 51 plus the
+    # two sampling queries) lead round 8
     "sample_group_k",
     "sample_weighted_k",
 ]

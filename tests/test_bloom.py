@@ -147,6 +147,11 @@ def test_build_bloom_empty_keys(spark):
     keys = spark.range(0).select(F.col("id").alias("k"))
     bitmap, m, k = bloom.build_bloom(keys, "k")
     assert (bitmap == 0).all() and m == 64 and k == 1
+    # the all-zero bitmap means "definitively absent": no probe row may
+    # come back maybe-present
+    probe = spark.range(5).select(F.col("id").alias("k"))
+    flagged = bloom.with_bloom_contains(probe, bitmap, m, k, "k")
+    assert flagged.filter(F.col("_bloom_maybe")).count() == 0
 
 
 def test_build_bloom_rejects_nonpositive_expected_items(spark):
@@ -160,10 +165,4 @@ def test_build_bloom_rejects_nonpositive_expected_items(spark):
             bloom.build_bloom(keys, "k", expected_items=bad)
         with pytest.raises(ValueError, match="expected_items must be positive"):
             bloom.bloom_anti_join(keys, keys, "k", expected_items=bad)
-    # the measured-empty shortcut (no expected_items) is unaffected
-    empty = spark.range(0).select(F.col("id").alias("k"))
-    bitmap, m, k = bloom.build_bloom(empty, "k")
-    assert (bitmap == 0).all() and m == 64 and k == 1
-    probe = spark.range(5).select(F.col("id").alias("k"))
-    flagged = bloom.with_bloom_contains(probe, bitmap, m, k, "k")
-    assert flagged.filter(F.col("_bloom_maybe")).count() == 0
+    # (the measured-empty shortcut is test_build_bloom_empty_keys' subject)

@@ -1,7 +1,7 @@
 """Plan-shape guard: physical-operator counts for EVERY registry query
-(all 102 oracle-checked entries, not just the bench headline) plus the
-connected-components building blocks, recorded to PLAN_GUARD.json and
-asserted by tests/test_plan_guard.py.
+(all 103 oracle-checked entries as of round 7, not just the bench
+headline) plus the connected-components building blocks, recorded to
+PLAN_GUARD.json and asserted by tests/test_plan_guard.py.
 
 Why: wall-clock on a shared box moves up to 3x with neighbor load
 (README idle-vs-noisy study), so bench.py alone can't distinguish "host
@@ -118,7 +118,12 @@ def pseudo_queries() -> dict:
     individually because the end-to-end dedup_corpus/dedup_clusters
     plans are truncated to ExistingRDD scans by the per-round eager
     checkpoints (honest-boundary (a) above). Inputs mirror the registry
-    queries' own corpus so the shapes are the production shapes."""
+    queries' own corpus where possible. Fidelity caveat for cc_jump: it
+    plans against statted parquet leaves, so its joins broadcast here,
+    while the real loop joins stat-less checkpointed LogicalRDD frames
+    that never broadcast — the guard catches extra shuffles, windows,
+    or cartesians inside the round logic, NOT the loop's production
+    join strategy."""
     from retrieval_augmented_generation_rag_data_pipeline_spark.operators import dedup
     from retrieval_augmented_generation_rag_data_pipeline_spark.plans.queries import _dup_corpus
 
@@ -165,15 +170,22 @@ def guarded_names() -> list[str]:
     return list(REGISTRY) + sorted(pseudo_queries())
 
 
+_MODE_CACHE: dict = {}
+
+
 def shape_of(spark, name: str, mode=None) -> dict[str, int]:
     from retrieval_augmented_generation_rag_data_pipeline_spark.plans.queries import REGISTRY
 
     if mode is None:
-        jvm = spark.sparkContext._jvm
-        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    fn = pseudo_queries()[name] if name in pseudo_queries() else REGISTRY[name][0]
+        mode = _MODE_CACHE.get(id(spark))
+        if mode is None:
+            jvm = spark.sparkContext._jvm
+            mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            _MODE_CACHE[id(spark)] = mode
+    pseudo = pseudo_queries()
+    fn = pseudo[name] if name in pseudo else REGISTRY[name][0]
     df = fn(spark, SF_DIR)
     return count_nodes(df._jdf.queryExecution().explainString(mode))
 
