@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_incremental",
     "prepare_corpus",
     "sample_weighted_k",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Sequence packing: assign documents to fixed-length training
+sequences, GPT-style (concatenate the token stream in a deterministic
+order, cut every ``seq_len`` tokens).
+
+Pretraining pipelines do not feed one document per sample: documents
+are laid end-to-end and the stream is chunked into fixed-length
+sequences regardless of document boundaries (GPT-2/3, The Pile, LLaMA
+data loaders all pack this way; the alternative — greedy first-fit
+bin packing — is inherently sequential and is approximated in practice
+by exactly this concat-and-chunk with boundary bookkeeping). The
+operator computes each document's packing COORDINATES, which is the
+distributable part of the job — the actual tensor assembly happens in
+the data loader reading docs grouped by ``seq_first``:
+
+  tok_start   0-based global offset of the doc's first token in the
+              concatenated stream
+  seq_first   index of the training sequence holding the first token
+  seq_last    index of the sequence holding the last token
+  n_splits    how many sequence boundaries the doc straddles
+              (seq_last - seq_first; 0 = fits without splitting)
+  seq_offset  position of the first token within seq_first
+
+Scale design (the reason this is not one window): a global
+``sum() OVER (ORDER BY ...)`` funnels every row through a single task
+(Exchange SinglePartition). Instead: range-repartition on the ordering
+(the same exchange any global sort pays), per-PARTITION running sums,
+and driver-side prefix offsets — only one (sum, min) row per partition
+reaches the driver, the zipWithIndex trick generalized to weighted
+prefix sums (same recipe as ``joins.global_index``). The range exchange
+is pinned with a local checkpoint so the offsets job and the downstream
+query read the same materialized partitions.
+
+Zero-token documents occupy no stream positions; they are assigned to
+the sequence their offset points at (seq_first == seq_last,
+n_splits = 0) so every input row keeps exactly one output row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    seq_len: int = 2048,
+    order_cols: list | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Add packing coordinates (tok_start, seq_first, seq_last,
+    n_splits, seq_offset) for concat-and-chunk sequence packing of
+    ``df`` in ``order_cols`` order. See the module docstring."""
+    if seq_len <= 0:
+        raise ValueError(f"pack_sequences: seq_len must be positive, got {seq_len}")
+    order_cols = order_cols or ["doc_id"]
+    spark = df.sparkSession
+    if num_parts:
+        n = num_parts
+    else:
+        conf = spark.conf.get("spark.sql.shuffle.partitions", "")
+        n = (
+            int(conf)
+            if conf.isdigit()
+            else (df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism)
+        )
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # one row per partition: total tokens (for the prefix offsets) and
+    # min tokens (a free validity check riding the same job — a
+    # negative count would silently corrupt every downstream offset)
+    stats = (
+        parted.groupBy("_part")
+        .agg(F.sum(tokens_col).alias("_s"), F.min(tokens_col).alias("_m"))
+        .collect()
+    )
+    bad = [r["_part"] for r in stats if r["_m"] is not None and r["_m"] < 0]
+    if bad:
+        raise ValueError(
+            f"pack_sequences: negative values in {tokens_col!r} "
+            f"(partitions {sorted(bad)[:5]}); token counts must be >= 0"
+        )
+    sums = {r["_part"]: (r["_s"] or 0) for r in stats}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    if offsets:
+        off = F.element_at(
+            F.create_map(
+                *[F.lit(v) for p in sorted(offsets) for v in (p, offsets[p])]
+            ),
+            F.col("_part"),
+        )
+    else:
+        off = F.lit(0)
+    w = (
+        Window.partitionBy("_part")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok_start = (off + F.sum(tokens_col).over(w) - F.col(tokens_col)).cast(
+        "long"
+    )
+    # integer DIV, not float division: offsets in a 100 TB token stream
+    # exceed the double's 2^53 exact-integer range
+    return (
+        parted.withColumn("tok_start", tok_start)
+        .withColumn("seq_first", F.expr(f"tok_start DIV {seq_len}"))
+        .withColumn("seq_last", F.expr(
+            f"(tok_start + greatest(CAST({tokens_col} AS BIGINT), 1) - 1) DIV {seq_len}"
+        ))
+        .withColumn("n_splits", F.col("seq_last") - F.col("seq_first"))
+        .withColumn("seq_offset", F.col("tok_start") % seq_len)
+        .drop("_part")
+    )

@@ -1797,6 +1797,46 @@ def token_count(spark, sf):
     return text.token_count(_t(spark, sf, "documents"))
 
 
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({O.tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 256 AS seq_first,
+       (tok_start + greatest(n_tokens, 1) - 1) // 256 AS seq_last,
+       (tok_start + greatest(n_tokens, 1) - 1) // 256
+         - tok_start // 256 AS n_splits,
+       tok_start % 256 AS seq_offset
+FROM c
+"""
+
+
+@_q("pack_sequences", _PACK_SQL)
+def pack_sequences_query(spark, sf):
+    """GPT-style concat-and-chunk sequence packing coordinates over the
+    documents corpus (whitespace token counts, seq_len=256 so the
+    oracle exercises many boundaries and straddling docs at sf0.01).
+    The Spark side is the distributed prefix-offset implementation
+    (operators/packing.py — range exchange + per-partition running
+    sums, no single-partition window); the oracle is the single-window
+    SQL definition."""
+    from ..operators.packing import pack_sequences
+
+    toks = text.token_count(_t(spark, sf, "documents")).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    return pack_sequences(
+        toks, tokens_col="n_tokens", seq_len=256, order_cols=["doc_id"]
+    )
+
+
 _FP_SQL = f"""
 WITH t AS (SELECT doc_id, trim(text) AS tt, {_HS} AS hs FROM documents)
 SELECT doc_id,
@@ -2851,18 +2891,19 @@ def zorder_key(spark, sf):
 # STANDING ROTATION (round 7): `list(REGISTRY)[50:]` from the round-6
 # ordering — filter_suffix/filter_nonempty (last green r4, the only
 # entries whose evidence is more than one round old) LEAD per the
-# round-6 verdict, then the query new this round
-# (dedup_embedding_capped — no evidence yet), then the entries whose
-# latest driver evidence is r5. The three positions that overflow the
-# 50-entry window this round (dedup_incremental, sample_group_k,
-# sample_weighted_k — green r5, all also unit-tested) lead round 8's
-# rotation. Next round: replace with `list(REGISTRY)[50:]` + new
-# queries.
+# round-6 verdict, then the two queries new this round
+# (dedup_embedding_capped, pack_sequences — no evidence yet), then the
+# entries whose latest driver evidence is r5. The four positions that
+# overflow the 50-entry window this round (dedup_chunks,
+# dedup_incremental, sample_group_k, sample_weighted_k — green r5, all
+# also unit-tested) lead round 8's rotation. Next round: replace with
+# `list(REGISTRY)[50:]` + new queries.
 _PRIORITY_QUERIES = [
     "filter_suffix",
     "filter_nonempty",
     # new this round (no evidence yet -> into the window first)
     "dedup_embedding_capped",
+    "pack_sequences",
     "project_derived",
     "scan_catalog",
     "scan_documents",
@@ -2911,9 +2952,9 @@ _PRIORITY_QUERIES = [
     "normalize_text",
     "dedup_chunks",
     "dedup_incremental",
-    # positions 51-53: miss the 50-entry round-7 window by design —
-    # these three r5-green entries (dedup_incremental at 51 plus the
-    # two sampling queries) lead round 8
+    # positions 51-54: miss the 50-entry round-7 window by design —
+    # these four r5-green entries (dedup_chunks, dedup_incremental,
+    # sample_group_k, sample_weighted_k) lead round 8
     "sample_group_k",
     "sample_weighted_k",
 ]
