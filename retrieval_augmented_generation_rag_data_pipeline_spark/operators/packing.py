@@ -118,3 +118,57 @@ def pack_sequences(
         .withColumn("seq_offset", F.col("tok_start") % seq_len)
         .drop("_part")
     )
+
+
+def pack_pieces(
+    packed: DataFrame,
+    tokens_col: str = "n_tokens",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Explode packing coordinates into the per-sequence piece map — the
+    random-access loader's view: for every training sequence, which
+    document slices compose it.
+
+    Input is ``pack_sequences`` output (needs tok_start/seq_first/
+    seq_last + the token count). Each doc emits one row per sequence it
+    touches:
+
+      seq_id       the training sequence
+      piece_start  first token of the doc's slice, relative to the DOC
+      piece_len    tokens the doc contributes to this sequence
+      piece_pos    where the slice starts WITHIN the sequence
+
+    ``groupBy(seq_id).agg(sort_array(collect_list(...)))`` then yields
+    assembly instructions per sequence. Zero-token docs emit nothing
+    (they contribute no tokens to any sequence).
+
+    Scale: a narrow explode — each doc expands to n_splits+1 rows, and
+    the total output is bounded by input_rows + total_tokens/seq_len
+    (one extra row per boundary crossed), with no shuffle at all; the
+    loader's groupBy(seq_id) is the one shuffle, keyed on the sequence.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"pack_pieces: seq_len must be positive, got {seq_len}")
+    n = F.col(tokens_col).cast("long")
+    seq_id = F.col("_seq")
+    # slice bounds in DOC coordinates: tokens of this doc that land in
+    # sequence s are [s*L - tok_start, (s+1)*L - tok_start) clamped to
+    # [0, n)
+    lo = F.greatest(seq_id * seq_len - F.col("tok_start"), F.lit(0))
+    hi = F.least(
+        (seq_id + 1) * seq_len - F.col("tok_start"), n
+    )
+    return (
+        packed.filter(n > 0)
+        .withColumn(
+            "_seq", F.explode(F.sequence(F.col("seq_first"), F.col("seq_last")))
+        )
+        .select(
+            *[c for c in packed.columns if c not in ("seq_first", "seq_last",
+                                                     "n_splits", "seq_offset")],
+            seq_id.alias("seq_id"),
+            lo.alias("piece_start"),
+            (hi - lo).alias("piece_len"),
+            (F.col("tok_start") + lo - seq_id * seq_len).alias("piece_pos"),
+        )
+    )

@@ -1818,6 +1818,51 @@ FROM c
 """
 
 
+_PACK_PIECES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({O.tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM t
+), p AS (
+  SELECT doc_id, n_tokens, tok_start,
+         tok_start // 256 AS seq_first,
+         (tok_start + n_tokens - 1) // 256 AS seq_last
+  FROM c WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(s.seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(s.seq_id * 256 - tok_start, 0) AS BIGINT) AS piece_start,
+       CAST(least((s.seq_id + 1) * 256 - tok_start, n_tokens)
+            - greatest(s.seq_id * 256 - tok_start, 0) AS BIGINT) AS piece_len,
+       CAST(tok_start + greatest(s.seq_id * 256 - tok_start, 0)
+            - s.seq_id * 256 AS BIGINT) AS piece_pos
+FROM p CROSS JOIN unnest(generate_series(p.seq_first, p.seq_last)) AS s(seq_id)
+"""
+
+
+@_q("pack_pieces", _PACK_PIECES_SQL)
+def pack_pieces_query(spark, sf):
+    """Per-sequence piece map (the random-access loader's view of the
+    packed stream): every (training sequence, document slice) pair with
+    slice bounds in doc coordinates and the slice's position within the
+    sequence. Spark side is a narrow explode over pack_sequences
+    coordinates — no shuffle beyond the packing pass itself."""
+    from ..operators.packing import pack_pieces, pack_sequences
+
+    toks = text.token_count(_t(spark, sf, "documents")).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        toks, tokens_col="n_tokens", seq_len=256, order_cols=["doc_id"]
+    )
+    return pack_pieces(packed, tokens_col="n_tokens", seq_len=256)
+
+
 @_q("pack_sequences", _PACK_SQL)
 def pack_sequences_query(spark, sf):
     """GPT-style concat-and-chunk sequence packing coordinates over the
@@ -2891,19 +2936,21 @@ def zorder_key(spark, sf):
 # STANDING ROTATION (round 7): `list(REGISTRY)[50:]` from the round-6
 # ordering — filter_suffix/filter_nonempty (last green r4, the only
 # entries whose evidence is more than one round old) LEAD per the
-# round-6 verdict, then the two queries new this round
-# (dedup_embedding_capped, pack_sequences — no evidence yet), then the
-# entries whose latest driver evidence is r5. The four positions that
-# overflow the 50-entry window this round (dedup_chunks,
-# dedup_incremental, sample_group_k, sample_weighted_k — green r5, all
-# also unit-tested) lead round 8's rotation. Next round: replace with
-# `list(REGISTRY)[50:]` + new queries.
+# round-6 verdict, then the three queries new this round
+# (dedup_embedding_capped, pack_sequences, pack_pieces — no evidence
+# yet), then the entries whose latest driver evidence is r5. The five
+# positions that overflow the 50-entry window this round
+# (normalize_text, dedup_chunks, dedup_incremental, sample_group_k,
+# sample_weighted_k — green r5, all also unit-tested) lead round 8's
+# rotation. Next round: replace with `list(REGISTRY)[50:]` + new
+# queries.
 _PRIORITY_QUERIES = [
     "filter_suffix",
     "filter_nonempty",
     # new this round (no evidence yet -> into the window first)
     "dedup_embedding_capped",
     "pack_sequences",
+    "pack_pieces",
     "project_derived",
     "scan_catalog",
     "scan_documents",
@@ -2952,9 +2999,9 @@ _PRIORITY_QUERIES = [
     "normalize_text",
     "dedup_chunks",
     "dedup_incremental",
-    # positions 51-54: miss the 50-entry round-7 window by design —
-    # these four r5-green entries (dedup_chunks, dedup_incremental,
-    # sample_group_k, sample_weighted_k) lead round 8
+    # positions 51-55: miss the 50-entry round-7 window by design —
+    # these five r5-green entries (normalize_text, dedup_chunks,
+    # dedup_incremental, sample_group_k, sample_weighted_k) lead round 8
     "sample_group_k",
     "sample_weighted_k",
 ]

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from retrieval_augmented_generation_rag_data_pipeline_spark.operators.packing import pack_sequences  # noqa: E402
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.packing import (  # noqa: E402
+    pack_pieces,
+    pack_sequences,
+)
 
 
 def reference_pack(counts, seq_len):
@@ -75,6 +78,53 @@ def test_pack_rejects_bad_inputs(spark):
 def test_pack_empty_frame(spark):
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_sequences(df).count() == 0
+
+
+def test_pack_pieces_reassembles_stream_exactly(spark):
+    """The piece map must tile the concatenated token stream: every doc
+    is fully covered by its pieces in order, every sequence except the
+    last sums to exactly seq_len tokens, and piece positions are
+    contiguous within each sequence."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, rng.randint(0, 300)) for i in range(80)]
+    L = 128
+    packed = pack_sequences(
+        spark.createDataFrame(rows, ["doc_id", "n_tokens"]), seq_len=L
+    )
+    pieces = pack_pieces(packed, seq_len=L).collect()
+
+    by_doc, by_seq = {}, {}
+    for r in pieces:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_seq.setdefault(r.seq_id, []).append(r)
+    counts = dict(rows)
+    # per doc: pieces are contiguous [0, n) slices in seq order
+    for doc_id, ps in by_doc.items():
+        ps.sort(key=lambda r: r.seq_id)
+        assert ps[0].piece_start == 0
+        assert sum(p.piece_len for p in ps) == counts[doc_id]
+        for a, b in zip(ps, ps[1:]):
+            assert b.piece_start == a.piece_start + a.piece_len
+    # zero-token docs emit nothing; all others emit
+    assert set(by_doc) == {d for d, n in rows if n > 0}
+    # per sequence: pieces tile [0, L) (the last sequence may be short)
+    total = sum(counts.values())
+    last_seq = (total - 1) // L
+    for seq_id, ps in by_seq.items():
+        ps.sort(key=lambda r: r.piece_pos)
+        assert ps[0].piece_pos == 0
+        for a, b in zip(ps, ps[1:]):
+            assert b.piece_pos == a.piece_pos + a.piece_len
+        filled = sum(p.piece_len for p in ps)
+        assert filled == (L if seq_id < last_seq else total - last_seq * L)
+
+
+def test_pack_pieces_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="seq_len must be positive"):
+        pack_pieces(pack_sequences(df, seq_len=8), seq_len=-1)
 
 
 def test_pack_plan_has_no_single_partition_stage(spark):

@@ -1,5 +1,5 @@
 """Load-independent perf signal: the physical plan shape of every
-registry query (all 104 oracle-checked entries as of round 7) plus the
+registry query (all 105 oracle-checked entries as of round 7) plus the
 connected-components building blocks must match the recorded
 PLAN_GUARD.json.
 
