@@ -270,6 +270,24 @@ def main() -> None:
     }
     assert n_comp == 1, n_comp
 
+    # ---- sequence packing at Nx rows: the weighted global-index shape
+    # (range exchange + partition-local running sums + driver prefix
+    # offsets) must stay one-shuffle linear — a global unpartitioned
+    # window here would funnel every row through one task
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    n_rows = 500_000 * n
+    docs_tok = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 997).alias("n_tokens")
+    )
+    t0 = time.time()
+    pack_sequences(docs_tok, seq_len=4096).count()
+    results["pack_sequences"] = {
+        "rows": n_rows, "sec": round(time.time() - t0, 2)
+    }
+
     # ---- PQ/ADC vs exact kNN at Nx corpus: same query batch, scoring
     # via m=8 table lookups over codes instead of 64-dim dots. The
     # encode pass is timed separately — at scale it runs once at index
