@@ -328,25 +328,41 @@ def salted_join(
     return f.join(d, [key, "_salt"], how).drop("_salt")
 
 
-def global_index(
+def range_parted_offsets(
     df: DataFrame,
     order_cols: list,
-    index_col: str = "_rn",
     num_parts: int | None = None,
-) -> DataFrame:
-    """1-based global row index in ``order_cols`` order — distributed.
+    weight_col: str | None = None,
+):
+    """Shared machinery for distributed global prefix sums: range-
+    partition ``df`` on ``order_cols``, pin the exchange, and return
+    ``(parted, off)`` — the partitioned frame (with a ``_part`` column)
+    and a Column mapping each row's partition to the total weight of
+    all PRECEDING partitions (row count when ``weight_col`` is None,
+    else ``sum(weight_col)``). Only one stats row per partition reaches
+    the driver — the zipWithIndex trick generalized to weighted prefix
+    sums. Consumers add a per-partition running value (window or
+    row_number partitioned by ``_part``) on top.
 
-    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels
-    every row through a single task (Exchange SinglePartition) — the
-    classic scale killer. Instead: range-repartition on the ordering
-    (the same exchange any global sort pays), take a per-partition
-    row_number, and add per-partition prefix-sum offsets. Only the
-    per-partition COUNTS reach the driver (one long per partition) —
-    the zipWithIndex trick restated for DataFrames.
-
-    The range exchange is pinned with a local checkpoint so the count
+    The range exchange is pinned with a local checkpoint so the stats
     job and the downstream query read the same materialized partitions
     (partition ids must agree between the two jobs).
+
+    Honest plan note: consumers pay TWO full-data exchanges of ``df`` —
+    the range exchange (hidden inside the eager checkpoint job) plus a
+    hash exchange on ``_part`` that EnsureRequirements inserts for the
+    downstream window, because the checkpointed scan can no longer
+    prove partition-id clustering. Both move only the frame being
+    indexed — callers should pass the NARROW projection (ids + weights,
+    ~16 bytes/row; even a 10^10-doc corpus shuffles ~160 GB twice, not
+    the corpus itself) and join coordinates back by id if wide payloads
+    are needed downstream.
+
+    When ``weight_col`` is set, the stats job also validates it:
+    negative or NULL weights raise (either would silently corrupt every
+    downstream offset — NULLs are skipped by sum() so successors shift
+    as if the row weighed 0 while the row itself gets NULL
+    coordinates).
     """
     spark = df.sparkSession
     if num_parts:
@@ -366,15 +382,39 @@ def global_index(
         .withColumn("_part", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = {
-        r["_part"]: r["_cnt"]
-        for r in parted.groupBy("_part").agg(F.count("*").alias("_cnt")).collect()
-    }
+    if weight_col is None:
+        stats = (
+            parted.groupBy("_part").agg(F.count("*").alias("_w")).collect()
+        )
+    else:
+        stats = (
+            parted.groupBy("_part")
+            .agg(
+                F.sum(weight_col).alias("_w"),
+                F.min(weight_col).alias("_m"),
+                (F.count("*") - F.count(weight_col)).alias("_nulls"),
+            )
+            .collect()
+        )
+        bad = [r["_part"] for r in stats if r["_m"] is not None and r["_m"] < 0]
+        if bad:
+            raise ValueError(
+                f"range_parted_offsets: negative values in {weight_col!r} "
+                f"(partitions {sorted(bad)[:5]}); weights must be >= 0"
+            )
+        nulls = [r["_part"] for r in stats if r["_nulls"]]
+        if nulls:
+            raise ValueError(
+                f"range_parted_offsets: NULL values in {weight_col!r} "
+                f"(partitions {sorted(nulls)[:5]}); coalesce them to 0 "
+                "explicitly if that is the intended weight"
+            )
+    sums = {r["_part"]: (r["_w"] or 0) for r in stats}
     offsets: dict[int, int] = {}
     acc = 0
-    for p in sorted(counts):
+    for p in sorted(sums):
         offsets[p] = acc
-        acc += counts[p]
+        acc += sums[p]
     if offsets:
         off = F.element_at(
             F.create_map(
@@ -384,6 +424,25 @@ def global_index(
         )
     else:
         off = F.lit(0)
+    return parted, off
+
+
+def global_index(
+    df: DataFrame,
+    order_cols: list,
+    index_col: str = "_rn",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """1-based global row index in ``order_cols`` order — distributed.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels
+    every row through a single task (Exchange SinglePartition) — the
+    classic scale killer. Instead: ``range_parted_offsets`` (range
+    repartition + driver-side per-partition prefix counts) plus a
+    per-partition row_number. See that helper for the plan-shape and
+    shuffle-volume notes.
+    """
+    parted, off = range_parted_offsets(df, order_cols, num_parts)
     w = Window.partitionBy("_part").orderBy(*order_cols)
     return parted.withColumn(
         index_col, (off + F.row_number().over(w)).cast("long")

@@ -22,23 +22,27 @@ the data loader reading docs grouped by ``seq_first``:
 
 Scale design (the reason this is not one window): a global
 ``sum() OVER (ORDER BY ...)`` funnels every row through a single task
-(Exchange SinglePartition). Instead: range-repartition on the ordering
-(the same exchange any global sort pays), per-PARTITION running sums,
-and driver-side prefix offsets — only one (sum, min) row per partition
-reaches the driver, the zipWithIndex trick generalized to weighted
-prefix sums (same recipe as ``joins.global_index``). The range exchange
-is pinned with a local checkpoint so the offsets job and the downstream
-query read the same materialized partitions.
+(Exchange SinglePartition). Instead: ``joins.range_parted_offsets``
+(range repartition + driver-side per-partition prefix sums of the
+token counts — one stats row per partition reaches the driver) plus a
+per-partition running sum. See that helper for the honest plan-shape
+note (two full-data exchanges of the frame being packed) and why
+callers should pack the NARROW (id, n_tokens) projection, not a
+payload-bearing frame.
 
 Zero-token documents occupy no stream positions; they are assigned to
 the sequence their offset points at (seq_first == seq_last,
 n_splits = 0) so every input row keeps exactly one output row.
+Negative or NULL token counts raise (validated by the same stats job
+that computes the offsets).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .joins import range_parted_offsets
 
 
 def pack_sequences(
@@ -54,50 +58,9 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError(f"pack_sequences: seq_len must be positive, got {seq_len}")
     order_cols = order_cols or ["doc_id"]
-    spark = df.sparkSession
-    if num_parts:
-        n = num_parts
-    else:
-        conf = spark.conf.get("spark.sql.shuffle.partitions", "")
-        n = (
-            int(conf)
-            if conf.isdigit()
-            else (df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism)
-        )
-    parted = (
-        df.repartitionByRange(n, *order_cols)
-        .withColumn("_part", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    parted, off = range_parted_offsets(
+        df, order_cols, num_parts, weight_col=tokens_col
     )
-    # one row per partition: total tokens (for the prefix offsets) and
-    # min tokens (a free validity check riding the same job — a
-    # negative count would silently corrupt every downstream offset)
-    stats = (
-        parted.groupBy("_part")
-        .agg(F.sum(tokens_col).alias("_s"), F.min(tokens_col).alias("_m"))
-        .collect()
-    )
-    bad = [r["_part"] for r in stats if r["_m"] is not None and r["_m"] < 0]
-    if bad:
-        raise ValueError(
-            f"pack_sequences: negative values in {tokens_col!r} "
-            f"(partitions {sorted(bad)[:5]}); token counts must be >= 0"
-        )
-    sums = {r["_part"]: (r["_s"] or 0) for r in stats}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for p in sorted(sums):
-        offsets[p] = acc
-        acc += sums[p]
-    if offsets:
-        off = F.element_at(
-            F.create_map(
-                *[F.lit(v) for p in sorted(offsets) for v in (p, offsets[p])]
-            ),
-            F.col("_part"),
-        )
-    else:
-        off = F.lit(0)
     w = (
         Window.partitionBy("_part")
         .orderBy(*order_cols)

@@ -70,6 +70,13 @@ def test_pack_rejects_bad_inputs(spark):
     df = spark.createDataFrame([(1, -5)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError, match="negative"):
         pack_sequences(df)
+    # NULL counts would shift every successor as if the row weighed 0
+    # while the row itself got NULL coordinates — rejected, not silent
+    withnull = spark.createDataFrame(
+        [(1, 5), (2, None)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pack_sequences(withnull)
     ok = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError, match="seq_len must be positive"):
         pack_sequences(ok, seq_len=0)

@@ -41,11 +41,15 @@ PICKS = {
     ),
     "join_positional": "distributed positional zip: no single-partition stage",
     "pack_sequences": (
-        "sequence-packing coordinates: ONE range exchange + a "
-        "partition-local window + broadcast map of driver-side prefix "
-        "offsets — the weighted global-index shape; a naive "
-        "sum() OVER (ORDER BY) would funnel the corpus through a "
-        "single task"
+        "sequence-packing coordinates: the weighted global-index shape "
+        "— a naive sum() OVER (ORDER BY) would funnel the corpus "
+        "through a single task. The Exchange shown is a HASH exchange "
+        "on _part (EnsureRequirements re-clusters the checkpointed "
+        "scan for the window); the range exchange ran inside the "
+        "checkpoint job and is invisible here — two full-data "
+        "exchanges total, both of the narrow (id, n_tokens) "
+        "coordinates frame, never the corpus (see "
+        "joins.range_parted_offsets)"
     ),
     "tfidf_top_terms": (
         "lexical retrieval postings lineage: one staged tokenize (dl + "
