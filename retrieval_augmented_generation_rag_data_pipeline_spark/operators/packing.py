@@ -51,16 +51,31 @@ def pack_sequences(
     seq_len: int = 2048,
     order_cols: list | None = None,
     num_parts: int | None = None,
+    base_offset: int = 0,
 ) -> DataFrame:
     """Add packing coordinates (tok_start, seq_first, seq_last,
     n_splits, seq_offset) for concat-and-chunk sequence packing of
-    ``df`` in ``order_cols`` order. See the module docstring."""
+    ``df`` in ``order_cols`` order. See the module docstring.
+
+    ``base_offset`` supports INCREMENTAL (append) packing — the
+    steady-state corpus-building shape, like ``incremental_dedup`` for
+    dedup: pass the token total of the already-packed stream and the
+    new batch's coordinates continue where it left off, without
+    re-reading a single packed row. The caller persists the running
+    total (``base_offset + sum(n_tokens)`` of the batch, available
+    from a one-row agg) alongside the packed output."""
     if seq_len <= 0:
         raise ValueError(f"pack_sequences: seq_len must be positive, got {seq_len}")
+    if base_offset < 0:
+        raise ValueError(
+            f"pack_sequences: base_offset must be >= 0, got {base_offset}"
+        )
     order_cols = order_cols or ["doc_id"]
     parted, off = range_parted_offsets(
         df, order_cols, num_parts, weight_col=tokens_col
     )
+    if base_offset:
+        off = off + F.lit(base_offset)
     w = (
         Window.partitionBy("_part")
         .orderBy(*order_cols)

@@ -128,6 +128,38 @@ def test_pack_pieces_reassembles_stream_exactly(spark):
         assert filled == (L if seq_id < last_seq else total - last_seq * L)
 
 
+def test_pack_incremental_append_continues_the_stream(spark):
+    """base_offset = incremental packing: splitting a corpus into two
+    batches and packing the second with the first's token total must
+    yield coordinates identical to packing everything at once."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 200)) for i in range(120)]
+    full = {
+        r.doc_id: (r.tok_start, r.seq_first, r.seq_last, r.seq_offset)
+        for r in pack_sequences(
+            spark.createDataFrame(rows, ["doc_id", "n_tokens"]), seq_len=256
+        ).collect()
+    }
+    first, second = rows[:70], rows[70:]
+    base = sum(n for _, n in first)
+    appended = {
+        r.doc_id: (r.tok_start, r.seq_first, r.seq_last, r.seq_offset)
+        for r in pack_sequences(
+            spark.createDataFrame(second, ["doc_id", "n_tokens"]),
+            seq_len=256,
+            base_offset=base,
+        ).collect()
+    }
+    assert appended == {d: full[d] for d in appended}
+    with pytest.raises(ValueError, match="base_offset must be >= 0"):
+        pack_sequences(
+            spark.createDataFrame(first, ["doc_id", "n_tokens"]),
+            base_offset=-1,
+        )
+
+
 def test_pack_pieces_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError, match="seq_len must be positive"):
