@@ -34,6 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# range_parted_offsets: max partition count for which the partition->
+# prefix-offset mapping is inlined as a literal create_map (O(n) per-row
+# GetMapValue scan + 2n-node Catalyst expression — fine at local-mode
+# partition counts, a blowup at cluster-scale ones). Above this, the
+# mapping is broadcast-joined instead (constant per-row probe).
+OFFSETS_MAP_MAX = 1024
+
 
 def asof_align(
     chunks: DataFrame,
@@ -344,6 +351,15 @@ def range_parted_offsets(
     sums. Consumers add a per-partition running value (window or
     row_number partitioned by ``_part``) on top.
 
+    The partition->offset mapping rides back into the plan one of two
+    ways, switched on ``OFFSETS_MAP_MAX``: at local-mode partition
+    counts it is a literal ``create_map`` (join-free plan); above the
+    threshold it is a broadcast join of the tiny (part, offset) frame —
+    ``parted`` then carries a ``_poff`` column and ``off`` references
+    it. Consumers must drop BOTH ``_part`` and ``_poff`` when done
+    (``drop`` ignores absent columns, so unconditionally dropping both
+    is safe on either path).
+
     The range exchange is pinned with a local checkpoint so the stats
     job and the downstream query read the same materialized partitions
     (partition ids must agree between the two jobs).
@@ -415,16 +431,32 @@ def range_parted_offsets(
     for p in sorted(sums):
         offsets[p] = acc
         acc += sums[p]
-    if offsets:
+    if not offsets:
+        return parted, F.lit(0)
+    if len(offsets) <= OFFSETS_MAP_MAX:
+        # small partition counts: a literal map keeps the plan join-free
+        # (the per-row GetMapValue scan over <= OFFSETS_MAP_MAX entries
+        # is cheaper than a join, and local-mode plan shapes stay pinned)
         off = F.element_at(
             F.create_map(
                 *[F.lit(v) for p in sorted(offsets) for v in (p, offsets[p])]
             ),
             F.col("_part"),
         )
-    else:
-        off = F.lit(0)
-    return parted, off
+        return parted, off
+    # Cluster-scale partition counts: element_at(create_map(2n literals))
+    # is an O(n) PER-ROW scan of the expression tree AND a Catalyst
+    # expression blowup (the tree itself has 2n nodes) — at the 10^4-10^5
+    # shuffle partitions a 100 TB corpus implies, both bite. Join the
+    # offsets back via a broadcast of the tiny (part, offset) frame
+    # instead: one BroadcastHashJoin, constant per-row probe, plan size
+    # independent of partition count.
+    offs_df = spark.createDataFrame(
+        [(int(p), int(offsets[p])) for p in sorted(offsets)],
+        "_part int, _poff long",
+    )
+    parted = parted.join(F.broadcast(offs_df), "_part")
+    return parted, F.col("_poff")
 
 
 def global_index(
@@ -446,7 +478,7 @@ def global_index(
     w = Window.partitionBy("_part").orderBy(*order_cols)
     return parted.withColumn(
         index_col, (off + F.row_number().over(w)).cast("long")
-    ).drop("_part")
+    ).drop("_part", "_poff")
 
 
 def positional_zip_join(

@@ -63,7 +63,15 @@ def pack_sequences(
     new batch's coordinates continue where it left off, without
     re-reading a single packed row. The caller persists the running
     total (``base_offset + sum(n_tokens)`` of the batch, available
-    from a one-row agg) alongside the packed output."""
+    from a one-row agg) alongside the packed output.
+
+    DETERMINISM CONTRACT: ``order_cols`` must be a TOTAL order (a
+    unique key, e.g. a primary id). With ties, the within-partition
+    running sum — hence every tok_start — depends on arbitrary
+    partition-internal row order, so coordinates silently differ
+    across reruns and the incremental ``base_offset`` contract breaks.
+    If the natural sort key can tie, append the unique id as the last
+    order column."""
     if seq_len <= 0:
         raise ValueError(f"pack_sequences: seq_len must be positive, got {seq_len}")
     if base_offset < 0:
@@ -94,7 +102,7 @@ def pack_sequences(
         ))
         .withColumn("n_splits", F.col("seq_last") - F.col("seq_first"))
         .withColumn("seq_offset", F.col("tok_start") % seq_len)
-        .drop("_part")
+        .drop("_part", "_poff")
     )
 
 
@@ -117,8 +125,18 @@ def pack_pieces(
       piece_pos    where the slice starts WITHIN the sequence
 
     ``groupBy(seq_id).agg(sort_array(collect_list(...)))`` then yields
-    assembly instructions per sequence. Zero-token docs emit nothing
-    (they contribute no tokens to any sequence).
+    assembly instructions per sequence (see ``pack_assembly`` in
+    plans/queries.py for the oracle-checked form). Zero-token docs emit
+    nothing (they contribute no tokens to any sequence).
+
+    INVARIANT: ``seq_len`` (and ``tokens_col``) must be the SAME values
+    the ``pack_sequences`` call that produced ``packed`` used — the
+    coordinates are meaningless under any other chunking. This is
+    guarded at runtime: a zero-cost ``assert_true`` folded into
+    piece_len re-derives seq_first from tok_start and fails the job
+    loudly on mismatch instead of emitting negative/garbage slices.
+    (Fires whenever piece_len is consumed; an action that prunes it —
+    e.g. a bare count() — skips the guard along with the column.)
 
     Scale: a narrow explode — each doc expands to n_splits+1 rows, and
     the total output is bounded by input_rows + total_tokens/seq_len
@@ -136,6 +154,23 @@ def pack_pieces(
     hi = F.least(
         (seq_id + 1) * seq_len - F.col("tok_start"), n
     )
+    # seq_len-consistency guard: re-derive seq_first from tok_start and
+    # assert it matches what pack_sequences recorded. assert_true is
+    # NULL when passing, so coalesce(...) adds exactly 0 to piece_len —
+    # a zero-cost loud failure instead of silent negative slices when
+    # the caller passes a different seq_len than the packing used.
+    # (Folded into an OUTPUT column — a standalone dropped guard column
+    # would be pruned by Catalyst and never evaluated.)
+    guard = F.coalesce(
+        F.assert_true(
+            F.expr(f"tok_start DIV {seq_len}") == F.col("seq_first"),
+            F.lit(
+                f"pack_pieces: seq_len={seq_len} does not match the "
+                "seq_len used by pack_sequences for this frame"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     return (
         packed.filter(n > 0)
         .withColumn(
@@ -146,7 +181,7 @@ def pack_pieces(
                                                      "n_splits", "seq_offset")],
             seq_id.alias("seq_id"),
             lo.alias("piece_start"),
-            (hi - lo).alias("piece_len"),
+            (hi - lo + guard).alias("piece_len"),
             (F.col("tok_start") + lo - seq_id * seq_len).alias("piece_pos"),
         )
     )

@@ -176,3 +176,59 @@ def test_pack_plan_has_no_single_partition_stage(spark):
         )
     )
     assert "SinglePartition" not in plan
+
+
+def test_pack_pieces_guard_raises_on_mismatched_seq_len(spark):
+    # pack at 64, explode at 32 — the folded assert_true must fail the
+    # job when piece_len is consumed (a bare count() prunes the column
+    # and legitimately skips the guard; consuming actions are the ones
+    # that would propagate garbage slices downstream)
+    df = spark.createDataFrame(
+        [(i, 5 + (i % 40)) for i in range(100)], ["doc_id", "n_tokens"]
+    )
+    packed = pack_sequences(df, seq_len=64)
+    with pytest.raises(Exception, match="does not match"):
+        pack_pieces(packed, seq_len=32).agg(F.sum("piece_len")).collect()
+    # matching seq_len consumes cleanly and conserves the token stream
+    total = (
+        pack_pieces(packed, seq_len=64).agg(F.sum("piece_len")).collect()[0][0]
+    )
+    assert total == df.agg(F.sum("n_tokens")).collect()[0][0]
+
+
+def test_pack_offsets_broadcast_path_matches_literal_map(spark):
+    """Above OFFSETS_MAP_MAX partitions, range_parted_offsets swaps the
+    literal create_map offset lookup for a broadcast join (the literal
+    is an O(n)-per-row scan + Catalyst expression blowup at
+    cluster-scale partition counts). Force the join path and check it
+    is coordinate-identical, plan-clean, and leaves no helper column.
+    """
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators import joins
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    key = lambda r: (r.doc_id, r.tok_start, r.seq_first, r.seq_last)  # noqa: E731
+    lit = sorted(
+        map(key, pack_sequences(df, seq_len=64, num_parts=8).collect())
+    )
+    old = joins.OFFSETS_MAP_MAX
+    joins.OFFSETS_MAP_MAX = 0
+    try:
+        packed = pack_sequences(df, seq_len=64, num_parts=8)
+        assert sorted(map(key, packed.collect())) == lit
+        assert "_poff" not in packed.columns and "_part" not in packed.columns
+        plan = packed._jdf.queryExecution().explainString(
+            spark.sparkContext._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SinglePartition" not in plan
+        # global_index rides the same helper — check the weight-1 case
+        gi = joins.global_index(df, ["doc_id"], num_parts=8)
+        assert "_poff" not in gi.columns
+        assert [r._rn for r in gi.orderBy("doc_id").collect()] == list(
+            range(1, 501)
+        )
+    finally:
+        joins.OFFSETS_MAP_MAX = old
