@@ -2,10 +2,11 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <warm total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "cold_value": <first-run total>,
-   "cold_queries": {...}, "sf": <sf>,
-   "loadavg_start": [1m, 5m, 15m], "loadavg_end": [1m, 5m, 15m]}
+  {"metric": "...", "value": <median-of-3 total sec>, "unit": "sec",
+   "queries": {name: median sec, ...}, "runs": 3,
+   "min_value": <best-run total>, "min_queries": {...},
+   "cold_value": <first-run total>, "cold_queries": {...},
+   "sf": <sf>, "loadavg_start": [...], "loadavg_end": [...]}
 
 The loadavg fields make each recording self-describing (round-6 lesson:
 a 36.5s loaded reading vs 25.3s idle reading of the SAME code cost a
@@ -13,12 +14,14 @@ whole investigation) — loadavg_start is the host's OTHER load (sampled
 before Spark starts); loadavg_end includes the bench's own 32 threads,
 so compare start values across rounds.
 
-Protocol: two passes per query. "cold" = the first pass (includes
-whole-stage-codegen compilation and any page-cache misses); "warm" =
-min of the two (the steady-state cost estimator on a shared box —
-single runs vary up to 3x with noisy neighbors). BOTH totals are
-emitted so the headline `value` (warm) is never silently flattered by
-the protocol; compare like with like.
+Protocol (round 8, per the round-7 verdict): THREE passes per query so
+the headline `value` is a per-query MEDIAN — one noisy-neighbor spike
+no longer moves the trend line, and the BENCH_r* history stops needing
+post-hoc idle re-runs to interpret. "cold" = the first pass (includes
+whole-stage-codegen compilation and page-cache misses); "min" = best
+of the three (the old "warm" figure — compare pre-r8 recordings, which
+were min-of-2, against min_*, not value). Medians are per-query, so
+`value` is the sum of per-query medians, not the median of totals.
 
 Each query is executed to completion (count() over the result — no
 driver-side materialization of payload columns beyond the action).
@@ -29,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import statistics
 import sys
 import time
 
@@ -69,7 +73,10 @@ HEADLINE = [
     "prepare_corpus",
     "sample_weighted_k",
     "pack_sequences",
+    "pack_assembly",
 ]
+
+RUNS = 3
 
 
 def main() -> None:
@@ -87,25 +94,27 @@ def main() -> None:
     # queries, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    for rnd in range(2):
+    times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rnd in range(RUNS):
         for name in HEADLINE:
             fn, _sql = REGISTRY[name]
             t0 = time.time()
             fn(spark, sf_dir).count()
-            dt = round(time.time() - t0, 3)
-            if rnd == 0:
-                cold[name] = dt
-            warm[name] = min(warm.get(name, dt), dt)
+            times[name].append(round(time.time() - t0, 3))
 
+    med = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
+    best = {n: min(ts) for n, ts in times.items()}
+    cold = {n: ts[0] for n, ts in times.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(warm.values()), 3),
+                "value": round(sum(med.values()), 3),
                 "unit": "sec",
-                "queries": warm,
+                "queries": med,
+                "runs": RUNS,
+                "min_value": round(sum(best.values()), 3),
+                "min_queries": best,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "sf": sf,

@@ -1882,6 +1882,89 @@ def pack_sequences_query(spark, sf):
     )
 
 
+_PACK_ASSEMBLY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({O.tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM t
+), p AS (
+  SELECT doc_id, n_tokens, tok_start,
+         tok_start // 256 AS seq_first,
+         (tok_start + n_tokens - 1) // 256 AS seq_last
+  FROM c WHERE n_tokens > 0
+), pieces AS (
+  SELECT CAST(s.seq_id AS BIGINT) AS seq_id,
+         doc_id,
+         CAST(greatest(s.seq_id * 256 - tok_start, 0) AS BIGINT)
+           AS piece_start,
+         CAST(least((s.seq_id + 1) * 256 - tok_start, n_tokens)
+              - greatest(s.seq_id * 256 - tok_start, 0) AS BIGINT)
+           AS piece_len,
+         CAST(tok_start + greatest(s.seq_id * 256 - tok_start, 0)
+              - s.seq_id * 256 AS BIGINT) AS piece_pos
+  FROM p
+  CROSS JOIN unnest(generate_series(p.seq_first, p.seq_last)) AS s(seq_id)
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_pieces,
+       CAST(sum(piece_len) AS BIGINT) AS seq_tokens,
+       string_agg(printf('%03d@%d:%d+%d',
+                         piece_pos, doc_id, piece_start, piece_len),
+                  '|' ORDER BY piece_pos) AS assembly
+FROM pieces
+GROUP BY seq_id
+"""
+
+
+@_q("pack_assembly", _PACK_ASSEMBLY_SQL)
+def pack_assembly(spark, sf):
+    """Loader-side sequence assembly: the ONE shuffle the random-access
+    data loader pays — group the pack_pieces piece map by training
+    sequence and emit ordered assembly instructions
+    ('pos@doc:start+len' slices, '|'-joined in piece_pos order; the
+    %03d pad makes lexical sort_array order == numeric piece_pos order
+    since piece_pos < seq_len=256). Closes the packing loop promised in
+    operators/packing.py: coordinates (pack_sequences) -> piece map
+    (pack_pieces, narrow) -> per-sequence instructions (this query, one
+    Exchange on seq_id). n_pieces/seq_tokens make truncated or
+    double-counted slices hash-visible."""
+    from ..operators.packing import pack_pieces, pack_sequences
+
+    toks = text.token_count(_t(spark, sf, "documents")).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    pieces = pack_pieces(
+        pack_sequences(
+            toks, tokens_col="n_tokens", seq_len=256, order_cols=["doc_id"]
+        ),
+        tokens_col="n_tokens",
+        seq_len=256,
+    )
+    return pieces.groupBy("seq_id").agg(
+        F.count("*").alias("n_pieces"),
+        F.sum("piece_len").alias("seq_tokens"),
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(
+                    F.format_string(
+                        "%03d@%d:%d+%d",
+                        F.col("piece_pos"),
+                        F.col("doc_id"),
+                        F.col("piece_start"),
+                        F.col("piece_len"),
+                    )
+                )
+            ),
+        ).alias("assembly"),
+    )
+
+
 _FP_SQL = f"""
 WITH t AS (SELECT doc_id, trim(text) AS tt, {_HS} AS hs FROM documents)
 SELECT doc_id,
@@ -2933,77 +3016,88 @@ def zorder_key(spark, sf):
 # the 21 that sat at positions 51-71 during round 3 (green in
 # CORRECTNESS_r02.json) plus the 9 queries new this round.
 #
-# STANDING ROTATION (round 7): `list(REGISTRY)[50:]` from the round-6
-# ordering — filter_suffix/filter_nonempty (last green r4, the only
-# entries whose evidence is more than one round old) LEAD per the
-# round-6 verdict, then the three queries new this round
-# (dedup_embedding_capped, pack_sequences, pack_pieces — no evidence
-# yet), then the entries whose latest driver evidence is r5. The five
-# positions that overflow the 50-entry window this round
-# (normalize_text, dedup_chunks, dedup_incremental, sample_group_k,
-# sample_weighted_k — green r5, all also unit-tested) lead round 8's
-# rotation. Next round: replace with `list(REGISTRY)[50:]` + new
-# queries.
+# STALENESS POLICY (codified round 8, after the registry outgrew two
+# 50-entry windows): every registry entry's latest driver evidence must
+# be at most TWO rounds old. Each round's ordering therefore puts, in
+# order: (1) entries whose evidence is 2 rounds old (they'd breach the
+# cap if skipped), (2) entries with NO evidence yet (new queries), (3)
+# the previous round's NON-window entries oldest-evidence-first. New
+# queries per round must stay within the window slack after the stale
+# leaders (slack = 50 - len(stale)); the cycle is then exactly 2 rounds
+# + overflow and nothing ever ages past 2. Enforced by
+# tests/test_rotation_policy.py, which derives per-entry evidence from
+# the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
+# evidence-less entry sits outside the first 50 positions.
+#
+# STANDING ROTATION (round 8): the five entries whose latest evidence
+# is r5 (normalize_text, dedup_chunks, dedup_incremental,
+# sample_group_k, sample_weighted_k — exactly 2 rounds old) LEAD per
+# the round-7 verdict, then pack_assembly (new this round, no evidence
+# yet), then the r6-evidenced entries in their CORRECTNESS_r06.json
+# order. The six that overflow the 50-entry window (null_funcs,
+# explode_pos, str_distance, sample_exact_k, zorder_key, filter_notnull
+# — all green r6) lead round 9's rotation.
 _PRIORITY_QUERIES = [
-    "filter_suffix",
-    "filter_nonempty",
-    # new this round (no evidence yet -> into the window first)
-    "dedup_embedding_capped",
-    "pack_sequences",
-    "pack_pieces",
-    "project_derived",
-    "scan_catalog",
-    "scan_documents",
-    "agg_conditional_count",
-    "agg_multi_counter",
-    "agg_by_year",
-    "agg_histogram",
-    "agg_mean",
-    "agg_max",
-    "agg_count",
-    "agg_concat",
-    "agg_tpch_q1",
-    "agg_percentile",
-    "agg_tpch_q6",
-    "top_revenue_orders",
-    "join_broadcast",
-    "semi_join",
-    "anti_join_ledger",
-    "join_salted",
-    "bloom_anti_join",
-    "join_positional",
-    "distinct_keys",
-    "union_globs",
-    "limit_n",
-    "limit_pushdown",
-    "sessionize_islands",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "agg_rollup",
-    "agg_cube",
-    "argmin_nearest",
-    "window_running",
-    "format_dialogue",
-    "str_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_funcs",
-    "map_funcs",
-    "knn_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "dedup_corpus",
-    "decontaminate",
+    # (1) evidence exactly 2 rounds old (r5) -- must refresh this round
     "normalize_text",
     "dedup_chunks",
     "dedup_incremental",
-    # positions 51-55: miss the 50-entry round-7 window by design —
-    # these five r5-green entries (normalize_text, dedup_chunks,
-    # dedup_incremental, sample_group_k, sample_weighted_k) lead round 8
     "sample_group_k",
     "sample_weighted_k",
+    # (2) new this round (no evidence yet)
+    "pack_assembly",
+    # (3) r6-evidenced entries, CORRECTNESS_r06.json order; the last
+    #     six overflow the 50-entry window and lead round 9
+    "filter_year",
+    "project_arith",
+    "sort_desc",
+    "topn_per_group",
+    "join_asof",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_mem",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "lang_id",
+    "quality_score",
+    "quality_filter",
+    "token_count",
+    "doc_fingerprint",
+    "chunk_documents",
+    "multimodal_features",
+    "artifact_probe",
+    "sample_stratified",
+    "repetition_metrics",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "bm25_search",
+    "hybrid_rrf",
+    "ngram_topk",
+    "corpus_stats",
+    "vocab_entropy",
+    "assign_split",
+    "mix_corpora",
+    "window_rank",
+    "prepare_corpus",
+    "window_lead_lag",
+    "window_first_last",
+    "agg_stats",
+    "agg_pivot",
+    "unpivot_melt",
+    "join_interval",
+    "agg_mode",
+    "set_ops",
+    "null_funcs",
+    "explode_pos",
+    "str_distance",
+    "sample_exact_k",
+    "zorder_key",
+    "filter_notnull",
 ]
 
 

@@ -51,6 +51,14 @@ PICKS = {
         "coordinates frame, never the corpus (see "
         "joins.range_parted_offsets)"
     ),
+    "pack_assembly": (
+        "loader-side sequence assembly: pack_pieces is a narrow explode "
+        "over the packing coordinates (zero shuffle of its own); the "
+        "groupBy(seq_id) collect_list is the ONE shuffle the "
+        "random-access loader pays, keyed on the sequence id so each "
+        "reducer owns whole sequences — assembly strings are "
+        "sort_array-ordered, so no re-sort downstream"
+    ),
     "tfidf_top_terms": (
         "lexical retrieval postings lineage: one staged tokenize (dl + "
         "explode share the array), tf hash-agg with map-side combine, "
