@@ -74,6 +74,7 @@ HEADLINE = [
     "sample_weighted_k",
     "pack_sequences",
     "pack_assembly",
+    "retrieval_eval",
 ]
 
 RUNS = 3

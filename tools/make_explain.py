@@ -59,6 +59,12 @@ PICKS = {
         "reducer owns whole sequences — assembly strings are "
         "sort_array-ordered, so no re-sort downstream"
     ),
+    "retrieval_eval": (
+        "ANN-vs-exact quality metrics as a query: both top-k frames are "
+        "pinned (kNN / LSH lineages run once) and every metric join's "
+        "right side is an O(queries x k) broadcast — recall/MRR cost is "
+        "the two retrieval passes, the measurement itself is free"
+    ),
     "tfidf_top_terms": (
         "lexical retrieval postings lineage: one staged tokenize (dl + "
         "explode share the array), tf hash-agg with map-side combine, "
