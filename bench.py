@@ -75,6 +75,7 @@ HEADLINE = [
     "pack_sequences",
     "pack_assembly",
     "retrieval_eval",
+    "dedup_eval",
 ]
 
 RUNS = 3

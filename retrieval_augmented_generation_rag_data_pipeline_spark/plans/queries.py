@@ -1639,6 +1639,73 @@ def dedup_lsh_pairs(spark, sf):
     return dedup.lsh_candidate_pairs(_dup_corpus(spark, sf))
 
 
+def _dedup_eval_sql() -> str:
+    return f"""
+WITH {_lsh_ctes()},
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+sh AS (SELECT doc_id, list_distinct({O.word_shingles(O.tokens('text'))}) AS s
+       FROM corpus),
+j AS (
+  SELECT p.doc_a, p.doc_b, p.n_bands,
+         len(list_intersect(sa.s, sb.s)) AS i,
+         len(sa.s) AS na, len(sb.s) AS nb
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, n_bands,
+       i / CAST(na + nb - i AS DOUBLE) AS jaccard,
+       CAST(i / CAST(na + nb - i AS DOUBLE) >= 0.5 AS INT) AS is_dup
+FROM j
+"""
+
+
+@_q("dedup_eval", _dedup_eval_sql())
+def dedup_eval(spark, sf):
+    """Candidate-quality eval for the banded-LSH dedup path: every LSH
+    candidate pair re-scored with its EXACT word-shingle Jaccard (the
+    retrieval_eval idea applied to the dedup family — measure the
+    sketch, don't trust it). is_dup labels pairs at the 0.5 threshold,
+    so precision = avg(is_dup) is one agg away. Scale: candidates come
+    bucketed from LSH (never all-pairs); the verify is the standard
+    per-pair rerank — two hash equi-joins against the shingle-set
+    frame, per-row set intersection linear in doc length. The jaccard
+    double is emitted unrounded: both engines compute the same IEEE
+    count/CAST division bit-identically (same contract as
+    dedup_ngram_jaccard), where a round() could straddle a half-up tie.
+    """
+    from ..functions.binding import let
+    from ..functions.hashing import tokens, word_shingles
+
+    corpus = _dup_corpus(spark, sf)
+    cand = dedup.lsh_candidate_pairs(corpus)
+    sh = corpus.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("s"),
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
+    # let-bind the intersection size: jaccard references it twice and
+    # is_dup re-references jaccard — unbound, the per-row set
+    # intersection would be evaluated 4x (see functions/binding.py)
+    jac = let(
+        F.size(F.array_intersect("_sa", "_sb")).cast("long"),
+        lambda i: i
+        / (F.size("_sa") + F.size("_sb") - i).cast("double"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .withColumn("is_dup", (F.col("jaccard") >= 0.5).cast("int"))
+        .select("doc_a", "doc_b", "n_bands", "jaccard", "is_dup")
+    )
+
+
 def _dedup_clusters_sql() -> str:
     """Transitive closure of LSH candidate pairs via recursive CTE —
     min reachable doc_id = the component label."""
@@ -3150,6 +3217,7 @@ _PRIORITY_QUERIES = [
     # (2) new this round (no evidence yet)
     "pack_assembly",
     "retrieval_eval",
+    "dedup_eval",
     # (3) r6-evidenced entries, CORRECTNESS_r06.json order; the last
     #     six overflow the 50-entry window and lead round 9
     "filter_year",

@@ -59,6 +59,14 @@ PICKS = {
         "reducer owns whole sequences — assembly strings are "
         "sort_array-ordered, so no re-sort downstream"
     ),
+    "dedup_eval": (
+        "LSH candidate quality verified, not trusted: every banded-LSH "
+        "candidate pair re-scored with exact shingle Jaccard — two hash "
+        "equi-joins against the shingle-set frame, the intersection "
+        "let-bound so it evaluates once per pair (jaccard + is_dup "
+        "reference it 4x unbound); candidates stay bucketed, never "
+        "all-pairs"
+    ),
     "retrieval_eval": (
         "ANN-vs-exact quality metrics as a query: both top-k frames are "
         "pinned (kNN / LSH lineages run once) and every metric join's "
