@@ -3201,12 +3201,12 @@ def zorder_key(spark, sf):
 # STANDING ROTATION (round 8): the five entries whose latest evidence
 # is r5 (normalize_text, dedup_chunks, dedup_incremental,
 # sample_group_k, sample_weighted_k — exactly 2 rounds old) LEAD per
-# the round-7 verdict, then pack_assembly and retrieval_eval (new this
-# round, no evidence yet), then the r6-evidenced entries in their
-# CORRECTNESS_r06.json order. The seven that overflow the 50-entry
-# window (set_ops, null_funcs, explode_pos, str_distance,
-# sample_exact_k, zorder_key, filter_notnull — all green r6) lead
-# round 9's rotation.
+# the round-7 verdict, then pack_assembly / retrieval_eval / dedup_eval
+# (new this round, no evidence yet), then the r6-evidenced entries in
+# their CORRECTNESS_r06.json order. The eight that overflow the
+# 50-entry window (agg_mode, set_ops, null_funcs, explode_pos,
+# str_distance, sample_exact_k, zorder_key, filter_notnull — all green
+# r6) lead round 9's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r5) -- must refresh this round
     "normalize_text",
