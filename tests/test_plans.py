@@ -402,3 +402,29 @@ def test_rank_small_rejects_string_desc(spark):
     # asc on a string stays allowed (struct comparison, no negation)
     got = {r.name: r.rank for r in rank_small(df, [("name", "asc")]).collect()}
     assert got == {"a": 1, "b": 2}
+
+
+def test_retrieval_eval_metric_bounds_and_coverage(spark):
+    """Semantic net under the oracle parity: one row per query, metrics
+    inside their definitional bounds, recall consistent with n_hits."""
+    out = REGISTRY["retrieval_eval"][0](spark, SF).collect()
+    assert len(out) == 8  # one row per query vec_id < 8
+    for r in out:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_k - r.n_hits / 5.0) < 1e-9
+        assert 0.0 <= r.rr <= 1.0
+
+
+def test_dedup_eval_exact_duplicates_score_one(spark):
+    """The doubled test corpus plants exact duplicate pairs
+    (doc_id, doc_id+100000): every one the LSH surfaces must verify at
+    jaccard == 1.0 / is_dup == 1, and all jaccards must be in [0, 1]."""
+    out = REGISTRY["dedup_eval"][0](spark, SF).collect()
+    assert out
+    planted = [r for r in out if r.doc_b == r.doc_a + 100000]
+    assert planted, "LSH missed every planted duplicate pair"
+    assert all(r.jaccard == 1.0 and r.is_dup == 1 for r in planted)
+    assert all(0.0 <= r.jaccard <= 1.0 for r in out)
+    assert all(
+        (r.is_dup == 1) == (r.jaccard >= 0.5) for r in out
+    )
