@@ -324,6 +324,23 @@ def main() -> None:
         "rows": n_rows, "sec": round(time.time() - t0, 2)
     }
 
+    # ---- full loader path at Nx: coordinates -> piece map (narrow
+    # explode) -> per-sequence assembly (the ONE groupBy(seq_id)
+    # shuffle a random-access loader pays). Timed end-to-end from raw
+    # (doc_id, n_tokens); assembly rows ~= total_tokens / seq_len.
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.packing import pack_pieces
+
+    t0 = time.time()
+    n_seqs = (
+        pack_pieces(pack_sequences(docs_tok, seq_len=4096), seq_len=4096)
+        .groupBy("seq_id")
+        .agg(F.count("*").alias("n_pieces"), F.sum("piece_len").alias("seq_tokens"))
+        .count()
+    )
+    results["pack_assembly"] = {
+        "rows": n_rows, "sequences": n_seqs, "sec": round(time.time() - t0, 2)
+    }
+
     # ---- PQ/ADC vs exact kNN at Nx corpus: same query batch, scoring
     # via m=8 table lookups over codes instead of 64-dim dots. The
     # encode pass is timed separately — at scale it runs once at index
