@@ -161,9 +161,21 @@ def pack_pieces(
     # the caller passes a different seq_len than the packing used.
     # (Folded into an OUTPUT column — a standalone dropped guard column
     # would be pruned by Catalyst and never evaluated.)
+    # Both coordinates are re-derived: seq_first alone misses
+    # mismatches where tok_start lands in chunk 0 under both seq_lens
+    # (e.g. packed at 64, exploded at 128 — seq_first agrees at 0 but
+    # the doc's true span does not), which would emit negative or
+    # silently truncated piece_len.
     guard = F.coalesce(
         F.assert_true(
-            F.expr(f"tok_start DIV {seq_len}") == F.col("seq_first"),
+            (F.expr(f"tok_start DIV {seq_len}") == F.col("seq_first"))
+            & (
+                F.expr(
+                    f"(tok_start + greatest(CAST({tokens_col} AS BIGINT), 1) - 1)"
+                    f" DIV {seq_len}"
+                )
+                == F.col("seq_last")
+            ),
             F.lit(
                 f"pack_pieces: seq_len={seq_len} does not match the "
                 "seq_len used by pack_sequences for this frame"

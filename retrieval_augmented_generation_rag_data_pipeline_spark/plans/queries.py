@@ -1670,39 +1670,14 @@ def dedup_eval(spark, sf):
     candidate pair re-scored with its EXACT word-shingle Jaccard (the
     retrieval_eval idea applied to the dedup family — measure the
     sketch, don't trust it). is_dup labels pairs at the 0.5 threshold,
-    so precision = avg(is_dup) is one agg away. Scale: candidates come
-    bucketed from LSH (never all-pairs); the verify is the standard
-    per-pair rerank — two hash equi-joins against the shingle-set
-    frame, per-row set intersection linear in doc length. The jaccard
-    double is emitted unrounded: both engines compute the same IEEE
-    count/CAST division bit-identically (same contract as
-    dedup_ngram_jaccard), where a round() could straddle a half-up tie.
-    """
-    from ..functions.binding import let
-    from ..functions.hashing import tokens, word_shingles
-
+    so precision = avg(is_dup) is one agg away. The verify is the
+    shared ``dedup.verify_pairs_jaccard`` rerank — the same code the
+    scale probe measures (see its docstring for the let-binding and
+    unrounded-jaccard contracts)."""
     corpus = _dup_corpus(spark, sf)
     cand = dedup.lsh_candidate_pairs(corpus)
-    sh = corpus.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("s"),
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
-    # let-bind the intersection size: jaccard references it twice and
-    # is_dup re-references jaccard — unbound, the per-row set
-    # intersection would be evaluated 4x (see functions/binding.py)
-    jac = let(
-        F.size(F.array_intersect("_sa", "_sb")).cast("long"),
-        lambda i: i
-        / (F.size("_sa") + F.size("_sb") - i).cast("double"),
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .withColumn("is_dup", (F.col("jaccard") >= 0.5).cast("int"))
-        .select("doc_a", "doc_b", "n_bands", "jaccard", "is_dup")
+    return dedup.verify_pairs_jaccard(cand, corpus).select(
+        "doc_a", "doc_b", "n_bands", "jaccard", "is_dup"
     )
 
 
@@ -3219,7 +3194,9 @@ _PRIORITY_QUERIES = [
     "retrieval_eval",
     "dedup_eval",
     # (3) r6-evidenced entries, CORRECTNESS_r06.json order; the last
-    #     six overflow the 50-entry window and lead round 9
+    #     EIGHT (agg_mode onward, after the three round-8 additions
+    #     shifted the window) overflow the 50-entry window and lead
+    #     round 9 — see the STANDING ROTATION block above
     "filter_year",
     "project_arith",
     "sort_desc",

@@ -189,6 +189,20 @@ def test_pack_pieces_guard_raises_on_mismatched_seq_len(spark):
     packed = pack_sequences(df, seq_len=64)
     with pytest.raises(Exception, match="does not match"):
         pack_pieces(packed, seq_len=32).agg(F.sum("piece_len")).collect()
+    # the seq_first check alone would miss both of these (tok_start
+    # lands in chunk 0 under either seq_len) — the seq_last
+    # re-derivation must catch them
+    short = pack_sequences(
+        spark.createDataFrame([(1, 60), (2, 10)], ["doc_id", "n_tokens"]),
+        seq_len=64,
+    )
+    with pytest.raises(Exception, match="does not match"):
+        pack_pieces(short, seq_len=128).agg(F.sum("piece_len")).collect()
+    one = pack_sequences(
+        spark.createDataFrame([(1, 50)], ["doc_id", "n_tokens"]), seq_len=64
+    )
+    with pytest.raises(Exception, match="does not match"):
+        pack_pieces(one, seq_len=32).agg(F.sum("piece_len")).collect()
     # matching seq_len consumes cleanly and conserves the token stream
     total = (
         pack_pieces(packed, seq_len=64).agg(F.sum("piece_len")).collect()[0][0]

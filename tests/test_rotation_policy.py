@@ -105,6 +105,18 @@ def test_stale_and_new_entries_lead_the_window():
 
 
 def test_window_has_no_duplicates_and_priority_names_resolve():
+    from retrieval_augmented_generation_rag_data_pipeline_spark.plans.queries import (
+        _PRIORITY_QUERIES,
+    )
+
     names = list(REGISTRY)
     assert len(names) == len(set(names))
     assert len(names) >= WINDOW
+    # every priority entry must name a real registry query, appear only
+    # once, and actually occupy its intended leading position —
+    # asserted here directly, not just as an import-time side effect of
+    # _reorder_registry's unknown-name raise
+    assert len(_PRIORITY_QUERIES) == len(set(_PRIORITY_QUERIES))
+    missing = [n for n in _PRIORITY_QUERIES if n not in REGISTRY]
+    assert not missing, f"priority entries not in REGISTRY: {missing}"
+    assert names[: len(_PRIORITY_QUERIES)] == list(_PRIORITY_QUERIES)

@@ -99,34 +99,20 @@ def main() -> None:
         "docs": 5000 * n, "pairs": npairs, "sec": round(time.time() - t0, 2)
     }
 
-    # ---- per-pair exact-Jaccard verify of the LSH candidates at Nx
-    # (the dedup_eval rerank shape). Replicated docs make candidate
-    # pairs grow ~N^2, so the health signal is verified pairs/sec
-    # flat-or-rising across N — the verify must be output-bound (two
-    # hash equi-joins + one let-bound set intersection per pair), never
-    # super-linear in the input.
-    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.binding import let
-    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.hashing import (
-        tokens,
-        word_shingles,
-    )
-
+    # ---- per-pair exact-Jaccard verify of the LSH candidates at Nx —
+    # dedup.verify_pairs_jaccard, the SAME operator dedup_eval checks
+    # against the oracle, so these numbers characterize exactly the
+    # shipped computation. Replicated docs make candidate pairs grow
+    # ~N^2, so the health signal is verified pairs/sec flat-or-rising
+    # across N — the verify must be output-bound, never super-linear in
+    # the input.
     # pin the candidate frame so the timer measures the VERIFY, not a
     # replay of the LSH pipeline that produced the candidates
     cand = dedup.lsh_candidate_pairs(big_docs).localCheckpoint(eager=True)
-    sh = big_docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("s"),
-    )
-    jac = let(
-        F.size(F.array_intersect("_sa", "_sb")).cast("long"),
-        lambda i: i / (F.size("_sa") + F.size("_sb") - i).cast("double"),
-    )
     t0 = time.time()
     n_dup = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb")), "doc_b")
-        .filter(jac >= 0.5)
+        dedup.verify_pairs_jaccard(cand, big_docs)
+        .filter(F.col("is_dup") == 1)
         .count()
     )
     sec = round(time.time() - t0, 2)
