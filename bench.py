@@ -76,6 +76,7 @@ HEADLINE = [
     "pack_assembly",
     "retrieval_eval",
     "dedup_eval",
+    "mix_report",
 ]
 
 RUNS = 3

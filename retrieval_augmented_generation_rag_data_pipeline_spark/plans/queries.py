@@ -2546,6 +2546,44 @@ def assign_split(spark, sf):
     return sampling.assign_split(docs, "doc_id", _SPLITS, seed=_SPLIT_SEED)
 
 
+_MIX_REPORT_SQL = f"""
+WITH s AS ({_SPLIT_SQL})
+SELECT d.source, s.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({O.tokens('d.text')})) AS BIGINT) AS total_tokens,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN s ON s.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
+@_q("mix_report", _MIX_REPORT_SQL)
+def mix_report(spark, sf):
+    """Mixture bookkeeping: docs / whitespace tokens / chars per
+    (source, split) cell — the accounting table every training-data
+    mixture decision reads (are the splits source-balanced? how many
+    tokens does each domain contribute per split?). All-integer output
+    (no cross-engine float edge). Spark side is ONE corpus scan: the
+    token count and the hash-derived split label are narrow projections
+    on the same pass, then a map-side-combined agg shuffles only the
+    |sources| x |splits| cells — no join, unlike the oracle's two-pass
+    SQL formulation."""
+    from ..functions.hashing import tokens
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+    )
+    labeled = sampling.assign_split(docs, "doc_id", _SPLITS, seed=_SPLIT_SEED)
+    return labeled.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 _MIX_SEED = 5
 _MIX_CORPORA_RATES = {"a": 0.6, "b": 0.3}
 
@@ -3177,11 +3215,11 @@ def zorder_key(spark, sf):
 # is r5 (normalize_text, dedup_chunks, dedup_incremental,
 # sample_group_k, sample_weighted_k — exactly 2 rounds old) LEAD per
 # the round-7 verdict, then pack_assembly / retrieval_eval / dedup_eval
-# (new this round, no evidence yet), then the r6-evidenced entries in
-# their CORRECTNESS_r06.json order. The eight that overflow the
-# 50-entry window (agg_mode, set_ops, null_funcs, explode_pos,
-# str_distance, sample_exact_k, zorder_key, filter_notnull — all green
-# r6) lead round 9's rotation.
+# / mix_report (new this round, no evidence yet), then the r6-evidenced
+# entries in their CORRECTNESS_r06.json order. The NINE that overflow
+# the 50-entry window (join_interval, agg_mode, set_ops, null_funcs,
+# explode_pos, str_distance, sample_exact_k, zorder_key, filter_notnull
+# — all green r6) lead round 9's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r5) -- must refresh this round
     "normalize_text",
@@ -3193,8 +3231,9 @@ _PRIORITY_QUERIES = [
     "pack_assembly",
     "retrieval_eval",
     "dedup_eval",
+    "mix_report",
     # (3) r6-evidenced entries, CORRECTNESS_r06.json order; the last
-    #     EIGHT (agg_mode onward, after the three round-8 additions
+    #     NINE (join_interval onward, after the four round-8 additions
     #     shifted the window) overflow the 50-entry window and lead
     #     round 9 — see the STANDING ROTATION block above
     "filter_year",

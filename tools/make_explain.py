@@ -59,6 +59,14 @@ PICKS = {
         "reducer owns whole sequences — assembly strings are "
         "sort_array-ordered, so no re-sort downstream"
     ),
+    "mix_report": (
+        "mixture bookkeeping in ONE corpus scan: token count and the "
+        "hash-derived split label are narrow projections on the same "
+        "pass, then a map-side-combined agg shuffles only the "
+        "sources x splits cells — one Exchange, no join (the oracle's "
+        "SQL formulation joins two passes; Catalyst is handed the "
+        "fused plan directly)"
+    ),
     "dedup_eval": (
         "LSH candidate quality verified, not trusted: every banded-LSH "
         "candidate pair re-scored with exact shingle Jaccard — two hash "
