@@ -262,6 +262,16 @@ def verify_pairs_jaccard(
     engines, where round() can straddle a half-up tie like 1/128) and
     ``is_dup`` (jaccard >= threshold, int).
 
+    INPUT CONTRACT (guarded): every pair id must exist in ``docs``, and
+    at least one doc of each pair must yield >= 1 shingle (text of >= k
+    words). Pairs from ``lsh_candidate_pairs`` satisfy both by
+    construction, but this is a public operator — arbitrary caller
+    pairs with a missing id or two shingle-less docs (a 0/0 jaccard)
+    fail the job loudly via an ``assert_true`` folded into ``jaccard``
+    (left joins, so a missing id reaches the guard instead of being
+    silently inner-joined away). The guard fires whenever ``jaccard``
+    or ``is_dup`` is consumed; an action that prunes both skips it.
+
     Scale: two hash equi-joins against the per-doc shingle-set frame,
     per-row set intersection linear in doc length, and the
     intersection size is let-bound (functions/binding.let) — unbound,
@@ -277,6 +287,29 @@ def verify_pairs_jaccard(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(tokens(F.col(text_col)), k)).alias("s"),
     )
+    # contract guard (see docstring): assert_true is NULL when passing,
+    # so coalesce(guard, jac) returns jac untouched — zero-cost, but a
+    # missing pair id or a 0/0 empty-shingle pair fails loudly instead
+    # of vanishing (missing id, under the old inner joins) or emitting
+    # NULL (0/0 division). Folded into the OUTPUT column — a dropped
+    # standalone guard column would be pruned and never evaluated. The
+    # coalesce shape (not `jac + guard`) matters: coalesce evaluates
+    # args left-to-right, whereas Add short-circuits to NULL on a NULL
+    # left operand without ever evaluating the guard — and jac is NULL
+    # in exactly the inputs the guard exists to catch.
+    guard = F.assert_true(
+        F.col("_sa").isNotNull()
+        & F.col("_sb").isNotNull()
+        & ((F.size("_sa") + F.size("_sb")) > 0),
+        F.concat(
+            F.lit("verify_pairs_jaccard: pair ("),
+            F.col("doc_a").cast("string"),
+            F.lit(", "),
+            F.col("doc_b").cast("string"),
+            F.lit(") has an id missing from docs or two shingle-less"
+                  f" docs (both texts < {k} words)"),
+        ),
+    ).cast("double")
     jac = let(
         F.size(F.array_intersect("_sa", "_sb")).cast("long"),
         lambda i: i / (F.size("_sa") + F.size("_sb") - i).cast("double"),
@@ -285,12 +318,14 @@ def verify_pairs_jaccard(
         pairs.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa")),
             "doc_a",
+            "left",
         )
         .join(
             sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb")),
             "doc_b",
+            "left",
         )
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", F.coalesce(guard, jac))
         .withColumn("is_dup", (F.col("jaccard") >= threshold).cast("int"))
         .drop("_sa", "_sb")
     )

@@ -132,11 +132,13 @@ def pack_pieces(
     INVARIANT: ``seq_len`` (and ``tokens_col``) must be the SAME values
     the ``pack_sequences`` call that produced ``packed`` used — the
     coordinates are meaningless under any other chunking. This is
-    guarded at runtime: a zero-cost ``assert_true`` folded into
-    piece_len re-derives seq_first from tok_start and fails the job
-    loudly on mismatch instead of emitting negative/garbage slices.
-    (Fires whenever piece_len is consumed; an action that prunes it —
-    e.g. a bare count() — skips the guard along with the column.)
+    guarded at runtime: a zero-cost ``assert_true`` folded into BOTH
+    derived coordinates (piece_len and piece_pos) re-derives
+    seq_first/seq_last from tok_start and fails the job loudly on
+    mismatch instead of emitting negative/garbage slices. (Fires
+    whenever piece_len or piece_pos is consumed; an action that prunes
+    both — e.g. a bare count() — skips the guard along with the
+    columns.)
 
     Scale: a narrow explode — each doc expands to n_splits+1 rows, and
     the total output is bounded by input_rows + total_tokens/seq_len
@@ -194,6 +196,8 @@ def pack_pieces(
             seq_id.alias("seq_id"),
             lo.alias("piece_start"),
             (hi - lo + guard).alias("piece_len"),
-            (F.col("tok_start") + lo - seq_id * seq_len).alias("piece_pos"),
+            (F.col("tok_start") + lo - seq_id * seq_len + guard).alias(
+                "piece_pos"
+            ),
         )
     )

@@ -210,7 +210,7 @@ def test_pack_pieces_guard_raises_on_mismatched_seq_len(spark):
     assert total == df.agg(F.sum("n_tokens")).collect()[0][0]
 
 
-def test_pack_offsets_broadcast_path_matches_literal_map(spark):
+def test_pack_offsets_broadcast_path_matches_literal_map(spark, monkeypatch):
     """Above OFFSETS_MAP_MAX partitions, range_parted_offsets swaps the
     literal create_map offset lookup for a broadcast join (the literal
     is an O(n)-per-row scan + Catalyst expression blowup at
@@ -226,23 +226,21 @@ def test_pack_offsets_broadcast_path_matches_literal_map(spark):
     lit = sorted(
         map(key, pack_sequences(df, seq_len=64, num_parts=8).collect())
     )
-    old = joins.OFFSETS_MAP_MAX
-    joins.OFFSETS_MAP_MAX = 0
-    try:
-        packed = pack_sequences(df, seq_len=64, num_parts=8)
-        assert sorted(map(key, packed.collect())) == lit
-        assert "_poff" not in packed.columns and "_part" not in packed.columns
-        plan = packed._jdf.queryExecution().explainString(
-            spark.sparkContext._jvm.org.apache.spark.sql.execution
-            .ExplainMode.fromString("formatted")
-        )
-        assert "BroadcastHashJoin" in plan
-        assert "SinglePartition" not in plan
-        # global_index rides the same helper — check the weight-1 case
-        gi = joins.global_index(df, ["doc_id"], num_parts=8)
-        assert "_poff" not in gi.columns
-        assert [r._rn for r in gi.orderBy("doc_id").collect()] == list(
-            range(1, 501)
-        )
-    finally:
-        joins.OFFSETS_MAP_MAX = old
+    # fixture-scoped patch (not a bare global mutation): restored by
+    # pytest even on assertion failure, and safe under threaded runs
+    monkeypatch.setattr(joins, "OFFSETS_MAP_MAX", 0)
+    packed = pack_sequences(df, seq_len=64, num_parts=8)
+    assert sorted(map(key, packed.collect())) == lit
+    assert "_poff" not in packed.columns and "_part" not in packed.columns
+    plan = packed._jdf.queryExecution().explainString(
+        spark.sparkContext._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    # global_index rides the same helper — check the weight-1 case
+    gi = joins.global_index(df, ["doc_id"], num_parts=8)
+    assert "_poff" not in gi.columns
+    assert [r._rn for r in gi.orderBy("doc_id").collect()] == list(
+        range(1, 501)
+    )

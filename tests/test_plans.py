@@ -428,3 +428,39 @@ def test_dedup_eval_exact_duplicates_score_one(spark):
     assert all(
         (r.is_dup == 1) == (r.jaccard >= 0.5) for r in out
     )
+
+
+def test_verify_pairs_jaccard_contract_guard(spark):
+    """verify_pairs_jaccard is a public operator: a pair id missing
+    from docs, or a pair whose docs BOTH yield zero shingles, must fail
+    the job loudly (assert_true folded into jaccard) — not vanish via
+    an inner join or emit a NULL 0/0."""
+    import pytest as _pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        verify_pairs_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "xy"),  # < k=3 words -> zero shingles
+            (4, "zz"),  # < k=3 words -> zero shingles
+        ],
+        ["doc_id", "text"],
+    )
+    ok = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    got = verify_pairs_jaccard(ok, docs).collect()
+    assert len(got) == 1 and abs(got[0].jaccard - 1.0 / 3.0) < 1e-12
+    # missing id fails loudly (left join keeps the row for the guard)
+    missing = spark.createDataFrame([(1, 999)], ["doc_a", "doc_b"])
+    with _pytest.raises(Exception, match="verify_pairs_jaccard"):
+        verify_pairs_jaccard(missing, docs).collect()
+    # two shingle-less docs (0/0 jaccard) fail loudly too
+    degenerate = spark.createDataFrame([(3, 4)], ["doc_a", "doc_b"])
+    with _pytest.raises(Exception, match="verify_pairs_jaccard"):
+        verify_pairs_jaccard(degenerate, docs).collect()
+    # one shingle-less side is fine: well-defined jaccard 0.0
+    half = spark.createDataFrame([(1, 3)], ["doc_a", "doc_b"])
+    assert verify_pairs_jaccard(half, docs).collect()[0].jaccard == 0.0
