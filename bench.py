@@ -4,9 +4,20 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <median-of-3 total sec>, "unit": "sec",
    "queries": {name: median sec, ...}, "runs": 3,
-   "min_value": <best-run total>, "min_queries": {...},
-   "cold_value": <first-run total>, "cold_queries": {...},
-   "sf": <sf>, "loadavg_start": [...], "loadavg_end": [...]}
+   "min_value": <best-run total>, "cold_value": <first-run total>,
+   "sf": <sf>, "loadavg_start": [...], "loadavg_end": [...],
+   "detail": "BENCH_DETAIL.json"}
+
+TRUNCATION CONTRACT (round 9, per the round-8 verdict): the driver
+records only the LAST ~2000 chars of stdout, and round 8's line — with
+three 35-entry per-query maps — outgrew that window, decapitating the
+headline `value` in BENCH_r08.json. The stdout line therefore stays
+compact (headline totals + the single most important per-query map,
+the medians — ~1.1 KB, well inside the window even if the headline
+set grows); the per-query min/cold maps move to BENCH_DETAIL.json
+next to this script (overwritten per run, same fields as the old fat
+line). Pre-r9 artifacts with inline min_queries/cold_queries compare
+against the detail file.
 
 The loadavg fields make each recording self-describing (round-6 lesson:
 a 36.5s loaded reading vs 25.3s idle reading of the SAME code cost a
@@ -108,24 +119,29 @@ def main() -> None:
     med = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
     best = {n: min(ts) for n, ts in times.items()}
     cold = {n: ts[0] for n, ts in times.items()}
-    print(
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": med,
+        "runs": RUNS,
+        "min_value": round(sum(best.values()), 3),
+        "cold_value": round(sum(cold.values()), 3),
+        "sf": sf,
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "detail": "BENCH_DETAIL.json",
+    }
+    # per-query min/cold maps: side artifact, never on stdout (see the
+    # TRUNCATION CONTRACT in the module docstring)
+    detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(med.values()), 3),
-                "unit": "sec",
-                "queries": med,
-                "runs": RUNS,
-                "min_value": round(sum(best.values()), 3),
-                "min_queries": best,
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "sf": sf,
-                "loadavg_start": load_start,
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-            }
+            {**summary, "min_queries": best, "cold_queries": cold}, indent=1
         )
+        + "\n"
     )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
