@@ -2,9 +2,10 @@
 
 Several operators pin an intermediate frame because more than one
 consumer (a self-join side, a multi-action edge build) would otherwise
-replay its full upstream lineage — see rank_small, ngram_jaccard_pairs,
-prepare_corpus. Pinning is a pure performance decision; it never
-changes results.
+replay its full upstream lineage — see ngram_jaccard_pairs,
+prepare_corpus, retrieval_eval. Pinning is a pure performance decision;
+it never changes results. (rank_small pinned through round 8; its
+round-9 sorted-array form consumes its input once and needs no pin.)
 
 The switch exists for plan tooling: a checkpoint truncates the visible
 plan to an ExistingRDD scan, so tools/plan_guard.py and

@@ -14,8 +14,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-from .pinning import pin
-
 
 # ---- filters / projections (reference §2.2) --------------------------------
 
@@ -125,32 +123,36 @@ def rank_small(
     rank_col: str = "rank",
 ) -> DataFrame:
     """Dense 1-based total-order rank for a SMALL (post-limit) DataFrame
-    without any window: rank(r) = 1 + count of strictly-better rows,
-    computed as a broadcast non-equi self-join + groupBy.
+    without any window: collect the <= k rows into ONE sorted array
+    (struct sort keys lead, the full row rides as payload) and
+    posexplode — rank is the array position + 1.
 
     `order` is [(col, "asc"|"desc"), ...] evaluated lexicographically;
     the key must be total (no ties), e.g. terminated by a unique id.
+    Payload columns must be orderable types (no map columns): the sort
+    struct carries the whole row, and under a total key the payload
+    comparison is never reached semantically but must still typecheck.
 
     Why not `row_number() OVER (ORDER BY ...)`: an unpartitioned window
     funnels input through one task AND logs the WindowExec single-
     partition warning — and Spark 4's EliminateWindowPartitions strips
     a foldable PARTITION BY lit(0), so the window form can't be made
-    quiet. For the <= k rows that survive a TakeOrdered limit, the k^2
-    broadcast comparison is cheaper than the exchange a window needs.
+    quiet. The single-row aggregate here also funnels, but only the
+    <= k post-limit rows ever cross its Exchange.
+
+    Why not the previous broadcast non-equi self-join (round 9): a
+    self-join consumes its input TWICE, which forced a lineage pin at
+    runtime and still doubled the full upstream lineage in unpinned
+    plan inspection — hybrid_rrf's recorded shape compounded to 24
+    Exchanges because its fusion rank replayed two copies of a BM25
+    subtree that had already self-joined once internally. The sorted-
+    array form consumes the input ONCE: no pin, no duplication, one
+    <= k-row Exchange, and the recorded shape is the true shape.
 
     "desc" is implemented as unary minus inside the struct key, which
     is only meaningful for numeric columns — a string column would be
     cast to double (NULLs under non-ANSI), silently ranking every row
     1. Enforced: a desc direction on a non-numeric column raises.
-
-    The input is pinned (operators.pinning.pin, a lazy localCheckpoint)
-    before the self-join: both join sides otherwise replay the FULL
-    upstream lineage — for bm25_search that meant two complete postings
-    passes over the corpus just to rank the 20 surviving rows. The
-    contract is post-limit (<= k rows), so the pin materializes a
-    trivially small frame once. Validation runs BEFORE the pin: the
-    checkpoint submits upstream jobs at call time under AQE, and a
-    schema error is decidable without executing anything.
     """
     for c, direction in order:
         if direction == "desc" and not isinstance(
@@ -161,27 +163,23 @@ def rank_small(
                 f"{c!r} is {df.schema[c].dataType.simpleString()} — negate "
                 "via an explicit numeric key expression instead"
             )
-    df = pin(df)
-
-    def _key(prefix: str) -> Column:
-        # struct comparison is ascending lexicographic; negate desc
-        # numeric fields to reuse it for mixed directions
-        fields = []
-        for i, (c, direction) in enumerate(order):
-            col = F.col(f"{prefix}.{c}")
-            if direction == "desc":
-                col = -col
-            elif direction != "asc":
-                raise ValueError(f"direction must be asc|desc, got {direction}")
-            fields.append(col.alias(f"_k{i}"))
-        return F.struct(*fields)
-
-    left = df.alias("_l")
-    right = df.select(*[c for c, _ in order]).alias("_r")
-    better = _key("_r") < _key("_l")
+    key_fields = []
+    for i, (c, direction) in enumerate(order):
+        col = F.col(c)
+        if direction == "desc":
+            col = -col
+        elif direction != "asc":
+            raise ValueError(f"direction must be asc|desc, got {direction}")
+        key_fields.append(col.alias(f"_k{i}"))
     out_cols = df.columns
+    row = F.struct(
+        *key_fields, F.struct(*[F.col(c) for c in out_cols]).alias("_p")
+    )
     return (
-        left.join(F.broadcast(right), better, "left")
-        .groupBy(*[F.col(f"_l.{c}").alias(c) for c in out_cols])
-        .agg((F.count(f"_r.{order[0][0]}") + 1).cast("long").alias(rank_col))
+        df.agg(F.sort_array(F.collect_list(row)).alias("_rows"))
+        .select(F.posexplode("_rows").alias("_i", "_r"))
+        .select(
+            *[F.col(f"_r._p.{c}").alias(c) for c in out_cols],
+            (F.col("_i") + 1).cast("long").alias(rank_col),
+        )
     )

@@ -201,8 +201,10 @@ def bm25_search(
         F.round(F.sum("s"), 6).alias("score")
     )
     # TakeOrdered top-k, then rank the <= topk survivors via the
-    # window-free broadcast rank (no single-partition WindowExec); the
-    # final orderBy restores the API's rank-ordered rows (k-row sort)
+    # window-free sorted-array rank (no single-partition WindowExec,
+    # and rank_small consumes its input once — no pin, no lineage
+    # duplication); the final orderBy restores the API's rank-ordered
+    # rows (k-row sort)
     return rank_small(
         scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk),
         [("score", "desc"), ("doc_id", "asc")],
@@ -238,8 +240,11 @@ def rrf_fuse(
     for c in contribs[1:]:
         unioned = unioned.unionByName(c)
     fused = unioned.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("rrf"))
-    # window-free rank of the <= topk post-limit rows, returned in rank
-    # order as the docstring promises
+    # window-free sorted-array rank of the <= topk post-limit rows,
+    # returned in rank order as the docstring promises; each input
+    # ranking and the fused frame are consumed exactly once, so the
+    # full hybrid plan needs no pins (round-9 diet: the old self-join
+    # rank compounded to 24 recorded Exchanges here, now 7)
     return rank_small(
         fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topk),
         [("rrf", "desc"), ("doc_id", "asc")],

@@ -88,17 +88,16 @@ PICKS = {
         "groupBy+self-join that would replay the scan), broadcast 1-row "
         "corpus stats, WindowGroupLimit per-doc top-k. bm25_search "
         "shares this lineage with a query-term filter BEFORE the tf "
-        "shuffle; its own final plan shows only pinned ExistingRDD "
-        "stubs because rank_small checkpoints the <= 20 surviving rows "
-        "(both sides of its rank self-join would otherwise replay the "
-        "postings pass twice)"
+        "shuffle; its <= 20 survivors are ranked by rank_small's "
+        "single-consumer sorted-array form (one k-row Exchange, no "
+        "self-join, no pin — round 9)"
     ),
     "sample_exact_k": (
         "exact-k deterministic sample: TakeOrderedAndProject (per-"
         "partition partial top-k), never an unpartitioned row_number "
-        "window over the corpus; the optional with_rank path pins the k "
-        "survivors then ranks them via the window-free broadcast "
-        "self-join (rank_small)"
+        "window over the corpus; the optional with_rank path ranks the "
+        "k survivors via the window-free sorted-array rank (rank_small, "
+        "single consumer — no pin, no self-join)"
     ),
     "bloom_anti_join": (
         "Bloom-prefiltered exact anti-join: bitmap built by one "
