@@ -88,6 +88,8 @@ HEADLINE = [
     "retrieval_eval",
     "dedup_eval",
     "mix_report",
+    "retrieval_eval_ivf",
+    "dedup_spans",
 ]
 
 RUNS = 3

@@ -775,3 +775,91 @@ def incremental_dedup(
     return new_docs.join(
         confirmed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact dedup: maximal duplicated token regions,
+    the Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr) family restated relationally — a
+    k-token rolling-hash span index instead of a suffix array, which
+    distributes: spans are grouped by hash, never compared all-pairs.
+
+    A span is k consecutive tokens; a span hash appearing in >=
+    ``min_docs`` DISTINCT documents marks every occurrence as
+    duplicated; overlapping/adjacent duplicated spans within a document
+    (next.pos <= prev.pos + k) merge into maximal regions, so a copied
+    paragraph reports as ONE region, not paragraph_len - k + 1 spans.
+
+    Returns (doc_id, region_start, region_len, n_spans) — region_start
+    is the 1-BASED token offset (matches SQL list indexing),
+    region_len the region's token count (>= k), n_spans how many
+    duplicated k-spans merged into it. Whole-document duplicates
+    surface as one region spanning the doc; this operator's value over
+    doc/chunk-level dedup (exact_duplicates / chunk-level groupBy) is
+    the boilerplate TAIL: licenses, headers, navigation chrome pasted
+    into otherwise-unique documents.
+
+    Scale: the span explode is narrow (one row per token, same order
+    as the corpus token count), and the span table is consumed ONCE —
+    the distinct-doc count per hash is a window (dense_rank by doc_id,
+    then max — streaming, no collect_set memory blowup on a hot hash),
+    NOT a groupBy + self-join that would replay the whole explode scan
+    twice (the tfidf_top_terms lesson). Two shuffles total: one keyed
+    on span hash (the postings shuffle), one keyed on doc_id for the
+    region merge (lag + running sum, parallel across documents; the
+    final per-region groupBy reuses the doc_id partitioning — doc_id
+    is a prefix of its grouping key, so no third exchange). No
+    all-pairs stage, no driver collect. A pathological universal span
+    (every doc opens with the same k tokens) lands one hash's window
+    partition on one task — standard postings skew; doc-level exact
+    dedup upstream removes the degenerate identical-corpus case.
+    """
+    if k < 2:
+        raise ValueError(f"duplicated_spans: k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(
+            f"duplicated_spans: min_docs must be >= 2, got {min_docs}"
+        )
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            hash_array(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("_i", "h"),
+    ).select("doc_id", (F.col("_i") + 1).cast("long").alias("pos"), "h")
+    # distinct docs per hash, single-pass: dense_rank over doc_id within
+    # the hash partition peaks at the distinct count; max propagates it
+    # to every row of the partition (count_distinct is not a window fn)
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    hits = (
+        sh.withColumn("_dr", F.dense_rank().over(w_h))
+        .withColumn("_nd", F.max("_dr").over(Window.partitionBy("h")))
+        .filter(F.col("_nd") >= min_docs)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("_isl", F.sum("_new").over(run))
+    return (
+        flagged.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("region_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("region_len"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+        .select("doc_id", "region_start", "region_len", "n_spans")
+    )

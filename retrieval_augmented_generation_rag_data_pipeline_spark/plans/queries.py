@@ -1151,6 +1151,60 @@ def ann_lsh_topk(spark, sf):
     )
 
 
+def _eval_metrics_sql(k: int) -> str:
+    """Shared recall@k + MRR oracle epilogue: expects CTEs q(query_id,
+    ...), exact(query_id, vec_id, rank), ann(query_id, vec_id, rank) to
+    be in scope. One definition so retrieval_eval and
+    retrieval_eval_ivf can never drift in metric arithmetic."""
+    return f"""hits AS (SELECT e.query_id, CAST(count(*) AS INT) AS n
+         FROM exact e JOIN ann a
+           ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         GROUP BY e.query_id),
+top1 AS (SELECT query_id, vec_id FROM exact WHERE rank = 1),
+rrank AS (SELECT t.query_id, COALESCE(1.0 / a.rank, 0.0) AS rr
+          FROM top1 t LEFT JOIN ann a
+            ON a.query_id = t.query_id AND a.vec_id = t.vec_id)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       round(COALESCE(h.n, 0) / {k}.0, 6) AS recall_k,
+       round(r.rr, 6) AS rr
+FROM q
+LEFT JOIN hits h ON h.query_id = q.query_id
+LEFT JOIN rrank r ON r.query_id = q.query_id
+"""
+
+
+def _retrieval_metrics(q, exact, ann, k: int):
+    """Shared Spark recall@k + MRR frame (the retrieval_eval treatment):
+    `exact` and `ann` are PINNED top-k frames carrying (query_id,
+    vec_id, rank / ann_rank); every metric join's right side is an
+    O(queries x k) broadcast, so the measurement itself is free — cost
+    is the two retrieval passes that produced the inputs."""
+    hits = (
+        exact.join(F.broadcast(ann), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("n"))
+    )
+    top1 = exact.filter(F.col("rank") == 1).select("query_id", "vec_id")
+    rrank = top1.join(F.broadcast(ann), ["query_id", "vec_id"], "left").select(
+        "query_id",
+        F.coalesce(F.lit(1.0) / F.col("ann_rank"), F.lit(0.0)).alias("rr"),
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(rrank), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / float(k), 6
+            ).alias("recall_k"),
+            F.round(F.col("rr"), 6).alias("rr"),
+        )
+    )
+
+
 def _retrieval_eval_sql(dim: int = 64, n_planes: int = 4, k: int = 5) -> str:
     from ..functions.hashing import hyperplane_component
 
@@ -1183,22 +1237,7 @@ ar AS (SELECT query_id, vec_id,
               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
        FROM asim),
 ann AS (SELECT query_id, vec_id, rank FROM ar WHERE rank <= {k}),
-hits AS (SELECT e.query_id, CAST(count(*) AS INT) AS n
-         FROM exact e JOIN ann a
-           ON e.query_id = a.query_id AND e.vec_id = a.vec_id
-         GROUP BY e.query_id),
-top1 AS (SELECT query_id, vec_id FROM exact WHERE rank = 1),
-rrank AS (SELECT t.query_id, COALESCE(1.0 / a.rank, 0.0) AS rr
-          FROM top1 t LEFT JOIN ann a
-            ON a.query_id = t.query_id AND a.vec_id = t.vec_id)
-SELECT q.query_id,
-       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
-       round(COALESCE(h.n, 0) / {k}.0, 6) AS recall_k,
-       round(r.rr, 6) AS rr
-FROM q
-LEFT JOIN hits h ON h.query_id = q.query_id
-LEFT JOIN rrank r ON r.query_id = q.query_id
-"""
+{_eval_metrics_sql(k)}"""
 
 
 @_q("retrieval_eval", _retrieval_eval_sql())
@@ -1230,27 +1269,167 @@ def retrieval_eval(spark, sf):
             "query_id", "vec_id", F.col("rank").alias("ann_rank")
         )
     )
-    hits = (
-        exact.join(F.broadcast(ann), ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").cast("int").alias("n"))
+    return _retrieval_metrics(q, exact, ann, k=5)
+
+
+def _retrieval_eval_ivf_sql(
+    dim: int = 64,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> str:
+    """IVFPQ quality oracle: the _ann_ivfpq_sql encode/probe/ADC CTEs
+    restricted to the eval split (queries vec_id < 8, corpus >= 8 —
+    disjoint, so no self-match inflates recall), exact ground truth by
+    INNER PRODUCT (the metric ADC approximates), shared metric
+    epilogue."""
+    from ..operators.vectors import default_pq_codebooks, ivf_centroid
+
+    dsub = dim // m
+    ivf_rows = []
+    for c in range(n_cells):
+        lit = "[" + ", ".join(repr(v) for v in ivf_centroid(c, dim)) + "]"
+        ivf_rows.append(f"({c}, CAST({lit} AS DOUBLE[]))")
+    ivf_values = ",\n  ".join(ivf_rows)
+    pq_rows = []
+    for j, cbk in enumerate(default_pq_codebooks(dim, m, ksub)):
+        for ci, c in enumerate(cbk):
+            lit = "[" + ", ".join(repr(v) for v in c) + "]"
+            hn = 0.5 * sum(x * x for x in c)
+            pq_rows.append(f"({j}, {ci}, CAST({lit} AS DOUBLE[]), {hn!r})")
+    pq_values = ",\n  ".join(pq_rows)
+    sub_e = f"list_slice(e.embedding, c.j*{dsub}+1, c.j*{dsub}+{dsub})"
+    sub_q = f"list_slice(cd.qv, e.j*{dsub}+1, e.j*{dsub}+{dsub})"
+    return f"""
+WITH ivfcent(cid, cv) AS (VALUES
+  {ivf_values}
+), pqcent(j, cid, cv, hn) AS (VALUES
+  {pq_values}
+), q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+es AS (SELECT query_id, vec_id, {O.dot('qv', 'embedding')} AS sim
+       FROM corpus CROSS JOIN q),
+er AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+       FROM es),
+exact AS (SELECT query_id, vec_id, rank FROM er WHERE rank <= {k}),
+celld AS (
+  SELECT e.vec_id, c.cid, {O.dot('e.embedding', 'c.cv')} AS dp
+  FROM corpus e CROSS JOIN ivfcent c
+), cellranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid ASC) AS rn
+  FROM celld
+), assigned AS (
+  SELECT vec_id, cid FROM cellranked WHERE rn = 1
+), qcell AS (
+  SELECT q.query_id, q.qv, c.cid, {O.dot('q.qv', 'c.cv')} AS dp
+  FROM q CROSS JOIN ivfcent c
+), qranked AS (
+  SELECT query_id, qv, cid,
+         row_number() OVER (PARTITION BY query_id ORDER BY dp DESC, cid ASC) AS rn
+  FROM qcell
+), probes AS (
+  SELECT query_id, qv, cid FROM qranked WHERE rn <= {nprobe}
+), pqd AS (
+  SELECT e.vec_id, c.j, c.cid, ({O.dot(sub_e, 'c.cv')}) - c.hn AS sc
+  FROM corpus e CROSS JOIN pqcent c
+), pqranked AS (
+  SELECT vec_id, j, cid,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cid ASC) AS rn
+  FROM pqd
+), enc AS (SELECT vec_id, j, cid FROM pqranked WHERE rn = 1),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.vec_id
+  FROM assigned a JOIN probes p ON a.cid = p.cid
+), s0 AS (
+  SELECT cd.query_id, cd.vec_id, e.j, {O.dot(sub_q, 'c.cv')} AS tv
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.vec_id
+  JOIN pqcent c ON c.j = e.j AND c.cid = e.cid
+), s AS (
+  SELECT query_id, vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tv ORDER BY j)),
+                     (a, b) -> a + b) AS score
+  FROM s0 GROUP BY query_id, vec_id
+), ar AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM s),
+ann AS (SELECT query_id, vec_id, rank FROM ar WHERE rank <= {k}),
+{_eval_metrics_sql(k)}"""
+
+
+@_q("retrieval_eval_ivf", _retrieval_eval_ivf_sql())
+def retrieval_eval_ivf(spark, sf):
+    """IVF/PQ quality in the driver's gate (round-9 verdict item 4):
+    per-query recall@5 + reciprocal rank of the in-memory IndexIVFPQ
+    path (operators/vectors.py ann_ivfpq_topk_mem — fixed oracle
+    quantizer, so DuckDB-checkable; tools/recall_probe.py holds the
+    trained-centroid numbers) against exact INNER-PRODUCT kNN ground
+    truth, over the same disjoint query/corpus split as
+    retrieval_eval. Scale: one corpus pass emits (codes, cell); ADC
+    scoring runs inside probed cells only; the metric joins touch two
+    O(queries x k) broadcast frames via the shared
+    _retrieval_metrics."""
+    from ..operators.pinning import pin
+    from ..operators.vectors import ann_ivfpq_topk_mem, default_pq_codebooks
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    top1 = exact.filter(F.col("rank") == 1).select("query_id", "vec_id")
-    rrank = top1.join(F.broadcast(ann), ["query_id", "vec_id"], "left").select(
-        "query_id",
-        F.coalesce(F.lit(1.0) / F.col("ann_rank"), F.lit(0.0)).alias("rr"),
-    )
-    return (
-        q.select("query_id")
-        .join(F.broadcast(hits), "query_id", "left")
-        .join(F.broadcast(rrank), "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
-            F.round(F.coalesce(F.col("n"), F.lit(0)) / 5.0, 6).alias("recall_k"),
-            F.round(F.col("rr"), 6).alias("rr"),
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    exact = pin(
+        vectors.knn_topk(q, corpus, k=5, metric="dot").select(
+            "query_id", "vec_id", "rank"
         )
     )
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    ann = pin(
+        ann_ivfpq_topk_mem(
+            q, corpus, k=5, dim=64, codebooks=books, n_cells=8, nprobe=2
+        ).select("query_id", "vec_id", F.col("rank").alias("ann_rank"))
+    )
+    return _retrieval_metrics(q, exact, ann, k=5)
+
+
+def _dedup_spans_sql(k: int = 8, min_docs: int = 2) -> str:
+    toks = O.tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= {k}),
+sp AS (SELECT doc_id, unnest(generate_series(1, len(tk)-{k}+1)) AS pos, tk
+       FROM t2),
+sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              {O.md5_long(f"array_to_string(tk[pos:pos+{k - 1}], ' ')")} AS h
+       FROM sp),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),
+d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+fl AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+                   THEN 0 ELSE 1 END AS nw
+       FROM d),
+isl AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM fl)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS region_start,
+       CAST(max(pos) - min(pos) + {k} AS BIGINT) AS region_len,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM isl GROUP BY doc_id, g
+"""
+
+
+@_q("dedup_spans", _dedup_spans_sql())
+def dedup_spans(spark, sf):
+    """Substring-level exact dedup (round-9 verdict item 5): maximal
+    duplicated k-token regions across documents via the rolling-hash
+    span index in operators/dedup.py duplicated_spans — the Lee et al.
+    2021 ExactSubstr family, bucketed by span hash, never all-pairs."""
+    return dedup.duplicated_spans(_t(spark, sf, "documents"), k=8)
 
 
 def _ann_ivf_sql(dim: int = 64, n_cells: int = 8, nprobe: int = 2, k: int = 5) -> str:
@@ -3211,72 +3390,15 @@ def zorder_key(spark, sf):
 # the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
 # evidence-less entry sits outside the first 50 positions.
 #
-# STANDING ROTATION (round 8): the five entries whose latest evidence
-# is r5 (normalize_text, dedup_chunks, dedup_incremental,
-# sample_group_k, sample_weighted_k — exactly 2 rounds old) LEAD per
-# the round-7 verdict, then pack_assembly / retrieval_eval / dedup_eval
-# / mix_report (new this round, no evidence yet), then the r6-evidenced
-# entries in their CORRECTNESS_r06.json order. The NINE that overflow
-# the 50-entry window (join_interval, agg_mode, set_ops, null_funcs,
-# explode_pos, str_distance, sample_exact_k, zorder_key, filter_notnull
-# — all green r6) lead round 9's rotation.
+# STANDING ROTATION (round 9): the NINE entries whose latest evidence
+# is r6 (exactly at the cap) LEAD, as the round-8 verdict prescribed,
+# then retrieval_eval_ivf / dedup_spans (new this round, no evidence
+# yet), then the r7-evidenced entries in their CORRECTNESS_r07.json
+# order. The last ELEVEN r7 entries (map_funcs onward, after the two
+# round-9 additions shifted the window) overflow the 50-entry window
+# and lead round 10's rotation.
 _PRIORITY_QUERIES = [
-    # (1) evidence exactly 2 rounds old (r5) -- must refresh this round
-    "normalize_text",
-    "dedup_chunks",
-    "dedup_incremental",
-    "sample_group_k",
-    "sample_weighted_k",
-    # (2) new this round (no evidence yet)
-    "pack_assembly",
-    "retrieval_eval",
-    "dedup_eval",
-    "mix_report",
-    # (3) r6-evidenced entries, CORRECTNESS_r06.json order; the last
-    #     NINE (join_interval onward, after the four round-8 additions
-    #     shifted the window) overflow the 50-entry window and lead
-    #     round 9 — see the STANDING ROTATION block above
-    "filter_year",
-    "project_arith",
-    "sort_desc",
-    "topn_per_group",
-    "join_asof",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_mem",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_lsh_pairs",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "lang_id",
-    "quality_score",
-    "quality_filter",
-    "token_count",
-    "doc_fingerprint",
-    "chunk_documents",
-    "multimodal_features",
-    "artifact_probe",
-    "sample_stratified",
-    "repetition_metrics",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "bm25_search",
-    "hybrid_rrf",
-    "ngram_topk",
-    "corpus_stats",
-    "vocab_entropy",
-    "assign_split",
-    "mix_corpora",
-    "window_rank",
-    "prepare_corpus",
-    "window_lead_lag",
-    "window_first_last",
-    "agg_stats",
-    "agg_pivot",
-    "unpivot_melt",
+    # (1) evidence exactly 2 rounds old (r6) -- must refresh this round
     "join_interval",
     "agg_mode",
     "set_ops",
@@ -3286,6 +3408,62 @@ _PRIORITY_QUERIES = [
     "sample_exact_k",
     "zorder_key",
     "filter_notnull",
+    # (2) new this round (no evidence yet)
+    "retrieval_eval_ivf",
+    "dedup_spans",
+    # (3) r7-evidenced entries, CORRECTNESS_r07.json order; the last
+    #     ELEVEN (map_funcs onward) overflow the 50-entry window and
+    #     lead round 10 — see the STANDING ROTATION block above
+    "filter_suffix",
+    "filter_nonempty",
+    "dedup_embedding_capped",
+    "pack_sequences",
+    "pack_pieces",
+    "project_derived",
+    "scan_catalog",
+    "scan_documents",
+    "agg_conditional_count",
+    "agg_multi_counter",
+    "agg_by_year",
+    "agg_histogram",
+    "agg_mean",
+    "agg_max",
+    "agg_count",
+    "agg_concat",
+    "agg_tpch_q1",
+    "agg_percentile",
+    "agg_tpch_q6",
+    "top_revenue_orders",
+    "join_broadcast",
+    "semi_join",
+    "anti_join_ledger",
+    "join_salted",
+    "bloom_anti_join",
+    "join_positional",
+    "distinct_keys",
+    "union_globs",
+    "limit_n",
+    "limit_pushdown",
+    "sessionize_islands",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "agg_rollup",
+    "agg_cube",
+    "argmin_nearest",
+    "window_running",
+    "format_dialogue",
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "map_funcs",
+    "knn_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "dedup_corpus",
+    "decontaminate",
 ]
 
 

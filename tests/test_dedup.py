@@ -396,3 +396,49 @@ def test_chunk_dedup_plan_is_skew_safe(spark):
     assert "partial_min" in plan or "HashAggregate" in plan
     # tree-node count only; the winner agg + flag join + doc regroup
     assert plan.count("+- Exchange") <= 4
+
+
+def test_duplicated_spans_planted_boilerplate(spark):
+    """Lee et al. 2021-style span dedup: a boilerplate sentence pasted
+    into two otherwise-unique docs must surface as ONE maximal region
+    per doc at the right token offset/length; internal repetition
+    within a single doc and unique docs must not."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    boiler = (
+        "this license text is copied verbatim into many documents for"
+        " testing"
+    )  # 11 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha words " + boiler + " trailing unique beta"),
+            (2, boiler + " totally different content follows here now"),
+            (3, "no duplication at all in this one just single words"),
+            # internal repetition only -- never crosses min_docs=2 docs
+            (4, " ".join(["repeat"] * 12)),
+            (5, "short"),  # < k tokens: no spans at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.region_start, r.region_len, r.n_spans)
+        for r in duplicated_spans(docs, k=5).collect()
+    }
+    # doc 1: 3 lead tokens, boilerplate = tokens 4..14 -> 7 spans of 5
+    # doc 2: boilerplate at 1..11
+    assert out == {1: (4, 11, 7), 2: (1, 11, 7)}
+    # adjacent planted regions merge into one maximal region
+    two = spark.createDataFrame(
+        [(1, boiler + " " + boiler), (2, boiler)], ["doc_id", "text"]
+    )
+    merged = {
+        r.doc_id: (r.region_start, r.region_len)
+        for r in duplicated_spans(two, k=5).collect()
+    }
+    assert merged[1] == (1, 22)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        duplicated_spans(two, k=1)
+    with pytest.raises(ValueError, match="min_docs must be >= 2"):
+        duplicated_spans(two, k=5, min_docs=1)

@@ -415,6 +415,19 @@ def test_retrieval_eval_metric_bounds_and_coverage(spark):
         assert 0.0 <= r.rr <= 1.0
 
 
+def test_retrieval_eval_ivf_metric_bounds(spark):
+    """Same semantic net as retrieval_eval, for the IVFPQ path: one row
+    per query, metrics inside definitional bounds. (The fixed oracle
+    quantizer scores low recall by design — tools/recall_probe.py holds
+    the trained numbers; this guards the measurement, not the index.)"""
+    out = REGISTRY["retrieval_eval_ivf"][0](spark, SF).collect()
+    assert len(out) == 8
+    for r in out:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_k - r.n_hits / 5.0) < 1e-9
+        assert 0.0 <= r.rr <= 1.0
+
+
 def test_dedup_eval_exact_duplicates_score_one(spark):
     """The doubled test corpus plants exact duplicate pairs
     (doc_id, doc_id+100000): every one the LSH surfaces must verify at
