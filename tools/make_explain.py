@@ -127,6 +127,24 @@ PICKS = {
         "top-k — per-partition partial top-k, never a global sort or "
         "unpartitioned window"
     ),
+    "dedup_spans": (
+        "substring-level exact dedup (Lee et al. 2021 family): ONE span "
+        "pass — the per-hash distinct-doc count is a dense_rank+max "
+        "window on the span-hash partition (streaming, no collect_set "
+        "blowup, and no groupBy+self-join that would replay the explode "
+        "scan); then per-doc lag + running-sum windows merge "
+        "overlapping spans into maximal regions, whose groupBy reuses "
+        "the doc_id partitioning — 3 Exchanges total, no join, never "
+        "all-pairs"
+    ),
+    "hybrid_rrf": (
+        "hybrid retrieval fusion: BM25 + dense kNN top-k frames union "
+        "into one k-sized RRF aggregation; every ranking (and the "
+        "fused frame) is consumed exactly once since rank_small's "
+        "sorted-array form, so the full plan is 7 Exchanges with no "
+        "pins — down from 24 recorded Exchanges when each rank site "
+        "was a lineage-doubling self-join (round 9)"
+    ),
 }
 
 HEADER = """# EXPLAIN — physical plans of the flagship queries

@@ -121,6 +121,32 @@ def main() -> None:
         "pairs_per_sec": round(npairs / max(sec, 1e-9)),
     }
 
+    # ---- duplicated-span detection at Nx docs (the dedup_spans shape).
+    # Replicas make EVERY span cross-doc-duplicated, so all spans
+    # survive the min_docs filter — the worst case for the span index —
+    # and each doc collapses to one maximal region (output ~ docs).
+    # Health signal: one postings shuffle + per-doc windows means
+    # runtime tracks the span count, so spans/sec should hold
+    # flat-or-rising across 10x/30x/100x.
+    t0 = time.time()
+    n_regions = dedup.duplicated_spans(big_docs, k=8).count()
+    sec = round(time.time() - t0, 2)
+    n_spans = int(
+        big_docs.select(
+            F.sum(
+                F.greatest(
+                    F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                                    lambda t: t != "")) - 7,
+                    F.lit(0),
+                )
+            )
+        ).collect()[0][0]
+    )
+    results["dedup_spans"] = {
+        "docs": 5000 * n, "spans": n_spans, "regions": n_regions,
+        "sec": sec, "spans_per_sec": round(n_spans / max(sec, 1e-9)),
+    }
+
     # ---- exact kNN at Nx corpus
     big_emb = replicate(emb.select("vec_id", "embedding"), n, ["vec_id"])
     q = emb.filter(F.col("vec_id") < 8).select(
