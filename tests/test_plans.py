@@ -388,6 +388,14 @@ def test_rank_small_total_order(spark):
     }
     assert asc == {4: 1, 1: 2, 2: 3, 3: 4}
 
+    # empty input: the single-row collect_list aggregate yields an empty
+    # array and posexplode drops it — zero rows out, schema intact
+    empty = rank_small(
+        df.filter("doc_id < 0"), [("score", "desc"), ("doc_id", "asc")]
+    )
+    assert empty.columns == ["doc_id", "score", "rank"]
+    assert empty.count() == 0
+
 
 def test_rank_small_rejects_string_desc(spark):
     """Round-5 advisory: desc-by-negation on a string column would cast
