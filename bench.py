@@ -90,6 +90,7 @@ HEADLINE = [
     "mix_report",
     "retrieval_eval_ivf",
     "dedup_spans",
+    "dedup_spans_strip",
 ]
 
 RUNS = 3

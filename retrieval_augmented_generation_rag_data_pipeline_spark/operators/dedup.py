@@ -863,3 +863,71 @@ def duplicated_spans(
         )
         .select("doc_id", "region_start", "region_len", "n_spans")
     )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every cross-document duplicated region from the corpus —
+    the APPLY step of the Lee et al. 2021 ExactSubstr dedup (their
+    pipeline deletes the duplicated substrings; C4 does the same for
+    boilerplate lines). All occurrences are dropped, in every doc: the
+    conservative keep-one-canonical-occurrence variant needs a global
+    canonical choice per span cluster and is deliberately not this
+    operator (doc-level dedup_corpus already keeps canonicals; this
+    one exists to strip the boilerplate TAIL from docs that survive).
+
+    Returns (doc_id, text, n_dropped): text is rebuilt from the KEPT
+    tokens — output lives in token space (lowercased, single-spaced,
+    exactly the ``tokens()`` normalization the span index measures),
+    NOT original byte offsets; n_dropped counts removed tokens. Docs
+    with no duplicated regions pass through with n_dropped = 0 (their
+    text still token-normalized, so the column is uniform).
+
+    Scale: two corpus passes — one to build the span index
+    (duplicated_spans: one postings shuffle + per-doc windows), one to
+    apply it (a doc_id equi-join of the corpus against the per-doc
+    region lists, then a narrow per-row token filter). The per-token
+    region test is O(regions_per_doc) inside an interpreted lambda, so
+    the kept-token array is let-bound — text and n_dropped both
+    consume it, and unbound it would be filtered twice per row.
+    """
+    from ..functions.binding import let
+
+    regions = duplicated_spans(docs, k, min_docs, id_col, text_col)
+    reg = regions.groupBy("doc_id").agg(
+        F.collect_list(F.struct("region_start", "region_len")).alias("_regs")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    empty = F.array().cast(
+        "array<struct<region_start:bigint,region_len:bigint>>"
+    )
+    joined = base.join(reg, "doc_id", "left").select(
+        "doc_id", "_tk", F.coalesce("_regs", empty).alias("_regs")
+    )
+    # i is 0-based; region_start is the 1-based token offset
+    kept = F.filter(
+        "_tk",
+        lambda t, i: ~F.exists(
+            "_regs",
+            lambda r: ((i + 1) >= r.region_start)
+            & ((i + 1) < r.region_start + r.region_len),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        let(
+            kept,
+            lambda kt: F.struct(
+                F.concat_ws(" ", kt).alias("text"),
+                (F.size("_tk") - F.size(kt)).cast("long").alias("n_dropped"),
+            ),
+        ).alias("_o"),
+    ).select("doc_id", F.col("_o.text").alias("text"),
+             F.col("_o.n_dropped").alias("n_dropped"))

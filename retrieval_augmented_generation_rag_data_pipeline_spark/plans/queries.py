@@ -1432,6 +1432,59 @@ def dedup_spans(spark, sf):
     return dedup.duplicated_spans(_t(spark, sf, "documents"), k=8)
 
 
+def _dedup_spans_strip_sql(k: int = 8, min_docs: int = 2) -> str:
+    toks = O.tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= {k}),
+sp AS (SELECT doc_id, unnest(generate_series(1, len(tk)-{k}+1)) AS pos, tk
+       FROM t2),
+sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              {O.md5_long(f"array_to_string(tk[pos:pos+{k - 1}], ' ')")} AS h
+       FROM sp),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),
+d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+fl AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+                   THEN 0 ELSE 1 END AS nw
+       FROM d),
+isl AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM fl),
+r AS (SELECT doc_id, min(pos) AS rs, max(pos) - min(pos) + {k} AS rl
+      FROM isl GROUP BY doc_id, g),
+regs AS (SELECT doc_id, list([rs, rl]) AS rg FROM r GROUP BY doc_id),
+kept AS (SELECT t.doc_id,
+                list_filter(t.tk, (x, i) ->
+                  len(list_filter(coalesce(regs.rg, CAST([] AS BIGINT[][])),
+                                  q -> i >= q[1] AND i < q[1] + q[2])) = 0
+                ) AS kt,
+                len(t.tk) AS nt
+         FROM t LEFT JOIN regs USING (doc_id))
+SELECT doc_id,
+       coalesce(array_to_string(kt, ' '), '') AS text,
+       CAST(nt - len(kt) AS BIGINT) AS n_dropped
+FROM kept
+WHERE nt - len(kt) > 0
+"""
+
+
+@_q("dedup_spans_strip", _dedup_spans_strip_sql())
+def dedup_spans_strip(spark, sf):
+    """The APPLY step of substring dedup: duplicated regions removed
+    (token-space output), n_dropped accounting — operators/dedup.py
+    strip_duplicated_spans. The registry query reports the DELTA (docs
+    that actually changed): the full-corpus pass-through form's row
+    count equals the input's, so a bare count() lets Catalyst eliminate
+    the aggregate-unique-key left join and prune the entire strip plan
+    to a parquet metadata count — a real optimizer win, but it would
+    make the bench entry measure nothing. The n_dropped > 0 filter
+    keeps the output the report a user wants AND forces the apply path
+    to evaluate under any action."""
+    out = dedup.strip_duplicated_spans(_t(spark, sf, "documents"), k=8)
+    return out.filter(F.col("n_dropped") > 0)
+
+
 def _ann_ivf_sql(dim: int = 64, n_cells: int = 8, nprobe: int = 2, k: int = 5) -> str:
     from ..operators.vectors import ivf_centroid
 
@@ -3392,11 +3445,11 @@ def zorder_key(spark, sf):
 #
 # STANDING ROTATION (round 9): the NINE entries whose latest evidence
 # is r6 (exactly at the cap) LEAD, as the round-8 verdict prescribed,
-# then retrieval_eval_ivf / dedup_spans (new this round, no evidence
-# yet), then the r7-evidenced entries in their CORRECTNESS_r07.json
-# order. The last ELEVEN r7 entries (map_funcs onward, after the two
-# round-9 additions shifted the window) overflow the 50-entry window
-# and lead round 10's rotation.
+# then retrieval_eval_ivf / dedup_spans / dedup_spans_strip (new this
+# round, no evidence yet), then the r7-evidenced entries in their
+# CORRECTNESS_r07.json order. The last TWELVE r7 entries (json_funcs
+# onward, after the three round-9 additions shifted the window)
+# overflow the 50-entry window and lead round 10's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r6) -- must refresh this round
     "join_interval",
@@ -3411,8 +3464,9 @@ _PRIORITY_QUERIES = [
     # (2) new this round (no evidence yet)
     "retrieval_eval_ivf",
     "dedup_spans",
+    "dedup_spans_strip",
     # (3) r7-evidenced entries, CORRECTNESS_r07.json order; the last
-    #     ELEVEN (map_funcs onward) overflow the 50-entry window and
+    #     TWELVE (json_funcs onward) overflow the 50-entry window and
     #     lead round 10 — see the STANDING ROTATION block above
     "filter_suffix",
     "filter_nonempty",

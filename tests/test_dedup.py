@@ -442,3 +442,36 @@ def test_duplicated_spans_planted_boilerplate(spark):
         duplicated_spans(two, k=1)
     with pytest.raises(ValueError, match="min_docs must be >= 2"):
         duplicated_spans(two, k=5, min_docs=1)
+
+
+def test_strip_duplicated_spans_removes_boilerplate(spark):
+    """The APPLY step: boilerplate regions removed from every doc (all
+    occurrences), unique docs untouched (n_dropped 0, token-normalized
+    text), whole-duplicate docs stripped to empty string."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        strip_duplicated_spans,
+    )
+
+    boiler = (
+        "this license text is copied verbatim into many documents for"
+        " testing"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "Unique Alpha words " + boiler + " trailing unique beta"),
+            (2, boiler + " totally different content follows here now"),
+            (3, "no duplication at all in this one just single words"),
+            (4, boiler),  # whole doc duplicated -> empty after strip
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_dropped)
+        for r in strip_duplicated_spans(docs, k=5).collect()
+    }
+    assert out[1] == ("unique alpha words trailing unique beta", 11)
+    assert out[2] == ("totally different content follows here now", 11)
+    assert out[3] == (
+        "no duplication at all in this one just single words", 0
+    )
+    assert out[4] == ("", 11)
