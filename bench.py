@@ -135,6 +135,10 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "detail": "BENCH_DETAIL.json",
     }
+    # headline FIRST: if the side-artifact write fails (read-only
+    # checkout, disk full), the stdout recording must still carry the
+    # numbers this contract exists to protect
+    print(json.dumps(summary), flush=True)
     # per-query min/cold maps: side artifact, never on stdout (see the
     # TRUNCATION CONTRACT in the module docstring)
     detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -144,7 +148,6 @@ def main() -> None:
         )
         + "\n"
     )
-    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -22,8 +22,8 @@ Honest boundaries of the guard (round-6 review):
 - Queries are built with lineage PINNING DISABLED
   (operators.pinning.pinning_disabled), so the recorded shape covers
   the FULL lineage of lazily-pinned queries (dedup_ngram_jaccard,
-  prepare_corpus, retrieval_eval) — not just the post-checkpoint
-  tail a production explain shows. (bm25_search / hybrid_rrf stopped
+  prepare_corpus, retrieval_eval, retrieval_eval_ivf) — not just the
+  post-checkpoint tail a production explain shows. (bm25_search / hybrid_rrf stopped
   pinning in round 9: rank_small's sorted-array form is single-
   consumer, so their recorded shapes ARE their production shapes.)
 - Two DISTINCT reasons a recorded shape can be {} (round-6 advisory —

@@ -8,8 +8,14 @@ depends on data shape, printing one JSON line per probe:
   asof_long_file   one file with ~N*2k chunks / ~N*1k segments — the
                    sorted-merge alignment must stay n log n
   lsh_pairs        N*5k docs through MinHash banding + bucket expansion
+  pair_verify      exact-Jaccard rerank of the LSH candidates
+  dedup_spans      duplicated-span index over N*5k docs (all spans
+                   duplicated by construction — worst case)
   knn_corpus       exact kNN, 8 queries x N*2k corpus vectors
   sessionize       islands over N*100k events
+  (plus embedding_near_dup[_capped], positional_zip, skew_join,
+  bloom_anti_join, chain_cc, pack_sequences, pack_assembly,
+  pq_adc_topk — one results key each in the printed JSON)
 
 Usage: python tools/scale_probe.py [N]   (default 10)
 """
@@ -128,15 +134,16 @@ def main() -> None:
     # Health signal: one postings shuffle + per-doc windows means
     # runtime tracks the span count, so spans/sec should hold
     # flat-or-rising across 10x/30x/100x.
+    span_k = 8
     t0 = time.time()
-    n_regions = dedup.duplicated_spans(big_docs, k=8).count()
+    n_regions = dedup.duplicated_spans(big_docs, k=span_k).count()
     sec = round(time.time() - t0, 2)
     n_spans = int(
         big_docs.select(
             F.sum(
                 F.greatest(
                     F.size(F.filter(F.split(F.lower("text"), r"\s+"),
-                                    lambda t: t != "")) - 7,
+                                    lambda t: t != "")) - (span_k - 1),
                     F.lit(0),
                 )
             )
