@@ -1,5 +1,5 @@
 """Plan-shape guard: physical-operator counts for EVERY registry query
-(all 105 oracle-checked entries as of round 7, not just the bench
+(all 112 oracle-checked entries as of round 9, not just the bench
 headline) plus the connected-components building blocks, recorded to
 PLAN_GUARD.json and asserted by tests/test_plan_guard.py.
 
