@@ -783,6 +783,7 @@ def duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_region_len: int | None = None,
 ) -> DataFrame:
     """Substring-level exact dedup: maximal duplicated token regions,
     the Lee et al. 2021 ("Deduplicating Training Data Makes Language
@@ -804,6 +805,14 @@ def duplicated_spans(
     doc/chunk-level dedup (exact_duplicates / chunk-level groupBy) is
     the boilerplate TAIL: licenses, headers, navigation chrome pasted
     into otherwise-unique documents.
+
+    ``min_region_len`` drops merged regions shorter than the given
+    token count (a narrow post-merge filter) — Lee et al. act only on
+    duplicated substrings of >= 50 tokens; with the default (None, i.e.
+    k) every detected region is reported. Note the k-granularity of the
+    index: a duplicated run of exactly L tokens is detected iff L >= k,
+    so min_region_len below k is meaningless and left to the caller's
+    choice of k.
 
     Scale: the span explode is narrow (one row per token, same order
     as the corpus token count), and the span table is consumed ONCE —
@@ -854,7 +863,7 @@ def duplicated_spans(
             F.lit(1)
         ),
     ).withColumn("_isl", F.sum("_new").over(run))
-    return (
+    out = (
         flagged.groupBy("doc_id", "_isl")
         .agg(
             F.min("pos").cast("long").alias("region_start"),
@@ -863,6 +872,9 @@ def duplicated_spans(
         )
         .select("doc_id", "region_start", "region_len", "n_spans")
     )
+    if min_region_len is not None and min_region_len > k:
+        out = out.filter(F.col("region_len") >= min_region_len)
+    return out
 
 
 def strip_duplicated_spans(
@@ -871,6 +883,7 @@ def strip_duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_region_len: int | None = None,
 ) -> DataFrame:
     """Remove every cross-document duplicated region from the corpus —
     the APPLY step of the Lee et al. 2021 ExactSubstr dedup (their
@@ -898,7 +911,9 @@ def strip_duplicated_spans(
     """
     from ..functions.binding import let
 
-    regions = duplicated_spans(docs, k, min_docs, id_col, text_col)
+    regions = duplicated_spans(
+        docs, k, min_docs, id_col, text_col, min_region_len
+    )
     reg = regions.groupBy("doc_id").agg(
         F.collect_list(F.struct("region_start", "region_len")).alias("_regs")
     )

@@ -475,3 +475,58 @@ def test_strip_duplicated_spans_removes_boilerplate(spark):
         "no duplication at all in this one just single words", 0
     )
     assert out[4] == ("", 11)
+
+
+def test_duplicated_spans_min_region_len(spark):
+    """Lee et al. act only on duplicated runs >= a token threshold:
+    min_region_len drops short merged regions post-merge; at or below
+    k it is a no-op (the index can't see shorter runs anyway)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    short = "alpha beta gamma delta epsilon"  # 5 tokens, shared
+    lng = " ".join(f"w{i}" for i in range(12))  # 12 tokens, shared
+    docs = spark.createDataFrame(
+        [
+            (1, short + " unique one " + lng),
+            (2, lng + " other tail " + short),
+        ],
+        ["doc_id", "text"],
+    )
+    allr = duplicated_spans(docs, k=5).collect()
+    lens = sorted(r.region_len for r in allr)
+    assert lens == [5, 5, 12, 12]
+    kept = duplicated_spans(docs, k=5, min_region_len=10).collect()
+    assert sorted(r.region_len for r in kept) == [12, 12]
+    # threshold <= k is a no-op
+    noop = duplicated_spans(docs, k=5, min_region_len=5).collect()
+    assert sorted(r.region_len for r in noop) == lens
+
+
+def test_strip_duplicated_spans_planted_fixpoint(spark):
+    """On the planted-boilerplate corpus, one strip pass reaches a
+    fixpoint: re-indexing the stripped corpus finds no duplicated
+    spans. (Not a general invariant — removing a middle region can
+    splice flanking tokens into a NEW shared k-span, which is why Lee
+    et al. iterate — but for disjoint planted boilerplate the single
+    pass must converge.)"""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    boiler = (
+        "this license text is copied verbatim into many documents for"
+        " testing"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha words " + boiler + " trailing unique beta"),
+            (2, boiler + " totally different content follows here now"),
+            (3, "no duplication at all in this one just single words"),
+        ],
+        ["doc_id", "text"],
+    )
+    stripped = strip_duplicated_spans(docs, k=5).select("doc_id", "text")
+    assert duplicated_spans(stripped, k=5).count() == 0
