@@ -1396,6 +1396,50 @@ def retrieval_eval_ivf(spark, sf):
     return _retrieval_metrics(q, exact, ann, k=5)
 
 
+@_q("retrieval_eval_ivf_trained", None)
+def retrieval_eval_ivf_trained(spark, sf):
+    """Trained-quantizer IVFPQ quality in the gate. No DuckDB oracle —
+    the coarse quantizer and PQ codebooks come from seeded MLlib
+    k-means fits (train_ivf_centroids / train_pq_codebooks), which SQL
+    cannot express, so the driver records the weaker rows-only check
+    (SURVEY §5's declared path for non-SQL-expressible ops). Everything
+    else is identical to retrieval_eval_ivf — same disjoint
+    query/corpus split, same exact inner-product ground truth, same
+    shared _retrieval_metrics frame — so the recall gap between the two
+    queries IS the measured value of training the quantizer
+    (tools/recall_probe.py: 0.95–1.00 trained vs 0.26 fixed at 20k
+    vectors; tests/test_plans.py asserts trained >= fixed in-gate).
+    Scale: both trainers are distributed MLlib fits returning KBs of
+    centroids to the driver; at 100 TB they run on a few-million-vector
+    sample (sample_fraction), never the full corpus."""
+    from ..operators.pinning import pin
+    from ..operators.vectors import (
+        ann_ivfpq_topk_mem,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    cents = train_ivf_centroids(corpus, n_cells=8)
+    books = train_pq_codebooks(corpus, dim=64, m=8, ksub=16)
+    exact = pin(
+        vectors.knn_topk(q, corpus, k=5, metric="dot").select(
+            "query_id", "vec_id", "rank"
+        )
+    )
+    ann = pin(
+        ann_ivfpq_topk_mem(
+            q, corpus, k=5, dim=64, codebooks=books, nprobe=2,
+            centroids=cents,
+        ).select("query_id", "vec_id", F.col("rank").alias("ann_rank"))
+    )
+    return _retrieval_metrics(q, exact, ann, k=5)
+
+
 def _dedup_spans_sql(k: int = 8, min_docs: int = 2) -> str:
     toks = O.tokens("text")
     return f"""
@@ -3445,11 +3489,14 @@ def zorder_key(spark, sf):
 #
 # STANDING ROTATION (round 9): the NINE entries whose latest evidence
 # is r6 (exactly at the cap) LEAD, as the round-8 verdict prescribed,
-# then retrieval_eval_ivf / dedup_spans / dedup_spans_strip (new this
-# round, no evidence yet), then the r7-evidenced entries in their
-# CORRECTNESS_r07.json order. The last TWELVE r7 entries (json_funcs
-# onward, after the three round-9 additions shifted the window)
-# overflow the 50-entry window and lead round 10's rotation.
+# then retrieval_eval_ivf / dedup_spans / dedup_spans_strip /
+# retrieval_eval_ivf_trained (new this round, no evidence yet; the
+# last has NO oracle — k-means training is not SQL-expressible — so
+# its driver record is the declared rows-only weaker check), then the
+# r7-evidenced entries in their CORRECTNESS_r07.json order. The last
+# THIRTEEN r7 entries (array_funcs onward, after the four round-9
+# additions shifted the window) overflow the 50-entry window and lead
+# round 10's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r6) -- must refresh this round
     "join_interval",
@@ -3465,6 +3512,7 @@ _PRIORITY_QUERIES = [
     "retrieval_eval_ivf",
     "dedup_spans",
     "dedup_spans_strip",
+    "retrieval_eval_ivf_trained",
     # (3) r7-evidenced entries, CORRECTNESS_r07.json order; the last
     #     TWELVE (json_funcs onward) overflow the 50-entry window and
     #     lead round 10 — see the STANDING ROTATION block above

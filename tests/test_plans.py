@@ -436,6 +436,22 @@ def test_retrieval_eval_ivf_metric_bounds(spark):
         assert 0.0 <= r.rr <= 1.0
 
 
+def test_retrieval_eval_ivf_trained_beats_fixed(spark):
+    """The in-gate version of tools/recall_probe.py's headline finding:
+    the trained coarse quantizer + PQ codebooks must recall at least as
+    many exact-kNN neighbors as the fixed oracle families (on this
+    corpus it is 8 vs 2 hits), and the metric frame obeys the same
+    bounds as its SQL-checked siblings."""
+    trained = REGISTRY["retrieval_eval_ivf_trained"][0](spark, SF).collect()
+    fixed = REGISTRY["retrieval_eval_ivf"][0](spark, SF).collect()
+    assert len(trained) == 8
+    for r in trained:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_k - r.n_hits / 5.0) < 1e-9
+        assert 0.0 <= r.rr <= 1.0
+    assert sum(r.n_hits for r in trained) >= sum(r.n_hits for r in fixed)
+
+
 def test_dedup_eval_exact_duplicates_score_one(spark):
     """The doubled test corpus plants exact duplicate pairs
     (doc_id, doc_id+100000): every one the LSH surfaces must verify at
