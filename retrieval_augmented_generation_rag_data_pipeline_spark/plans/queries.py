@@ -3494,7 +3494,7 @@ def zorder_key(spark, sf):
 # last has NO oracle — k-means training is not SQL-expressible — so
 # its driver record is the declared rows-only weaker check), then the
 # r7-evidenced entries in their CORRECTNESS_r07.json order. The last
-# THIRTEEN r7 entries (array_funcs onward, after the four round-9
+# THIRTEEN r7 entries (window_running onward, after the four round-9
 # additions shifted the window) overflow the 50-entry window and lead
 # round 10's rotation.
 _PRIORITY_QUERIES = [
@@ -3514,8 +3514,8 @@ _PRIORITY_QUERIES = [
     "dedup_spans_strip",
     "retrieval_eval_ivf_trained",
     # (3) r7-evidenced entries, CORRECTNESS_r07.json order; the last
-    #     TWELVE (json_funcs onward) overflow the 50-entry window and
-    #     lead round 10 — see the STANDING ROTATION block above
+    #     THIRTEEN (window_running onward) overflow the 50-entry window
+    #     and lead round 10 — see the STANDING ROTATION block above
     "filter_suffix",
     "filter_nonempty",
     "dedup_embedding_capped",
