@@ -151,3 +151,74 @@ def test_chunk_dedup_matches_python_reference(spark, texts):
         for r in chunk_dedup(df, chunk_words=cw).collect()
     }
     assert got == want
+
+
+span_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+def ref_span_regions(texts: list[str], k: int, min_docs: int = 2):
+    """Direct duplicated-span regions: index every k-token span, mark
+    spans in >= min_docs distinct docs, merge per-doc positions where
+    next <= prev + k."""
+    toks = {i: [w for w in t.lower().split() if w] for i, t in enumerate(texts)}
+    span_docs: dict[str, set[int]] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            span_docs.setdefault(" ".join(tk[p : p + k]), set()).add(i)
+    regions: set[tuple[int, int, int, int]] = set()
+    for i, tk in toks.items():
+        dup = [
+            p + 1
+            for p in range(len(tk) - k + 1)
+            if len(span_docs[" ".join(tk[p : p + k])]) >= min_docs
+        ]
+        run: list[int] = []
+        for p in dup + [None]:
+            if run and (p is None or p > run[-1] + k):
+                regions.add((i, run[0], run[-1] - run[0] + k, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return regions
+
+
+def ref_strip(texts: list[str], regions, k: int):
+    out = {}
+    for i, t in enumerate(texts):
+        tk = [w for w in t.lower().split() if w]
+        covered = set()
+        for d, start, length, _n in regions:
+            if d == i:
+                covered.update(range(start, start + length))
+        kept = [w for j, w in enumerate(tk, start=1) if j not in covered]
+        out[i] = (" ".join(kept), len(tk) - len(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=span_corpus_strategy)
+def test_duplicated_spans_match_python_reference(spark, texts):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.region_start, r.region_len, r.n_spans)
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    assert got == ref_span_regions(texts, k=3)
+    stripped = {
+        r.doc_id: (r.text, r.n_dropped)
+        for r in strip_duplicated_spans(df, k=3).collect()
+    }
+    assert stripped == ref_strip(texts, got, k=3)
