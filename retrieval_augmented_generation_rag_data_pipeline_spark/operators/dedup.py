@@ -249,6 +249,7 @@ def verify_pairs_jaccard(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    strict: bool = True,
 ) -> DataFrame:
     """Re-score candidate pairs with their EXACT word-shingle Jaccard —
     the per-pair rerank that turns any sketch's candidates (LSH bands,
@@ -262,15 +263,25 @@ def verify_pairs_jaccard(
     engines, where round() can straddle a half-up tie like 1/128) and
     ``is_dup`` (jaccard >= threshold, int).
 
-    INPUT CONTRACT (guarded): every pair id must exist in ``docs``, and
-    at least one doc of each pair must yield >= 1 shingle (text of >= k
-    words). Pairs from ``lsh_candidate_pairs`` satisfy both by
-    construction, but this is a public operator — arbitrary caller
-    pairs with a missing id or two shingle-less docs (a 0/0 jaccard)
-    fail the job loudly via an ``assert_true`` folded into ``jaccard``
-    (left joins, so a missing id reaches the guard instead of being
-    silently inner-joined away). The guard fires whenever ``jaccard``
-    or ``is_dup`` is consumed; an action that prunes both skips it.
+    INPUT CONTRACT (``strict=True``, the default): every pair id must
+    exist in ``docs``, and at least one doc of each pair must yield
+    >= 1 shingle (text of >= k words). Pairs from
+    ``lsh_candidate_pairs`` satisfy both by construction, but this is
+    a public operator — arbitrary caller pairs with a missing id or
+    two shingle-less docs (a 0/0 jaccard) fail the job loudly via an
+    ``assert_true`` folded into ``jaccard`` (left joins, so a missing
+    id reaches the guard instead of being silently inner-joined away).
+    CAVEAT — read this before relying on the guard: it fires only when
+    ``jaccard`` or ``is_dup`` is actually consumed; an action that
+    prunes BOTH columns (e.g. ``select("doc_a").count()``) never
+    evaluates it and bad pairs pass silently.
+
+    ``strict=False`` opts into best-effort semantics for callers
+    feeding externally-sourced candidate pairs (a stale ledger, a
+    cross-corpus sketch): pairs whose ids are missing from ``docs``
+    are DROPPED (inner joins — the pre-round-9 behavior), no guard is
+    installed, and a 0/0 shingle-less pair emits NULL ``jaccard`` /
+    ``is_dup`` instead of aborting the job.
 
     Scale: two hash equi-joins against the per-doc shingle-set frame,
     per-row set intersection linear in doc length, and the
@@ -310,22 +321,27 @@ def verify_pairs_jaccard(
                   f" docs (both texts < {k} words)"),
         ),
     ).cast("double")
-    jac = let(
-        F.size(F.array_intersect("_sa", "_sb")).cast("long"),
-        lambda i: i / (F.size("_sa") + F.size("_sb") - i).cast("double"),
+    # strict: plain division — the guard (coalesce arg 1) aborts on the
+    # only zero-denominator input before division runs. non-strict:
+    # try_divide, so a 0/0 shingle-less pair yields NULL under ANSI
+    # mode instead of DIVIDE_BY_ZERO.
+    def _jac_body(i):
+        den = (F.size("_sa") + F.size("_sb") - i).cast("double")
+        return i / den if strict else F.try_divide(i, den)
+
+    jac = let(F.size(F.array_intersect("_sa", "_sb")).cast("long"), _jac_body)
+    how = "left" if strict else "inner"
+    joined = pairs.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa")),
+        "doc_a",
+        how,
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb")),
+        "doc_b",
+        how,
     )
     return (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa")),
-            "doc_a",
-            "left",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb")),
-            "doc_b",
-            "left",
-        )
-        .withColumn("jaccard", F.coalesce(guard, jac))
+        joined.withColumn("jaccard", F.coalesce(guard, jac) if strict else jac)
         .withColumn("is_dup", (F.col("jaccard") >= threshold).cast("int"))
         .drop("_sa", "_sb")
     )
