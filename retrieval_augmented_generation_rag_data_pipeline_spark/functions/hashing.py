@@ -79,6 +79,33 @@ def hash_array(arr: Column) -> Column:
     return F.transform(arr, md5_long)
 
 
+def md5_pair(col: Column) -> Column:
+    """120-bit deterministic hash of a string: struct<h1,h2> of two
+    60-bit longs from md5 hex chars 1-15 and 16-30. For keys that must
+    stay collision-free at extreme cardinality — at 2.5e13 spans
+    (~100 TB of text) the birthday bound is n^2/2^121 ~ 2e-10, where
+    the single 60-bit ``md5_long`` is past its birthday point by seven
+    orders of magnitude (n^2/2^61 >> 1: guaranteed collisions). Two
+    longs (16 bytes) shuffle leaner than the 32-char hex string; the
+    md5 is let-bound so both halves evaluate it once per element.
+    Oracle mirror: ``functions.oracle.md5_span_key`` (substr(md5,1,30)
+    — the same 120 bits, so both engines group identically)."""
+    from .binding import let
+
+    return let(
+        F.md5(col),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 16, 15), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+
+def hash_pair_array(arr: Column) -> Column:
+    """Apply md5_pair to every element of a string array."""
+    return F.transform(arr, md5_pair)
+
+
 def minhash_signature(hashes_col: str) -> Column:
     """NUM_PERM-wide MinHash signature over a 60-bit hash array column
     (referenced by NAME — the expression is emitted as one SQL string;

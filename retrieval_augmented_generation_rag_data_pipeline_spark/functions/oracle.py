@@ -38,6 +38,13 @@ def hash_array(arr: str) -> str:
     return f"list_transform({arr}, s -> {md5_long('s')})"
 
 
+def md5_span_key(x: str) -> str:
+    """120-bit span key: first 30 hex chars of md5 — the exact same
+    bits ``hashing.md5_pair`` packs into its two 60-bit longs, so both
+    engines partition spans into identical hash groups."""
+    return f"substr(md5({x}),1,30)"
+
+
 def minhash_signature(hashes: str) -> str:
     slots = []
     for a, b in zip(MINHASH_A, MINHASH_B):

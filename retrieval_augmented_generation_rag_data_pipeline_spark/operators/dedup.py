@@ -33,6 +33,7 @@ from ..functions.hashing import (
     LSH_ROWS,
     NUM_PERM,
     hash_array,
+    hash_pair_array,
     md5_long,
     minhash_signature,
     simhash16,
@@ -793,6 +794,44 @@ def incremental_dedup(
     )
 
 
+def span_hits(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The span index behind ``duplicated_spans``: every (doc_id, pos)
+    whose k-token span hash appears in >= min_docs distinct documents.
+    Exposed so tools/scale_probe.py ``span_skew`` can read the
+    production join's per-task distribution directly; see
+    ``duplicated_spans`` for the full contract and scale analysis."""
+    if k < 2:
+        raise ValueError(f"duplicated_spans: k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(
+            f"duplicated_spans: min_docs must be >= 2, got {min_docs}"
+        )
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            hash_pair_array(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("_i", "h"),
+    ).select("doc_id", (F.col("_i") + 1).cast("long").alias("pos"), "h")
+    # distinct docs per hash via distinct-pairs + partial agg (stages
+    # 1-2 of the duplicated_spans docstring); count(*) over the
+    # distinct (h, doc_id) pairs IS count(distinct doc_id) per h
+    dup = (
+        sh.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    return sh.join(dup, "h").select("doc_id", "pos")
+
+
 def duplicated_spans(
     docs: DataFrame,
     k: int = 8,
@@ -830,43 +869,50 @@ def duplicated_spans(
     so min_region_len below k is meaningless and left to the caller's
     choice of k.
 
-    Scale: the span explode is narrow (one row per token, same order
-    as the corpus token count), and the span table is consumed ONCE —
-    the distinct-doc count per hash is a window (dense_rank by doc_id,
-    then max — streaming, no collect_set memory blowup on a hot hash),
-    NOT a groupBy + self-join that would replay the whole explode scan
-    twice (the tfidf_top_terms lesson). Two shuffles total: one keyed
-    on span hash (the postings shuffle), one keyed on doc_id for the
-    region merge (lag + running sum, parallel across documents; the
-    final per-region groupBy reuses the doc_id partitioning — doc_id
-    is a prefix of its grouping key, so no third exchange). No
-    all-pairs stage, no driver collect. A pathological universal span
-    (every doc opens with the same k tokens) lands one hash's window
-    partition on one task — standard postings skew; doc-level exact
-    dedup upstream removes the degenerate identical-corpus case.
+    Span identity is the 120-bit ``md5_pair`` key (two 60-bit longs
+    from md5 hex chars 1-30): at 2.5e13 spans (~100 TB of text) the
+    birthday false-positive bound is n^2/2^121 ~ 2e-10, so "exact" is
+    honest at the stated scale — a single 60-bit key is past its
+    birthday point there by seven orders of magnitude and would
+    silently merge unique spans (and ``strip_duplicated_spans`` would
+    silently delete non-duplicated text).
+
+    Scale — every stage is skew-bounded; no per-hash task hot spot:
+
+    1. ``(h, doc_id) distinct`` — partial (map-side) distinct first,
+       so a span repeated 1000x inside one document leaves each map
+       task once; the exchange key (h, doc_id) spreads a
+       corpus-universal hash across every doc_id, so the hot-h rows
+       land on MANY tasks, not one.
+    2. ``groupBy(h).count`` over the distinct pairs — partial-agg
+       combine means each map task emits one row per h; the reducer
+       for a universal h receives at most one row per upstream task.
+    3. postings ``join`` duplicated-h set — an equi-join, which AQE's
+       skew handling CAN split (OptimizeSkewedJoin divides an
+       oversized streamed partition across tasks, duplicating the
+       tiny build rows), unlike a window partition, which is welded
+       to one task by definition. This is why the round-9 per-hash
+       dense_rank window (one task per hash, however hot) was
+       replaced: a boilerplate span in 10% of docs is billions of
+       postings on ONE task under a window, but AQE-splittable under
+       a join. Measured: tools/scale_probe.py ``span_skew`` plants a
+       boilerplate prefix in 10% of docs and reads the max-task
+       input share.
+    4. region merge keyed on doc_id — lag + running sum, parallel
+       across documents; the final per-region groupBy reuses the
+       doc_id partitioning (doc_id is a prefix of its grouping key).
+
+    Shuffle accounting: the ingest ``ensure_parallelism`` repartition
+    (small inputs only — a no-op at scale), the pair-distinct
+    exchange, the tiny per-h count exchange, the join exchanges, and
+    the doc_id region-merge exchange. The explode lineage is computed
+    twice (count side + probe side) — deliberately: the explode is
+    narrow, cheap CPU over the corpus scan, and materializing
+    corpus-token-count rows to skip one recompute would cost more at
+    100 TB than the second pass. No all-pairs stage, no driver
+    collect.
     """
-    if k < 2:
-        raise ValueError(f"duplicated_spans: k must be >= 2, got {k}")
-    if min_docs < 2:
-        raise ValueError(
-            f"duplicated_spans: min_docs must be >= 2, got {min_docs}"
-        )
-    sh = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            hash_array(word_shingles(tokens(F.col(text_col)), k))
-        ).alias("_i", "h"),
-    ).select("doc_id", (F.col("_i") + 1).cast("long").alias("pos"), "h")
-    # distinct docs per hash, single-pass: dense_rank over doc_id within
-    # the hash partition peaks at the distinct count; max propagates it
-    # to every row of the partition (count_distinct is not a window fn)
-    w_h = Window.partitionBy("h").orderBy("doc_id")
-    hits = (
-        sh.withColumn("_dr", F.dense_rank().over(w_h))
-        .withColumn("_nd", F.max("_dr").over(Window.partitionBy("h")))
-        .filter(F.col("_nd") >= min_docs)
-        .select("doc_id", "pos")
-    )
+    hits = span_hits(docs, k, min_docs, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
     run = (
         Window.partitionBy("doc_id")

@@ -1448,7 +1448,7 @@ t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= {k}),
 sp AS (SELECT doc_id, unnest(generate_series(1, len(tk)-{k}+1)) AS pos, tk
        FROM t2),
 sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-              {O.md5_long(f"array_to_string(tk[pos:pos+{k - 1}], ' ')")} AS h
+              {O.md5_span_key(f"array_to_string(tk[pos:pos+{k - 1}], ' ')")} AS h
        FROM sp),
 dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),
 d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
@@ -1484,7 +1484,7 @@ t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= {k}),
 sp AS (SELECT doc_id, unnest(generate_series(1, len(tk)-{k}+1)) AS pos, tk
        FROM t2),
 sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-              {O.md5_long(f"array_to_string(tk[pos:pos+{k - 1}], ' ')")} AS h
+              {O.md5_span_key(f"array_to_string(tk[pos:pos+{k - 1}], ' ')")} AS h
        FROM sp),
 dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),
 d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),

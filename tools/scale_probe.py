@@ -13,6 +13,9 @@ depends on data shape, printing one JSON line per probe:
                    duplicated by construction — worst case)
   knn_corpus       exact kNN, 8 queries x N*2k corpus vectors
   sessionize       islands over N*100k events
+  span_skew        10% of docs share a planted 40-token boilerplate
+                   prefix — per-task row distribution of the span_hits
+                   join must stay flat (no universal-hash hot task)
   (plus embedding_near_dup[_capped], positional_zip, skew_join,
   bloom_anti_join, chain_cc, pack_sequences, pack_assembly,
   pq_adc_topk — one results key each in the printed JSON)
@@ -152,6 +155,60 @@ def main() -> None:
     results["dedup_spans"] = {
         "docs": 5000 * n, "spans": n_spans, "regions": n_regions,
         "sec": sec, "spans_per_sec": round(n_spans / max(sec, 1e-9)),
+    }
+
+    # ---- universal-span skew (round-10 verdict item 3): plant an
+    # IDENTICAL 40-token boilerplate prefix on 10% of docs — each of
+    # its 33 k-spans then has a postings list of docs/10 rows, the
+    # load that the round-9 per-hash window welded onto ONE task. The
+    # reading is the production join's per-task row distribution
+    # (spark_partition_id on the span_hits frame), taken with
+    # broadcast disabled and the AQE skew thresholds scaled down to
+    # probe size (at real scale the 256MB default engages on its own):
+    # max_task_rows should sit near total/partitions, far below the
+    # hot-hash postings count a window partition would concentrate.
+    boiler = " ".join(f"boilertok{i}" for i in range(40))
+    planted = big_docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.time()
+    n_regions_planted = dedup.duplicated_spans(planted, k=span_k).count()
+    planted_sec = round(time.time() - t0, 2)
+    skew_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    }
+    saved = {k2: spark.conf.get(k2) for k2 in skew_confs}
+    try:
+        for k2, v in skew_confs.items():
+            spark.conf.set(k2, v)
+        per_task = (
+            dedup.span_hits(planted, k=span_k)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+    finally:
+        for k2, v in saved.items():
+            spark.conf.set(k2, v)
+    rows = [r["count"] for r in per_task]
+    total, max_rows = sum(rows), max(rows)
+    results["span_skew"] = {
+        "docs": 5000 * n,
+        "planted_docs": round(5000 * n / 10),
+        "hot_hash_postings": round(5000 * n / 10),  # per boilerplate span hash
+        "regions": n_regions_planted,
+        "sec": planted_sec,
+        "join_tasks": len(rows),
+        "hit_rows_total": total,
+        "max_task_rows": max_rows,
+        "max_task_share": round(max_rows / max(total, 1), 4),
     }
 
     # ---- exact kNN at Nx corpus
