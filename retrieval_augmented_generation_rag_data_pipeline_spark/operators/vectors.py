@@ -234,6 +234,36 @@ def train_ivf_centroids(
     return cents
 
 
+def frozen_quantizer(
+    path: str | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(centroids, codebooks) from the committed trained-quantizer
+    artifact (artifacts/quantizer.json, written by
+    tools/train_quantizer.py — seeded MLlib k-means over the sf0.01
+    eval corpus). Train-on-sample / freeze / apply-anywhere is the
+    100 TB deployment shape: the artifact is metadata-sized (~40 KB)
+    and applies to any corpus at any sf; only TRAINING touched a
+    Spark job. Loaded once per process (tiny, cached)."""
+    import json as _json
+    import pathlib as _pathlib
+
+    if path is None:
+        path = str(
+            _pathlib.Path(__file__).resolve().parents[2]
+            / "artifacts"
+            / "quantizer.json"
+        )
+    cached = _FROZEN_CACHE.get(path)
+    if cached is None:
+        art = _json.loads(_pathlib.Path(path).read_text())
+        cached = (art["centroids"], art["codebooks"])
+        _FROZEN_CACHE[path] = cached
+    return cached
+
+
+_FROZEN_CACHE: dict[str, tuple] = {}
+
+
 def _dot_sql(col_name: str, values: list[float], guard: bool = True) -> str:
     """SQL-text dot product against a literal vector — same fold order
     as the Column-API `dot` (zip_with then sequential aggregate).

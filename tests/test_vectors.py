@@ -216,3 +216,28 @@ def test_dot_sql_guard_raises_on_dim_mismatch(spark):
         [([1.0, 2.0],), (None,)], "v array<double>"
     ).selectExpr(f"{_dot_sql('v', [3.0, 4.0])} AS d").collect()
     assert [r.d for r in ok] == [11.0, None]
+
+
+def test_frozen_quantizer_artifact_integrity():
+    """The committed artifacts/quantizer.json is the gate's trained
+    quantizer (tools/train_quantizer.py): right shapes for the
+    dim=64 / n_cells=8 / m=8 / ksub=16 eval geometry, L2-normalized
+    coarse centroids (ivf_cell ranks by cosine via argmax-dot), all
+    finite — a corrupted or hand-edited artifact fails here before it
+    silently skews the oracle-checked recall numbers."""
+    import math
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        frozen_quantizer,
+    )
+
+    cents, books = frozen_quantizer()
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c))
+        assert abs(n - 1.0) < 1e-9
+        assert all(math.isfinite(x) for x in c)
+    assert len(books) == 8
+    for cb in books:
+        assert len(cb) == 16 and all(len(c) == 8 for c in cb)
+        assert all(math.isfinite(x) for c in cb for x in c)
