@@ -3505,72 +3505,23 @@ def zorder_key(spark, sf):
 # the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
 # evidence-less entry sits outside the first 50 positions.
 #
-# STANDING ROTATION (round 9): the NINE entries whose latest evidence
-# is r6 (exactly at the cap) LEAD, as the round-8 verdict prescribed,
-# then retrieval_eval_ivf / dedup_spans / dedup_spans_strip /
-# retrieval_eval_ivf_trained (new this round, no evidence yet; the
-# last has NO oracle — k-means training is not SQL-expressible — so
-# its driver record is the declared rows-only weaker check), then the
-# r7-evidenced entries in their CORRECTNESS_r07.json order. The last
-# THIRTEEN r7 entries (window_running onward, after the four round-9
-# additions shifted the window) overflow the 50-entry window and lead
-# round 10's rotation.
+# STANDING ROTATION (round 10): the THIRTEEN entries whose latest
+# evidence is r7 (exactly at the cap) LEAD, as the round-9 verdict
+# prescribed; then retrieval_eval_ivf_trained (its r9 record was the
+# declared rows-only err row — now fully oracle-checked against the
+# frozen artifacts/quantizer.json, it re-enters with no valid
+# evidence); then dedup_spans / dedup_spans_strip (r9-green, but the
+# round-10 de-skew + 120-bit-key rewrite changed their plans, so they
+# re-validate in-gate rather than riding stale evidence); then the
+# first 34 r8-evidenced entries in CORRECTNESS_r08.json order. The
+# remaining SIXTEEN r8 entries (pii_scrub onward:
+#   pii_scrub, tfidf_top_terms, bm25_search, hybrid_rrf,
+#   ngram_topk, corpus_stats, vocab_entropy, assign_split,
+#   mix_corpora, window_rank, prepare_corpus, window_lead_lag,
+#   window_first_last, agg_stats, agg_pivot, unpivot_melt)
+# overflow the 50-entry window and MUST lead round 11's rotation.
 _PRIORITY_QUERIES = [
-    # (1) evidence exactly 2 rounds old (r6) -- must refresh this round
-    "join_interval",
-    "agg_mode",
-    "set_ops",
-    "null_funcs",
-    "explode_pos",
-    "str_distance",
-    "sample_exact_k",
-    "zorder_key",
-    "filter_notnull",
-    # (2) new this round (no evidence yet)
-    "retrieval_eval_ivf",
-    "dedup_spans",
-    "dedup_spans_strip",
-    "retrieval_eval_ivf_trained",
-    # (3) r7-evidenced entries, CORRECTNESS_r07.json order; the last
-    #     THIRTEEN (window_running onward) overflow the 50-entry window
-    #     and lead round 10 — see the STANDING ROTATION block above
-    "filter_suffix",
-    "filter_nonempty",
-    "dedup_embedding_capped",
-    "pack_sequences",
-    "pack_pieces",
-    "project_derived",
-    "scan_catalog",
-    "scan_documents",
-    "agg_conditional_count",
-    "agg_multi_counter",
-    "agg_by_year",
-    "agg_histogram",
-    "agg_mean",
-    "agg_max",
-    "agg_count",
-    "agg_concat",
-    "agg_tpch_q1",
-    "agg_percentile",
-    "agg_tpch_q6",
-    "top_revenue_orders",
-    "join_broadcast",
-    "semi_join",
-    "anti_join_ledger",
-    "join_salted",
-    "bloom_anti_join",
-    "join_positional",
-    "distinct_keys",
-    "union_globs",
-    "limit_n",
-    "limit_pushdown",
-    "sessionize_islands",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "agg_rollup",
-    "agg_cube",
-    "argmin_nearest",
+    # (1) evidence exactly 2 rounds old (r7) -- must refresh this round
     "window_running",
     "format_dialogue",
     "str_funcs",
@@ -3584,6 +3535,47 @@ _PRIORITY_QUERIES = [
     "ann_lsh_topk",
     "dedup_corpus",
     "decontaminate",
+    # (2) no valid evidence (r9 err row, oracle added this round)
+    "retrieval_eval_ivf_trained",
+    # (3) implementation rewritten this round -- deliberate re-validation
+    "dedup_spans",
+    "dedup_spans_strip",
+    # (4) r8-evidenced entries, CORRECTNESS_r08.json order (first 34;
+    #     the 16 from pii_scrub onward overflow -> lead round 11)
+    "normalize_text",
+    "dedup_chunks",
+    "dedup_incremental",
+    "sample_group_k",
+    "sample_weighted_k",
+    "pack_assembly",
+    "retrieval_eval",
+    "dedup_eval",
+    "mix_report",
+    "filter_year",
+    "project_arith",
+    "sort_desc",
+    "topn_per_group",
+    "join_asof",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_mem",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "lang_id",
+    "quality_score",
+    "quality_filter",
+    "token_count",
+    "doc_fingerprint",
+    "chunk_documents",
+    "multimodal_features",
+    "artifact_probe",
+    "sample_stratified",
+    "repetition_metrics",
 ]
 
 

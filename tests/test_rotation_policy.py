@@ -120,3 +120,19 @@ def test_window_has_no_duplicates_and_priority_names_resolve():
     missing = [n for n in _PRIORITY_QUERIES if n not in REGISTRY]
     assert not missing, f"priority entries not in REGISTRY: {missing}"
     assert names[: len(_PRIORITY_QUERIES)] == list(_PRIORITY_QUERIES)
+
+
+def test_registry_size_within_rotation_budget():
+    """Round-10 verdict item 4: the <=2-round staleness cap means every
+    entry must re-enter the 50-slot window at least once per THREE
+    recordings, so the registry can never sustainably exceed
+    3 x WINDOW = 150 entries. Assert it (was a prose warning), so a
+    future round cannot silently make the staleness invariant
+    unsatisfiable — by the time the ordering test starts failing, the
+    backlog is already multiple rounds deep."""
+    assert len(REGISTRY) <= 3 * WINDOW, (
+        f"registry has {len(REGISTRY)} entries; the {WINDOW}-slot "
+        f"window under the 2-round staleness cap supports at most "
+        f"{3 * WINDOW} — remove or consolidate queries before adding "
+        "more"
+    )
