@@ -128,14 +128,15 @@ PICKS = {
         "unpartitioned window"
     ),
     "dedup_spans": (
-        "substring-level exact dedup (Lee et al. 2021 family): ONE span "
-        "pass — the per-hash distinct-doc count is a dense_rank+max "
-        "window on the span-hash partition (streaming, no collect_set "
-        "blowup, and no groupBy+self-join that would replay the explode "
-        "scan); then per-doc lag + running-sum windows merge "
-        "overlapping spans into maximal regions, whose groupBy reuses "
-        "the doc_id partitioning — 3 Exchanges total, no join, never "
-        "all-pairs"
+        "substring-level exact dedup (Lee et al. 2021 family), round-10 "
+        "de-skewed form: distinct (h, doc_id) pairs -> partial-agg "
+        "count per 120-bit span hash -> postings equi-join against the "
+        "duplicated-hash set (AQE skew-split eligible — a universal "
+        "boilerplate hash can no longer weld one window task, see "
+        "span_skew in tools/scale_probe.py); then per-doc lag + "
+        "running-sum windows merge overlapping spans into maximal "
+        "regions, whose groupBy reuses the doc_id partitioning — "
+        "never all-pairs"
     ),
     "hybrid_rrf": (
         "hybrid retrieval fusion: BM25 + dense kNN top-k frames union "
