@@ -818,12 +818,22 @@ def span_hits(
             hash_pair_array(word_shingles(tokens(F.col(text_col)), k))
         ).alias("_i", "h"),
     ).select("doc_id", (F.col("_i") + 1).cast("long").alias("pos"), "h")
-    # distinct docs per hash via distinct-pairs + partial agg (stages
-    # 1-2 of the duplicated_spans docstring); count(*) over the
-    # distinct (h, doc_id) pairs IS count(distinct doc_id) per h
+    # distinct docs per hash WITHOUT a postings-wide exchange: the
+    # within-doc dedup happens row-locally (array_distinct over the
+    # doc's own span hashes), so the only shuffled rows are one per
+    # (doc, distinct hash) — and groupBy(h).count partial-aggregates
+    # map-side, so a corpus-universal h reaches its reducer as at most
+    # one row per upstream task. count over per-doc-distinct hashes IS
+    # count(distinct doc_id) per h.
     dup = (
-        sh.select("h", "doc_id")
-        .distinct()
+        ensure_parallelism(docs)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    hash_pair_array(word_shingles(tokens(F.col(text_col)), k))
+                )
+            ).alias("h")
+        )
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
@@ -879,14 +889,14 @@ def duplicated_spans(
 
     Scale — every stage is skew-bounded; no per-hash task hot spot:
 
-    1. ``(h, doc_id) distinct`` — partial (map-side) distinct first,
-       so a span repeated 1000x inside one document leaves each map
-       task once; the exchange key (h, doc_id) spreads a
-       corpus-universal hash across every doc_id, so the hot-h rows
-       land on MANY tasks, not one.
-    2. ``groupBy(h).count`` over the distinct pairs — partial-agg
-       combine means each map task emits one row per h; the reducer
-       for a universal h receives at most one row per upstream task.
+    1. per-doc ``array_distinct`` over the doc's own span hashes —
+       row-local, NO exchange: a span repeated 1000x inside one
+       document collapses in place, so the distinct-doc count side
+       never shuffles the full postings at all.
+    2. ``groupBy(h).count`` over the exploded per-doc-distinct hashes
+       — partial-agg combine means each map task emits one row per h;
+       the reducer for a universal h receives at most one row per
+       upstream task.
     3. postings ``join`` duplicated-h set — an equi-join, which AQE's
        skew handling CAN split (OptimizeSkewedJoin divides an
        oversized streamed partition across tasks, duplicating the
@@ -903,14 +913,14 @@ def duplicated_spans(
        doc_id partitioning (doc_id is a prefix of its grouping key).
 
     Shuffle accounting: the ingest ``ensure_parallelism`` repartition
-    (small inputs only — a no-op at scale), the pair-distinct
-    exchange, the tiny per-h count exchange, the join exchanges, and
-    the doc_id region-merge exchange. The explode lineage is computed
-    twice (count side + probe side) — deliberately: the explode is
-    narrow, cheap CPU over the corpus scan, and materializing
-    corpus-token-count rows to skip one recompute would cost more at
-    100 TB than the second pass. No all-pairs stage, no driver
-    collect.
+    (small inputs only — a no-op at scale), the tiny per-h count
+    exchange (its input deduped row-locally, never a postings-wide
+    exchange), the join exchanges, and the doc_id region-merge
+    exchange. The span-hash lineage is computed twice (count side +
+    probe side) — deliberately: it is narrow, cheap CPU over the
+    corpus scan, and materializing corpus-token-count rows to skip
+    one recompute would cost more at 100 TB than the second pass. No
+    all-pairs stage, no driver collect.
     """
     hits = span_hits(docs, k, min_docs, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
