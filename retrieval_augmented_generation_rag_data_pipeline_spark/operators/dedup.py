@@ -48,14 +48,42 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
     Returns (doc_id, canonical_id, group_size): every doc maps to the
     lowest id sharing its md5; group_size = copies of that content.
+
+    Scale (round-10 de-skew, same hazard family as duplicated_spans):
+    the per-digest min/count was a window over ``partitionBy(_digest)``
+    — on a corpus where one boilerplate page is 10% of all docs, that
+    partition is 10% of the corpus WELDED to one task (windows cannot
+    be split). Now a ``groupBy(_digest)`` (map-side partial min/count:
+    a universal digest reaches its reducer as one row per upstream
+    task) + a ``hot_salted_count_join`` back to the rows — hot digests
+    (group_size >= threshold) spread across n_salts reducers
+    DETERMINISTICALLY. Salting rather than trusting AQE because the
+    hot partition is row-skewed but not byte-skewed (a constant digest
+    compresses away; measured in tools/scale_probe.py ``exact_skew``:
+    the 10%-identical partition compressed below the median and AQE
+    never split it). Null-safe keys because md5(NULL) is NULL and NULL
+    texts must group together (matching both the old window semantics
+    and the oracle's IS NOT DISTINCT FROM). The digest lineage is
+    computed twice (agg side + probe side) — a narrow scan+md5,
+    cheaper at scale than one hot task.
     """
-    w = Window.partitionBy("_digest")
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_digest"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .withColumn("group_size", F.count("*").over(w).cast("long"))
-        .select("doc_id", "canonical_id", "group_size")
+    from .joins import hot_salted_count_join
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_digest")
     )
+    groups = d.groupBy("_digest").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return hot_salted_count_join(
+        d,
+        groups,
+        key="_digest",
+        count_col="group_size",
+        salt_src="doc_id",
+        null_safe=True,
+    ).select("doc_id", "canonical_id", "group_size")
 
 
 def _shingle_hashes(
@@ -837,9 +865,12 @@ def span_hits(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("h")
     )
-    return sh.join(dup, "h").select("doc_id", "pos")
+    from .joins import hot_salted_count_join
+
+    return hot_salted_count_join(
+        sh, dup, key="h", count_col="_nd", salt_src="doc_id"
+    ).select("doc_id", "pos")
 
 
 def duplicated_spans(
@@ -897,17 +928,19 @@ def duplicated_spans(
        — partial-agg combine means each map task emits one row per h;
        the reducer for a universal h receives at most one row per
        upstream task.
-    3. postings ``join`` duplicated-h set — an equi-join, which AQE's
-       skew handling CAN split (OptimizeSkewedJoin divides an
-       oversized streamed partition across tasks, duplicating the
-       tiny build rows), unlike a window partition, which is welded
-       to one task by definition. This is why the round-9 per-hash
-       dense_rank window (one task per hash, however hot) was
-       replaced: a boilerplate span in 10% of docs is billions of
-       postings on ONE task under a window, but AQE-splittable under
-       a join. Measured: tools/scale_probe.py ``span_skew`` plants a
-       boilerplate prefix in 10% of docs and reads the max-task
-       input share.
+    3. postings join against the duplicated-h set via
+       ``hot_salted_count_join`` — hashes whose distinct-doc count
+       crosses the hot threshold are salted across n_salts reducers
+       DETERMINISTICALLY (the build rows replicate per salt; the
+       postings learn hotness from a broadcast of the hot-hash set).
+       This is why the round-9 per-hash dense_rank window (one task
+       per hash, however hot) was replaced: a boilerplate span in 10%
+       of docs is billions of postings on ONE task under a window — a
+       window partition can never be split, and AQE's byte-based skew
+       split cannot be trusted here either (a hot key's rows compress
+       away; see ``exact_skew`` in tools/scale_probe.py). Measured:
+       ``span_skew`` plants a boilerplate prefix in 10% of docs and
+       reads the max-task input share.
     4. region merge keyed on doc_id — lag + running sum, parallel
        across documents; the final per-region groupBy reuses the
        doc_id partitioning (doc_id is a prefix of its grouping key).

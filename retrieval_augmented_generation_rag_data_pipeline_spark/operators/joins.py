@@ -335,6 +335,106 @@ def salted_join(
     return f.join(d, [key, "_salt"], how).drop("_salt")
 
 
+def hot_salted_count_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    count_col: str,
+    salt_src: str,
+    hot_threshold: int = 4096,
+    n_salts: int = 16,
+    null_safe: bool = False,
+) -> DataFrame:
+    """Inner equi-join of a big ``probe`` against a per-key-UNIQUE
+    ``build`` where ONLY the hot keys are salted — the deterministic
+    skew remedy for aggregate-then-join-back operators (dedup_exact,
+    span_hits) whose hot keys AQE's skew split cannot be trusted to
+    catch.
+
+    Why not just AQE: OptimizeSkewedJoin detects skew in shuffle
+    BYTES, and a hot key's probe rows are maximally compressible
+    (constant key, often sequential ids) — measured in
+    tools/scale_probe.py ``exact_skew``: a 10%-of-corpus identical-
+    digest partition compressed BELOW the median partition's bytes and
+    was never split, even at a 1k threshold. Row-skew without
+    byte-skew is invisible to AQE; salting splits it by construction.
+
+    Why not ``salted_join``: that replicates the ENTIRE dim per salt —
+    fine for a broadcast-scale dim, ruinous for a vocabulary-sized
+    build (the dedup_exact groups frame is one row per distinct
+    digest; 16x that can exceed the probe itself). Here only keys with
+    ``count_col >= hot_threshold`` replicate, and the probe learns
+    which keys are hot via a broadcast of the hot-key set — consumed
+    ONCE, no probe lineage duplication.
+
+    Contract: ``build`` has exactly one row per ``key`` carrying
+    ``count_col`` (a monotone proxy for probe rows per key — group
+    size, distinct-doc count); the hot-key set must be broadcastable,
+    which is structural: at most total_probe_rows / hot_threshold keys
+    can be hot, so size the threshold to the corpus. ``salt_src``
+    names a probe column whose hash spreads a hot key's rows (an id
+    column). ``null_safe`` joins NULL keys as equal (dedup_exact's
+    md5(NULL) group). Output: probe columns + build's other columns;
+    bookkeeping columns are dropped.
+
+    Per-task bound: a hot key's probe rows land on ``n_salts``
+    reducers (max rows/task per key ~ count/n_salts); cold keys pay
+    one extra int in the join key and a broadcast-hash-join probe.
+
+    ``build`` feeds two consumers (the hot-key broadcast and the
+    salted join side), so it is pinned (lazy localCheckpoint, the
+    ngram_jaccard inverted-index convention) — unpinned, its whole
+    aggregation lineage (often a full corpus pass) would run twice.
+    The pinned frame is the per-key aggregate: key + counts, orders of
+    magnitude narrower than the probe it summarizes.
+    """
+    from .pinning import pin
+
+    build = pin(build)
+    hot = F.broadcast(
+        build.filter(F.col(count_col) >= hot_threshold)
+        .select(F.col(key).alias("_hk"))
+        .withColumn("_is_hot", F.lit(True))
+    )
+    p_key = F.col(f"_p.{key}")
+    hot_cond = p_key.eqNullSafe(F.col("_hk")) if null_safe else p_key == F.col("_hk")
+    salted_probe = (
+        probe.alias("_p")
+        .join(hot, hot_cond, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hot"),
+                F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .drop("_hk", "_is_hot")
+    )
+    salted_build = build.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col(count_col) >= hot_threshold,
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    if not null_safe:
+        return salted_probe.join(salted_build, [key, "_salt"], "inner").drop("_salt")
+    b_cols = [c for c in build.columns if c != key]
+    joined = salted_probe.alias("_sp").join(
+        salted_build.alias("_sb"),
+        F.col(f"_sp.{key}").eqNullSafe(F.col(f"_sb.{key}"))
+        & (F.col("_sp._salt") == F.col("_sb._salt")),
+        "inner",
+    )
+    return joined.select(
+        *[F.col(f"_sp.{c}") for c in probe.columns],
+        *[F.col(f"_sb.{c}") for c in b_cols],
+    ).drop("_salt")
+
+
 def range_parted_offsets(
     df: DataFrame,
     order_cols: list,

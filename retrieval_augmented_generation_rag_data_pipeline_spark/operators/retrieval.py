@@ -85,24 +85,37 @@ def tfidf_top_terms(
     side is the inverted-index aggregation (shuffle on term); N is a
     scalar from one narrow count.
 
-    Plan: one lineage — scan → explode → tf hash-agg → df window count
-    (partition by term) → rank window. Three shuffles total, no
-    duplicated subtree. The rank filter is a WindowGroupLimit, so only
-    k rows per doc survive the final window shuffle.
+    Plan: the tf side is scan → explode → tf hash-agg; the
+    document-frequency side is its OWN LIGHT lineage — per-doc
+    ``array_distinct`` (row-local), explode, partial-aggregating
+    ``groupBy(term).count`` — joined back on term. Round-10 de-skew:
+    df was previously a window over ``partitionBy(term)``, which (a)
+    welded a stopword's entire postings list onto one task (window
+    partitions cannot be split; AQE CAN split the join that replaced
+    it) and (b) left everything downstream of the window running at
+    distinct-term parallelism. The alternative single-pass groupBy+
+    self-join would duplicate the whole scan→explode→tf subtree; the
+    light lineage re-reads the corpus but skips the tf aggregation —
+    the same price/shape as duplicated_spans' count side. The rank
+    filter is a WindowGroupLimit, so only k rows per doc survive the
+    final per-doc window (doc-bounded partitions, no skew hazard).
     """
     terms = doc_terms(docs, id_col, text_col).select("doc_id", "term", "tf")
-    # document frequency as a window count over the term partition —
-    # NOT a groupBy+self-join, which would duplicate the whole
-    # scan→explode→tf subtree (Catalyst expands the shared subplan into
-    # two copies; at corpus scale that is a second full pass). The
-    # window shuffles the same (doc,term,tf) volume the join would,
-    # but the lineage stays single-pass.
-    df_t = F.count("*").over(Window.partitionBy("term")).cast("long")
+    # df(t) = number of docs containing t = count over per-doc-distinct
+    # terms; vocabulary-sized output, so AQE broadcasts it when small
+    df_small = (
+        ensure_parallelism(docs)
+        .select(
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    )
     n_docs = docs.select(
         F.count("*").cast("long").alias("n_docs")
     )
     scored = (
-        terms.withColumn("df_t", df_t)
+        terms.join(df_small, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -144,9 +157,11 @@ def bm25_search(
 
     Plan shape: the exploded corpus terms are filtered against the
     broadcast literal query-term array BEFORE the tf aggregation, so
-    everything past the scan is sized by matching postings. df(t) is
-    computed over that same filtered frame (document frequency only
-    matters for query terms); N and avgdl are one narrow aggregate over
+    everything past the scan is sized by matching postings. df(t)
+    comes from its own light lineage (per-doc array_intersect with the
+    query terms, partial-aggregating groupBy — document frequency only
+    matters for query terms) and broadcast-joins back at
+    <= |query_terms| rows; N and avgdl are one narrow aggregate over
     doc lengths. The final top-k is TakeOrderedAndProject.
     """
     qset = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
@@ -163,13 +178,23 @@ def bm25_search(
     tf = matched.groupBy("doc_id", "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    # df(t) as a window count over the term partition — avoids a
-    # groupBy+self-join that would re-run the postings scan twice
-    # (same rationale as tfidf_top_terms; the windowed frame here is
-    # postings-sized, tiny after the query-term filter)
-    with_df = tf.withColumn(
-        "df_t", F.count("*").over(Window.partitionBy("term")).cast("long")
+    # df(t) from its own light lineage (per-doc array_intersect against
+    # the query terms — already distinct — then a partial-aggregating
+    # groupBy), broadcast-joined back: <= |query_terms| rows. Round-10
+    # de-skew: the previous partitionBy(term) window not only welded a
+    # stopword query term's whole postings list onto one task, it
+    # capped EVERYTHING downstream of the window at |query_terms|-way
+    # parallelism — a 4-term query scored on 4 tasks however many
+    # executors the cluster has. The broadcast join keeps postings in
+    # their aggregation partitioning end-to-end.
+    df_small = (
+        staged.select(
+            F.explode(F.array_intersect("_tk", qset)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
     )
+    with_df = tf.join(F.broadcast(df_small), "term")
     stats = docs.select(
         F.count("*").cast("long").alias("n_docs"),
         (

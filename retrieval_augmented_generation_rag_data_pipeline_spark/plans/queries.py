@@ -3510,15 +3510,17 @@ def zorder_key(spark, sf):
 # prescribed; then retrieval_eval_ivf_trained (its r9 record was the
 # declared rows-only err row — now fully oracle-checked against the
 # frozen artifacts/quantizer.json, it re-enters with no valid
-# evidence); then dedup_spans / dedup_spans_strip (r9-green, but the
-# round-10 de-skew + 120-bit-key rewrite changed their plans, so they
-# re-validate in-gate rather than riding stale evidence); then the
-# first 34 r8-evidenced entries in CORRECTNESS_r08.json order. The
-# remaining SIXTEEN r8 entries (pii_scrub onward:
-#   pii_scrub, tfidf_top_terms, bm25_search, hybrid_rrf,
-#   ngram_topk, corpus_stats, vocab_entropy, assign_split,
-#   mix_corpora, window_rank, prepare_corpus, window_lead_lag,
-#   window_first_last, agg_stats, agg_pivot, unpivot_melt)
+# evidence); then the SIX queries whose implementations this round's
+# de-skew work rewrote (dedup_spans, dedup_spans_strip, and — pulled
+# forward from the r8 cohort — dedup_exact, tfidf_top_terms,
+# bm25_search, hybrid_rrf, plus prepare_corpus which composes
+# dedup_exact), re-validating the new plans in-gate rather than
+# riding stale evidence; then r8-evidenced entries in
+# CORRECTNESS_r08.json order. The SIXTEEN r8 entries left over:
+#   pii_scrub, ngram_topk, corpus_stats, vocab_entropy,
+#   assign_split, mix_corpora, window_rank, window_lead_lag,
+#   window_first_last, agg_stats, agg_pivot, unpivot_melt,
+#   multimodal_features, artifact_probe, sample_stratified, repetition_metrics
 # overflow the 50-entry window and MUST lead round 11's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r7) -- must refresh this round
@@ -3572,10 +3574,10 @@ _PRIORITY_QUERIES = [
     "token_count",
     "doc_fingerprint",
     "chunk_documents",
-    "multimodal_features",
-    "artifact_probe",
-    "sample_stratified",
-    "repetition_metrics",
+    "tfidf_top_terms",
+    "bm25_search",
+    "hybrid_rrf",
+    "prepare_corpus",
 ]
 
 

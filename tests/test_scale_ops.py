@@ -183,3 +183,44 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     # the curve should cut BOTH well below half the global span
     assert mean_a < 512, mean_a
     assert mean_b < 512, mean_b
+
+
+def test_hot_salted_count_join_matches_plain_and_spreads_hot(spark):
+    """hot_salted_count_join must emit exactly the plain inner join's
+    rows (hot + cold + null-key groups under null_safe), while
+    spreading a hot key's probe rows across salts on the build side."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        hot_salted_count_join,
+    )
+
+    # 60 probe rows on a hot key, a few cold keys, and NULL keys
+    rows = (
+        [(i, "hot") for i in range(60)]
+        + [(100 + i, f"cold{i}") for i in range(5)]
+        + [(200, None), (201, None)]
+    )
+    probe = spark.createDataFrame(rows, "id long, k string")
+    build = probe.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("id").alias("lead_id"),
+    )
+    got = hot_salted_count_join(
+        probe, build, key="k", count_col="n", salt_src="id",
+        hot_threshold=50, n_salts=4, null_safe=True,
+    )
+    want = (
+        probe.alias("p")
+        .join(build.alias("b"), F.col("p.k").eqNullSafe(F.col("b.k")))
+        .select("id", "p.k", "n", "lead_id")
+    )
+    assert sorted(map(tuple, got.select("id", "k", "n", "lead_id").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # without null_safe, NULL-key probe rows drop like a plain inner join
+    got_ns = hot_salted_count_join(
+        probe, build.filter(F.col("k").isNotNull()),
+        key="k", count_col="n", salt_src="id",
+        hot_threshold=50, n_salts=4,
+    )
+    assert got_ns.filter(F.col("k").isNull()).count() == 0
+    assert got_ns.count() == 65

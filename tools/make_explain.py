@@ -84,13 +84,16 @@ PICKS = {
     "tfidf_top_terms": (
         "lexical retrieval postings lineage: one staged tokenize (dl + "
         "explode share the array), tf hash-agg with map-side combine, "
-        "document frequency as a term-partitioned window count (never a "
-        "groupBy+self-join that would replay the scan), broadcast 1-row "
-        "corpus stats, WindowGroupLimit per-doc top-k. bm25_search "
-        "shares this lineage with a query-term filter BEFORE the tf "
-        "shuffle; its <= 20 survivors are ranked by rank_small's "
-        "single-consumer sorted-array form (one k-row Exchange, no "
-        "self-join, no pin — round 9)"
+        "document frequency from its OWN light lineage (per-doc "
+        "array_distinct -> partial-agg groupBy(term), joined back — "
+        "round 10: the old term-partitioned window welded a stopword's "
+        "postings onto one task and capped everything downstream at "
+        "distinct-term parallelism), broadcast 1-row corpus stats, "
+        "WindowGroupLimit per-doc top-k. bm25_search shares this shape "
+        "with a query-term filter BEFORE the tf shuffle and a "
+        "broadcast <= |query_terms|-row df join; its <= 20 survivors "
+        "are ranked by rank_small's single-consumer sorted-array form "
+        "(one k-row Exchange, no self-join, no pin — round 9)"
     ),
     "sample_exact_k": (
         "exact-k deterministic sample: TakeOrderedAndProject (per-"

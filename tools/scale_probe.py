@@ -16,6 +16,9 @@ depends on data shape, printing one JSON line per probe:
   span_skew        10% of docs share a planted 40-token boilerplate
                    prefix — per-task row distribution of the span_hits
                    join must stay flat (no universal-hash hot task)
+  exact_skew       10% of docs made IDENTICAL — dedup_exact's groupBy+
+                   join output must stay flat per task (the old
+                   per-digest window welded the group to one task)
   (plus embedding_near_dup[_capped], positional_zip, skew_join,
   bloom_anti_join, chain_cc, pack_sequences, pack_assembly,
   pq_adc_topk — one results key each in the printed JSON)
@@ -183,6 +186,10 @@ def main() -> None:
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        # probe-scale data is small enough that AQE's partition
+        # coalescing would merge the whole stage into 1-2 tasks and
+        # mask the per-task distribution being measured
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
     saved = {k2: spark.conf.get(k2) for k2 in skew_confs}
     try:
@@ -207,6 +214,45 @@ def main() -> None:
         "sec": planted_sec,
         "join_tasks": len(rows),
         "hit_rows_total": total,
+        "max_task_rows": max_rows,
+        "max_task_share": round(max_rows / max(total, 1), 4),
+    }
+
+    # ---- universal-digest skew in dedup_exact (round-10, same family
+    # as span_skew): make 10% of docs IDENTICAL text — one digest group
+    # is docs/10 rows, the load the old partitionBy(_digest) window
+    # welded onto one task. Reading: per-task rows of the groupBy+join
+    # output under join-skew-friendly confs; max_task_rows should sit
+    # near total/partitions.
+    identical = big_docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.lit("the same boilerplate page")
+        ).otherwise(F.col("text")),
+    )
+    saved = {k2: spark.conf.get(k2) for k2 in skew_confs}
+    try:
+        for k2, v in skew_confs.items():
+            spark.conf.set(k2, v)
+        t0 = time.time()
+        per_task = (
+            dedup.dedup_exact(identical)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        exact_sec = round(time.time() - t0, 2)
+    finally:
+        for k2, v in saved.items():
+            spark.conf.set(k2, v)
+    rows = [r["count"] for r in per_task]
+    total, max_rows = sum(rows), max(rows)
+    results["exact_skew"] = {
+        "docs": 5000 * n,
+        "hot_digest_docs": round(5000 * n / 10),
+        "sec": exact_sec,
+        "out_tasks": len(rows),
+        "out_rows": total,
         "max_task_rows": max_rows,
         "max_task_share": round(max_rows / max(total, 1), 4),
     }
