@@ -222,3 +222,54 @@ def test_duplicated_spans_match_python_reference(spark, texts):
         for r in strip_duplicated_spans(df, k=3).collect()
     }
     assert stripped == ref_strip(texts, got, k=3)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(VOCAB + [None])),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(2, 6),  # hot_threshold
+    st.integers(2, 5),  # n_salts
+)
+@settings(max_examples=12, deadline=None)
+def test_hot_salted_count_join_is_exactly_the_plain_join(
+    spark, rows, hot_threshold, n_salts
+):
+    """Property (round 10): hot_salted_count_join with null_safe=True
+    is row-for-row the plain null-safe inner join for ANY probe
+    multiset, threshold, and salt count — salting may only move rows
+    between tasks, never add/drop/duplicate them. Random key skew means
+    some examples salt several keys, some none, some all."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        hot_salted_count_join,
+    )
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(i, k) for i, (pid, k) in enumerate(rows)],
+        "id long, k string",
+    )
+    if not rows:
+        probe = spark.createDataFrame([], "id long, k string")
+    build = probe.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    got = sorted(
+        map(
+            tuple,
+            hot_salted_count_join(
+                probe, build, key="k", count_col="n", salt_src="id",
+                hot_threshold=hot_threshold, n_salts=n_salts, null_safe=True,
+            ).select("id", "k", "n").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            probe.alias("p")
+            .join(build.alias("b"), F.col("p.k").eqNullSafe(F.col("b.k")))
+            .select("id", "p.k", "n")
+            .collect(),
+        )
+    )
+    assert got == want
