@@ -835,10 +835,10 @@ def span_hits(
     production join's per-task distribution directly; see
     ``duplicated_spans`` for the full contract and scale analysis."""
     if k < 2:
-        raise ValueError(f"duplicated_spans: k must be >= 2, got {k}")
+        raise ValueError(f"span_hits: k must be >= 2, got {k}")
     if min_docs < 2:
         raise ValueError(
-            f"duplicated_spans: min_docs must be >= 2, got {min_docs}"
+            f"span_hits: min_docs must be >= 2, got {min_docs}"
         )
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -846,30 +846,32 @@ def span_hits(
             hash_pair_array(word_shingles(tokens(F.col(text_col)), k))
         ).alias("_i", "h"),
     ).select("doc_id", (F.col("_i") + 1).cast("long").alias("pos"), "h")
-    # distinct docs per hash WITHOUT a postings-wide exchange: the
-    # within-doc dedup happens row-locally (array_distinct over the
-    # doc's own span hashes), so the only shuffled rows are one per
-    # (doc, distinct hash) — and groupBy(h).count partial-aggregates
-    # map-side, so a corpus-universal h reaches its reducer as at most
-    # one row per upstream task. count over per-doc-distinct hashes IS
-    # count(distinct doc_id) per h.
+    # two-level agg over the shared postings lineage (Catalyst prunes
+    # `pos` on this branch): level 1 combines per (h, doc_id) —
+    # map-side partial, and the exchange key spreads a universal h
+    # across every doc_id, so the hot-h rows land on MANY tasks; level
+    # 2 (tiny, partial-combined) derives BOTH the exact distinct-doc
+    # count (_nd, the min_docs semantic — count of (h, doc_id) groups,
+    # correct even when a caller passes duplicate doc_id rows, unlike
+    # a per-row count) and the exact postings count (_npost, the
+    # hot-salting criterion — within-doc span repetition inflates
+    # postings without raising the doc count, so _nd alone would
+    # under-salt a log-spam key).
     dup = (
-        ensure_parallelism(docs)
-        .select(
-            F.explode(
-                F.array_distinct(
-                    hash_pair_array(word_shingles(tokens(F.col(text_col)), k))
-                )
-            ).alias("h")
-        )
+        sh.groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_nd"))
+        .agg(
+            F.count(F.lit(1)).alias("_nd"),
+            F.sum("_c").alias("_npost"),
+        )
         .filter(F.col("_nd") >= min_docs)
+        .select("h", "_npost")
     )
     from .joins import hot_salted_count_join
 
     return hot_salted_count_join(
-        sh, dup, key="h", count_col="_nd", salt_src="doc_id"
+        sh, dup, key="h", count_col="_npost", salt_src="doc_id"
     ).select("doc_id", "pos")
 
 
@@ -920,14 +922,15 @@ def duplicated_spans(
 
     Scale — every stage is skew-bounded; no per-hash task hot spot:
 
-    1. per-doc ``array_distinct`` over the doc's own span hashes —
-       row-local, NO exchange: a span repeated 1000x inside one
-       document collapses in place, so the distinct-doc count side
-       never shuffles the full postings at all.
-    2. ``groupBy(h).count`` over the exploded per-doc-distinct hashes
-       — partial-agg combine means each map task emits one row per h;
-       the reducer for a universal h receives at most one row per
-       upstream task.
+    1. ``groupBy(h, doc_id)`` over the postings — map-side partial
+       combine collapses a span repeated 1000x inside one document on
+       its map task, and the exchange key (h, doc_id) spreads a
+       corpus-universal h across every doc_id, so the hot-h rows land
+       on MANY tasks, not one.
+    2. ``groupBy(h)`` over the per-(h, doc) rows — tiny, partial-
+       combined (each map task emits one row per h); yields the exact
+       distinct-doc count (the min_docs semantic) and the exact
+       postings count (the hot-salting criterion in stage 3).
     3. postings join against the duplicated-h set via
        ``hot_salted_count_join`` — hashes whose distinct-doc count
        crosses the hot threshold are salted across n_salts reducers
@@ -946,14 +949,14 @@ def duplicated_spans(
        doc_id partitioning (doc_id is a prefix of its grouping key).
 
     Shuffle accounting: the ingest ``ensure_parallelism`` repartition
-    (small inputs only — a no-op at scale), the tiny per-h count
-    exchange (its input deduped row-locally, never a postings-wide
-    exchange), the join exchanges, and the doc_id region-merge
-    exchange. The span-hash lineage is computed twice (count side +
-    probe side) — deliberately: it is narrow, cheap CPU over the
-    corpus scan, and materializing corpus-token-count rows to skip
-    one recompute would cost more at 100 TB than the second pass. No
-    all-pairs stage, no driver collect.
+    (small inputs only — a no-op at scale), the (h, doc_id)
+    partial-combined count exchange + the tiny per-h exchange above
+    it, the join exchanges, and the doc_id region-merge exchange. The
+    span-hash lineage is computed twice (count side + probe side) —
+    deliberately: it is narrow, cheap CPU over the corpus scan, and
+    materializing corpus-token-count rows to skip one recompute would
+    cost more at 100 TB than the second pass. No all-pairs stage, no
+    driver collect.
     """
     hits = span_hits(docs, k, min_docs, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")

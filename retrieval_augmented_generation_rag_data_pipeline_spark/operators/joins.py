@@ -432,7 +432,7 @@ def hot_salted_count_join(
     return joined.select(
         *[F.col(f"_sp.{c}") for c in probe.columns],
         *[F.col(f"_sb.{c}") for c in b_cols],
-    ).drop("_salt")
+    )
 
 
 def range_parted_offsets(

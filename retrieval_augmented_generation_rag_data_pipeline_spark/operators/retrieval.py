@@ -101,15 +101,19 @@ def tfidf_top_terms(
     final per-doc window (doc-bounded partitions, no skew hazard).
     """
     terms = doc_terms(docs, id_col, text_col).select("doc_id", "term", "tf")
-    # df(t) = number of docs containing t = count over per-doc-distinct
-    # terms; vocabulary-sized output, so AQE broadcasts it when small
+    # df(t) = number of DISTINCT docs containing t (count_distinct, not
+    # a row count — duplicate doc_id rows must not inflate df, matching
+    # the oracle's doc_id-grouped frame); per-doc array_distinct first
+    # so each doc contributes each term once to the partial aggregate.
+    # Vocabulary-sized output, so AQE broadcasts it when small.
     df_small = (
         ensure_parallelism(docs)
         .select(
-            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term")
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
         )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("df_t"))
     )
     n_docs = docs.select(
         F.count("*").cast("long").alias("n_docs")
@@ -189,10 +193,11 @@ def bm25_search(
     # their aggregation partitioning end-to-end.
     df_small = (
         staged.select(
-            F.explode(F.array_intersect("_tk", qset)).alias("term")
+            "doc_id",
+            F.explode(F.array_intersect("_tk", qset)).alias("term"),
         )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("df_t"))
     )
     with_df = tf.join(F.broadcast(df_small), "term")
     stats = docs.select(

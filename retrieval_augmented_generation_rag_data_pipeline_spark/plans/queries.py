@@ -1296,7 +1296,20 @@ def _retrieval_eval_ivf_sql(
         centroids = [ivf_centroid(c, dim) for c in range(n_cells)]
     if codebooks is None:
         codebooks = default_pq_codebooks(dim, m, ksub)
-    dsub = dim // m
+    # geometry FROM the quantizer actually used, exactly as the Spark
+    # side derives it (ann_ivfpq_topk_mem: m = len(codebooks)) — an
+    # artifact retrained with non-default m/ksub/n_cells must reshape
+    # the oracle's slicing too, or the gate mismatches with no error
+    # pointing at the geometry
+    n_cells = len(centroids)
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if m * dsub != dim or any(len(cv) != dim for cv in centroids):
+        raise ValueError(
+            f"_retrieval_eval_ivf_sql: quantizer geometry (m={m}, "
+            f"dsub={dsub}, centroid dims) inconsistent with dim={dim}"
+        )
     ivf_rows = []
     for c, cv in enumerate(centroids):
         lit = "[" + ", ".join(repr(v) for v in cv) + "]"
@@ -1405,10 +1418,21 @@ def retrieval_eval_ivf(spark, sf):
     return _retrieval_metrics(q, exact, ann, k=5)
 
 
-def _trained_quantizer_sql() -> str:
+def _trained_quantizer_sql() -> str | None:
+    """Oracle SQL replaying ADC over the frozen artifact's literals —
+    or None when the artifact is missing/corrupt, so that a sparse
+    checkout (the artifact lives at repo root, outside the package)
+    degrades ONLY this query to the rows-only path instead of turning
+    a file-read failure into an ImportError that takes down the whole
+    113-query registry, bench, and plan tooling. The query itself then
+    raises the underlying error at run time with the artifact path in
+    the message (frozen_quantizer's FileNotFoundError)."""
     from ..operators.vectors import frozen_quantizer
 
-    cents, books = frozen_quantizer()
+    try:
+        cents, books = frozen_quantizer()
+    except Exception:
+        return None
     return _retrieval_eval_ivf_sql(centroids=cents, codebooks=books)
 
 
@@ -3542,8 +3566,13 @@ _PRIORITY_QUERIES = [
     # (3) implementation rewritten this round -- deliberate re-validation
     "dedup_spans",
     "dedup_spans_strip",
-    # (4) r8-evidenced entries, CORRECTNESS_r08.json order (first 34;
-    #     the 16 from pii_scrub onward overflow -> lead round 11)
+    # (4) r8-evidenced fill, CORRECTNESS_r08.json order EXCEPT the
+    #     four de-skew-rewritten entries pulled forward from deeper in
+    #     that order (tfidf_top_terms, bm25_search, hybrid_rrf,
+    #     prepare_corpus) displacing multimodal_features /
+    #     artifact_probe / sample_stratified / repetition_metrics into
+    #     the overflow; the authoritative 16-name overflow cohort that
+    #     MUST lead round 11 is the STANDING ROTATION block above
     "normalize_text",
     "dedup_chunks",
     "dedup_incremental",

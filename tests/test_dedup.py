@@ -530,3 +530,26 @@ def test_strip_duplicated_spans_planted_fixpoint(spark):
     )
     stripped = strip_duplicated_spans(docs, k=5).select("doc_id", "text")
     assert duplicated_spans(stripped, k=5).count() == 0
+
+
+def test_duplicated_spans_counts_distinct_docs_not_rows(spark):
+    """Round-10 review regression: a caller passing DUPLICATE doc_id
+    rows (nothing validates uniqueness) must not see a span flagged as
+    cross-document-duplicated just because the same document appears
+    twice — the min_docs semantic is count(DISTINCT doc_id), exactly
+    what the DuckDB oracle computes."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    text = "one two three four five six seven eight"
+    same_doc_twice = spark.createDataFrame(
+        [(1, text), (1, text)], ["doc_id", "text"]
+    )
+    assert duplicated_spans(same_doc_twice, k=8).count() == 0
+    # a genuine second document still flags
+    two_docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    regions = duplicated_spans(two_docs, k=8).collect()
+    assert sorted(r.doc_id for r in regions) == [1, 2]

@@ -159,3 +159,36 @@ def test_bm25_rows_come_back_rank_ordered(spark):
     )
     rows = bm25_search(df, ["alpha"], topk=10).collect()
     assert [r.rank for r in rows] == list(range(1, 11))
+
+
+def test_df_counts_distinct_docs_on_duplicate_rows(spark):
+    """Round-10 review regression: duplicate doc_id rows must not
+    inflate document frequency in tfidf_top_terms / bm25_search — df
+    is per DISTINCT doc (the oracle groups by doc_id), so a term in
+    one doc listed twice has df=1, not 2."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.retrieval import (
+        bm25_search,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (1, "hello world"), (2, "other words")],
+        ["doc_id", "text"],
+    )
+    top = tfidf_top_terms(docs, k=5)
+    hello = [r for r in top.collect() if r.doc_id == 1 and r.term == "hello"]
+    # df(hello)=1 of n_docs=3 rows -> idf = ln(3/1); a row count would
+    # give ln(3/2)
+    assert hello and abs(hello[0].tfidf - round(2 * math.log(3.0 / 1.0), 6)) < 1e-9
+    scores = {r.doc_id: r.score for r in bm25_search(docs, ["hello"]).collect()}
+    # df=1, N=3: idf = ln(1 + (3 - 1 + 0.5) / 1.5) = ln(8/3)
+    assert 1 in scores and scores[1] > 0
+    dl, avgdl = 2, 2.0
+    tf = 2  # doc 1's rows merge into one tf=2 group
+    idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    want = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert abs(scores[1] - round(want, 6)) < 1e-9

@@ -32,6 +32,7 @@ import json
 import pathlib
 import sys
 import time
+from contextlib import contextmanager
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -59,6 +60,33 @@ def replicate(df, n, id_cols):
     for c in out[1:]:
         u = u.unionByName(c)
     return u
+
+
+SKEW_PROBE_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    # probe-scale data is small enough that AQE's partition coalescing
+    # would merge the whole stage into 1-2 tasks and mask the per-task
+    # distribution being measured
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+@contextmanager
+def skew_probe_confs(spark):
+    """Apply the skew-measurement confs, restoring on exit — one
+    definition for every planted-skew probe so the conf lists cannot
+    drift apart."""
+    saved = {k: spark.conf.get(k) for k in SKEW_PROBE_CONFS}
+    try:
+        for k, v in SKEW_PROBE_CONFS.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def main() -> None:
@@ -181,29 +209,13 @@ def main() -> None:
     t0 = time.time()
     n_regions_planted = dedup.duplicated_spans(planted, k=span_k).count()
     planted_sec = round(time.time() - t0, 2)
-    skew_confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
-        # probe-scale data is small enough that AQE's partition
-        # coalescing would merge the whole stage into 1-2 tasks and
-        # mask the per-task distribution being measured
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-    }
-    saved = {k2: spark.conf.get(k2) for k2 in skew_confs}
-    try:
-        for k2, v in skew_confs.items():
-            spark.conf.set(k2, v)
+    with skew_probe_confs(spark):
         per_task = (
             dedup.span_hits(planted, k=span_k)
             .groupBy(F.spark_partition_id().alias("p"))
             .count()
             .collect()
         )
-    finally:
-        for k2, v in saved.items():
-            spark.conf.set(k2, v)
     rows = [r["count"] for r in per_task]
     total, max_rows = sum(rows), max(rows)
     results["span_skew"] = {
@@ -230,10 +242,7 @@ def main() -> None:
             F.col("doc_id") % 10 == 0, F.lit("the same boilerplate page")
         ).otherwise(F.col("text")),
     )
-    saved = {k2: spark.conf.get(k2) for k2 in skew_confs}
-    try:
-        for k2, v in skew_confs.items():
-            spark.conf.set(k2, v)
+    with skew_probe_confs(spark):
         t0 = time.time()
         per_task = (
             dedup.dedup_exact(identical)
@@ -242,9 +251,6 @@ def main() -> None:
             .collect()
         )
         exact_sec = round(time.time() - t0, 2)
-    finally:
-        for k2, v in saved.items():
-            spark.conf.set(k2, v)
     rows = [r["count"] for r in per_task]
     total, max_rows = sum(rows), max(rows)
     results["exact_skew"] = {
