@@ -870,8 +870,14 @@ def span_hits(
     )
     from .joins import hot_salted_count_join
 
+    # salt on (doc_id, pos), not doc_id alone: _npost hotness exists
+    # precisely for WITHIN-doc repetition (the log-spam key), where all
+    # of one document's postings share a doc_id — doc_id-only salting
+    # would put the whole hot document back on one reducer (round-10
+    # advisory); pos varies per posting, so the per-task count/n_salts
+    # bound holds whichever side the hotness comes from.
     return hot_salted_count_join(
-        sh, dup, key="h", count_col="_npost", salt_src="doc_id"
+        sh, dup, key="h", count_col="_npost", salt_src=("doc_id", "pos")
     ).select("doc_id", "pos")
 
 

@@ -31,6 +31,8 @@ zero driver-side iteration.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -340,10 +342,11 @@ def hot_salted_count_join(
     build: DataFrame,
     key: str,
     count_col: str,
-    salt_src: str,
+    salt_src: str | Sequence[str],
     hot_threshold: int = 4096,
     n_salts: int = 16,
     null_safe: bool = False,
+    max_hot_keys: int = 100_000,
 ) -> DataFrame:
     """Inner equi-join of a big ``probe`` against a per-key-UNIQUE
     ``build`` where ONLY the hot keys are salted — the deterministic
@@ -363,63 +366,92 @@ def hot_salted_count_join(
     fine for a broadcast-scale dim, ruinous for a vocabulary-sized
     build (the dedup_exact groups frame is one row per distinct
     digest; 16x that can exceed the probe itself). Here only keys with
-    ``count_col >= hot_threshold`` replicate, and the probe learns
-    which keys are hot via a broadcast of the hot-key set — consumed
-    ONCE, no probe lineage duplication.
+    ``count_col >= hot_threshold`` replicate.
+
+    How the probe learns hotness (round 11; was a broadcast-left-join):
+    the hot keys are read once from the PINNED aggregate at
+    plan-construction time as ``xxhash64(key)`` longs — a driver read
+    bounded by ``max_hot_keys`` (the call raises past the cap with
+    guidance to raise ``hot_threshold``, instead of the round-10
+    failure mode: an unbounded forced broadcast silently OOMing the
+    driver). Both sides then test the SAME ``xxhash64(key) IN <set>``
+    predicate (an InSet over longs, type-agnostic — works for string
+    digests and struct span keys alike; xxhash64(NULL) is the constant
+    seed, so the null_safe NULL group is consistent too). A cold key
+    whose hash collides with a hot one is merely salted on BOTH sides
+    — results stay exact; the only effect is one extra replicated
+    build row per ~2^-64 collision. With NO hot keys (the common case)
+    the whole operator degenerates to a plain equi-join on a constant
+    salt: no broadcast exchange, no per-probe-row hot-set probe — that
+    broadcast-left-join overhead was the round-10 fixed cost flagged
+    on dedup_exact.
 
     Contract: ``build`` has exactly one row per ``key`` carrying
     ``count_col`` (a monotone proxy for probe rows per key — group
-    size, distinct-doc count); the hot-key set must be broadcastable,
-    which is structural: at most total_probe_rows / hot_threshold keys
-    can be hot, so size the threshold to the corpus. ``salt_src``
-    names a probe column whose hash spreads a hot key's rows (an id
-    column). ``null_safe`` joins NULL keys as equal (dedup_exact's
+    size, distinct-doc count); at most total_probe_rows/hot_threshold
+    keys can be hot, so size the threshold (and, for pathological
+    corpora, ``max_hot_keys``) to the corpus. ``salt_src`` names a
+    probe column — or several, hashed together — whose values spread a
+    hot key's rows. The per-task bound (max rows/task per hot key ~
+    count/n_salts) holds only if salt_src is high-cardinality WITHIN
+    each hot key: span_hits passes (doc_id, pos) because its postings
+    count is hot precisely under within-doc repetition, where doc_id
+    alone is one value and would put the whole log-spam document on
+    one reducer. ``null_safe`` joins NULL keys as equal (dedup_exact's
     md5(NULL) group). Output: probe columns + build's other columns;
     bookkeeping columns are dropped.
 
-    Per-task bound: a hot key's probe rows land on ``n_salts``
-    reducers (max rows/task per key ~ count/n_salts); cold keys pay
-    one extra int in the join key and a broadcast-hash-join probe.
-
-    ``build`` feeds two consumers (the hot-key broadcast and the
-    salted join side), so it is pinned (lazy localCheckpoint, the
-    ngram_jaccard inverted-index convention) — unpinned, its whole
-    aggregation lineage (often a full corpus pass) would run twice.
-    The pinned frame is the per-key aggregate: key + counts, orders of
-    magnitude narrower than the probe it summarizes.
+    ``build`` is pinned (lazy localCheckpoint, the ngram_jaccard
+    inverted-index convention): its aggregation lineage — often a full
+    corpus pass — materializes once and serves both the construction-
+    time hot-key read and the executed join build. The pinned frame is
+    the per-key aggregate: key + counts, orders of magnitude narrower
+    than the probe it summarizes. Note the construction-time read makes
+    this operator EAGER (it runs the build's jobs when called, not at
+    the first downstream action) — bench.py times construction+action
+    together, so the cost stays measured.
     """
     from .pinning import pin
 
     build = pin(build)
-    hot = F.broadcast(
+    salt_cols = [salt_src] if isinstance(salt_src, str) else list(salt_src)
+    hot_rows = (
         build.filter(F.col(count_col) >= hot_threshold)
-        .select(F.col(key).alias("_hk"))
-        .withColumn("_is_hot", F.lit(True))
+        .select(F.xxhash64(F.col(key)).alias("_hx"))
+        .limit(max_hot_keys + 1)
+        .collect()
     )
-    p_key = F.col(f"_p.{key}")
-    hot_cond = p_key.eqNullSafe(F.col("_hk")) if null_safe else p_key == F.col("_hk")
-    salted_probe = (
-        probe.alias("_p")
-        .join(hot, hot_cond, "left")
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_is_hot"),
-                F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"),
-            )
-            .otherwise(F.lit(0)),
+    if len(hot_rows) > max_hot_keys:
+        raise ValueError(
+            f"hot_salted_count_join: more than {max_hot_keys} keys have "
+            f"{count_col} >= {hot_threshold}; the hot-key set must stay "
+            "driver-resident. Raise hot_threshold (each hot key already "
+            f"carries >= {hot_threshold} probe rows, so fewer keys can "
+            "be hot) or max_hot_keys if the driver has the memory."
         )
-        .drop("_hk", "_is_hot")
-    )
-    salted_build = build.withColumn(
-        "_salt",
-        F.explode(
+    hot_vals = sorted({r["_hx"] for r in hot_rows})
+    if hot_vals:
+        def _is_hot(c):
+            return F.xxhash64(c).isin(hot_vals)
+
+        probe_salt = (
             F.when(
-                F.col(count_col) >= hot_threshold,
-                F.sequence(F.lit(0), F.lit(n_salts - 1)),
-            ).otherwise(F.array(F.lit(0)))
-        ),
-    )
+                _is_hot(F.col(key)),
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in salt_cols]),
+                    F.lit(n_salts),
+                ).cast("int"),
+            )
+            .otherwise(F.lit(0))
+        )
+        build_salts = F.when(
+            _is_hot(F.col(key)), F.sequence(F.lit(0), F.lit(n_salts - 1))
+        ).otherwise(F.array(F.lit(0)))
+    else:
+        probe_salt = F.lit(0)
+        build_salts = F.array(F.lit(0))
+    salted_probe = probe.withColumn("_salt", probe_salt)
+    salted_build = build.withColumn("_salt", F.explode(build_salts))
     if not null_safe:
         return salted_probe.join(salted_build, [key, "_salt"], "inner").drop("_salt")
     b_cols = [c for c in build.columns if c != key]

@@ -1430,10 +1430,14 @@ def _trained_quantizer_sql() -> str | None:
     from ..operators.vectors import frozen_quantizer
 
     try:
+        # The SQL build stays inside the guard too: _retrieval_eval_ivf_sql
+        # validates artifact geometry (dim/m/ksub consistency), so a
+        # JSON-valid but shape-corrupt artifact must ALSO degrade to the
+        # rows-only path — not surface as an ImportError at registry load.
         cents, books = frozen_quantizer()
+        return _retrieval_eval_ivf_sql(centroids=cents, codebooks=books)
     except Exception:
         return None
-    return _retrieval_eval_ivf_sql(centroids=cents, codebooks=books)
 
 
 @_q("retrieval_eval_ivf_trained", _trained_quantizer_sql())
@@ -2709,7 +2713,8 @@ matched AS (
 ),
 tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
        FROM matched GROUP BY doc_id, dl, term),
-dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+        FROM tf GROUP BY term),
 stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
