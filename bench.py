@@ -91,6 +91,9 @@ HEADLINE = [
     "retrieval_eval_ivf",
     "dedup_spans",
     "dedup_spans_strip",
+    "dedup_spans_strip_raw",
+    "dedup_semantic",
+    "lm_perplexity",
 ]
 
 RUNS = 3

@@ -606,3 +606,94 @@ def pii_scrub(
             F.size(F.regexp_extract_all("_t2", F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
         )
     )
+
+
+_FROZEN_LM_CACHE: dict[str, dict] = {}
+
+
+def frozen_lm(path: str | None = None) -> dict:
+    """The committed frozen unigram LM artifact (artifacts/lm.json,
+    written by tools/train_lm.py — the CCNet-style reference model for
+    perplexity quality filtering). Same train/freeze/apply seam as
+    operators/vectors.py frozen_quantizer: the table is metadata-sized,
+    trained offline on the seeded reference corpus, applied to any
+    corpus at any sf, and its log-prob literals are replayed verbatim
+    by the DuckDB oracle. Loaded once per process (tiny, cached)."""
+    import json as _json
+    import pathlib as _pathlib
+
+    if path is None:
+        path = str(
+            _pathlib.Path(__file__).resolve().parents[2]
+            / "artifacts"
+            / "lm.json"
+        )
+    cached = _FROZEN_LM_CACHE.get(path)
+    if cached is None:
+        cached = _json.loads(_pathlib.Path(path).read_text())
+        _FROZEN_LM_CACHE[path] = cached
+    return cached
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    lm: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy (and perplexity) under a frozen
+    reference unigram LM — the CCNet quality signal (Wenzek et al.
+    2020 rank web docs by reference-LM perplexity and keep the fluent
+    tail; round-11 verdict item 4). ``lm`` is the artifact dict
+    (default: ``frozen_lm()``), carrying per-token log-probs computed
+    at TRAINING time — neither engine does its own transcendental math
+    on unshared inputs, so the oracle replays the same literals.
+
+    Returns (doc_id, n_tokens, xent, ppl) for every doc with >= 1
+    token (empty/whitespace-only docs have no defined per-token
+    entropy and emit no row):
+
+        xent = round(-round(sum(logp), 6) / n_tokens, 6)   [nats/token]
+        ppl  = round(exp(xent), 6)
+
+    The inner round-then-divide makes the fold-order-sensitive double
+    sum deterministic across engines BEFORE the division (the bm25
+    parity convention); ppl is derived from the rounded xent, so rank
+    order is shared. Gate queries compare xent, not ppl: ln is
+    bit-identical across Spark (JVM) and DuckDB (libm) on this corpus
+    but exp is not guaranteed to be, and xent is the same ranking.
+
+    Plan (100 TB): explode -> broadcast hash join against the
+    vocab-sized log-prob table (OOV misses coalesce to the pooled OOV
+    log-prob) -> one partial-aggregating per-doc sum. The only
+    shuffle is the doc_id aggregation; the vocab table is a literal
+    broadcast (<= max_vocab rows), never a driver-side map literal
+    scanned per token."""
+    if lm is None:
+        lm = frozen_lm()
+    vocab = docs.sparkSession.createDataFrame(
+        list(lm["logp"].items()), "term string, _lp double"
+    )
+    oov = float(lm["oov_logp"])
+    ex = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    summed = (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("_lp"), F.lit(oov))), 6).alias(
+                "_ls"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        F.round(-F.col("_ls") / F.col("n_tokens"), 6).alias("xent"),
+        F.round(
+            F.exp(F.round(-F.col("_ls") / F.col("n_tokens"), 6)), 6
+        ).alias("ppl"),
+    )

@@ -100,7 +100,6 @@ def _topk_per_query(scored, corpus_id: str, k: int, score_col: str = "sim"):
     )
 
 
-
 def knn_topk(
     queries: DataFrame,
     corpus: DataFrame,

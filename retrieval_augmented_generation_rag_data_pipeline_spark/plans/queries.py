@@ -1559,6 +1559,78 @@ WHERE nt - len(kt) > 0
 """
 
 
+def _dedup_spans_strip_raw_sql(k: int = 8, min_docs: int = 2) -> str:
+    toks = O.tokens("text")
+
+    def sl(arr: str, m: str) -> str:
+        # sum of lengths of the first m list elements (m may be 0)
+        return (
+            f"coalesce(list_sum(list_transform({arr}[1:{m}], "
+            f"s -> length(s))), 0)"
+        )
+
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= {k}),
+sp AS (SELECT doc_id, unnest(generate_series(1, len(tk)-{k}+1)) AS pos, tk
+       FROM t2),
+sh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              {O.md5_span_key(f"array_to_string(tk[pos:pos+{k - 1}], ' ')")} AS h
+       FROM sp),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),
+d AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+fl AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+                   THEN 0 ELSE 1 END AS nw
+       FROM d),
+isl AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM fl),
+r AS (SELECT doc_id, min(pos) AS rs, max(pos) - min(pos) + {k} AS rl
+      FROM isl GROUP BY doc_id, g),
+tok AS (SELECT doc_id, text,
+               regexp_extract_all(text, '\\S+') AS tks,
+               regexp_split_to_array(text, '\\S+') AS gps
+        FROM documents),
+cuts AS (SELECT r.doc_id, tok.text, r.rl,
+                CAST({sl('gps', 'rs')} + {sl('tks', 'rs-1')} + 1 AS BIGINT) AS cs,
+                CAST({sl('gps', 'rs+rl-1')} + {sl('tks', 'rs+rl-1')} AS BIGINT) AS ce
+         FROM r JOIN tok USING (doc_id)),
+segs AS (SELECT doc_id, text, cs, ce, rl,
+                coalesce(lag(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS pe
+         FROM cuts),
+ag AS (SELECT doc_id,
+              string_agg(substr(text, CAST(pe+1 AS INT), CAST(cs-pe-1 AS INT)),
+                         '' ORDER BY cs) AS pre,
+              max(ce) AS le,
+              CAST(sum(rl) AS BIGINT) AS n_dropped,
+              min(text) AS tx
+       FROM segs GROUP BY doc_id)
+SELECT doc_id,
+       pre || substr(tx, CAST(le+1 AS INT), CAST(length(tx)-le AS INT)) AS text,
+       n_dropped
+FROM ag
+"""
+
+
+@_q("dedup_spans_strip_raw", _dedup_spans_strip_raw_sql())
+def dedup_spans_strip_raw(spark, sf):
+    """Original-byte substring-dedup apply (round-11 verdict item 2):
+    duplicated k-token regions cut out of the ORIGINAL text as
+    character ranges — casing, punctuation, and whitespace of kept
+    text byte-identical to the input (Lee et al. cut byte ranges; the
+    token-space dedup_spans_strip lowercases and single-spaces
+    everything it keeps). operators/dedup.py
+    strip_duplicated_spans_raw recovers each region's character span
+    from prefix-length sums over the token/gap arrays — evaluated only
+    at region boundaries — and rebuilds kept text from the O(regions)
+    inter-cut substrings. Same changed-docs-only report shape as
+    dedup_spans_strip (the n_dropped > 0 filter also forces the apply
+    path to evaluate under a bare count)."""
+    out = dedup.strip_duplicated_spans_raw(_t(spark, sf, "documents"), k=8)
+    return out.filter(F.col("n_dropped") > 0)
+
+
 @_q("dedup_spans_strip", _dedup_spans_strip_sql())
 def dedup_spans_strip(spark, sf):
     """The APPLY step of substring dedup: duplicated regions removed
@@ -1853,6 +1925,76 @@ def dedup_embedding_cosine(spark, sf):
         pairs.orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_sql() -> str | None:
+    """Oracle for the SemDeDup gate: replays the frozen trained
+    centroids' cell assignment + within-cell greedy near-dup drop in
+    DuckDB. Same artifact guard as _trained_quantizer_sql — a missing
+    or corrupt artifacts/quantizer.json degrades this ONE query to the
+    rows-only path instead of an ImportError taking down the registry."""
+    from ..operators.vectors import frozen_quantizer
+
+    try:
+        cents, _books = frozen_quantizer()
+    except Exception:
+        return None
+    rows = []
+    for c, v in enumerate(cents):
+        lit = "[" + ", ".join(repr(x) for x in v) + "]"
+        rows.append(f"({c}, CAST({lit} AS DOUBLE[]))")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH cent(cid, cv) AS (VALUES
+  {values}
+), d AS (
+  SELECT e.vec_id, e.embedding, c.cid, {O.dot('e.embedding', 'c.cv')} AS dp
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid ASC) AS rn
+  FROM d
+), assigned AS (
+  SELECT vec_id, embedding, CAST(cid AS INTEGER) AS cell
+  FROM ranked WHERE rn = 1
+), dropped AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of,
+         round(max({O.cosine('a.embedding', 'b.embedding')}), 6) AS cos_max
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {O.cosine('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU!r}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell, dr.dup_of, dr.cos_max
+FROM assigned s JOIN dropped dr ON s.vec_id = dr.vec_id
+"""
+
+
+@_q("dedup_semantic", _semdedup_sql())
+def dedup_semantic(spark, sf):
+    """SemDeDup (round-11 verdict item 3): frozen trained k-means
+    cells (artifacts/quantizer.json — the train/freeze/apply seam) +
+    within-cell greedy cosine pruning, composed in
+    operators/dedup.py semantic_dedup. The gate reports the DROP table
+    (vec_id, cell, dup_of, cos_max): the drop set IS the operator's
+    semantic output, and reporting only changed rows keeps a bare
+    count() from letting Catalyst eliminate the unique-key left join
+    (the dedup_spans_strip precedent)."""
+    from ..operators.vectors import frozen_quantizer
+
+    cents, _books = frozen_quantizer()
+    out = dedup.semantic_dedup(
+        _t(spark, sf, "embeddings"),
+        threshold=_SEMDEDUP_TAU,
+        dim=64,
+        centroids=cents,
+    )
+    return out.filter(~F.col("keep")).select(
+        "vec_id", "cell", "dup_of", F.round("cos_max", 6).alias("cos_max")
     )
 
 
@@ -2248,6 +2390,50 @@ FROM s
 @_q("quality_filter", _QFILTER_SQL)
 def quality_filter(spark, sf):
     return text.quality_filter(_t(spark, sf, "documents"))
+
+
+def _lm_perplexity_sql() -> str | None:
+    """Oracle for the CCNet-style LM quality gate: replays the frozen
+    artifact's per-token log-prob literals (computed once at training
+    time — no engine-local transcendental math on unshared inputs) with
+    the identical round-sum-then-divide fold. Same artifact guard as
+    _trained_quantizer_sql: a missing/corrupt artifacts/lm.json
+    degrades this ONE query to the rows-only path."""
+    from ..operators.text import frozen_lm
+
+    try:
+        lm = frozen_lm()
+        rows = ",\n  ".join(
+            f"('{t}', {lp!r})" for t, lp in sorted(lm["logp"].items())
+        )
+        oov = float(lm["oov_logp"])
+    except Exception:
+        return None
+    return f"""
+WITH vocab(term, lp) AS (VALUES
+  {rows}
+), t AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+s AS (SELECT x.doc_id, round(sum(coalesce(v.lp, {oov!r})), 6) AS ls,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM x LEFT JOIN vocab v USING (term)
+      GROUP BY x.doc_id)
+SELECT doc_id, n_tokens, round(-ls / n_tokens, 6) AS xent FROM s
+"""
+
+
+@_q("lm_perplexity", _lm_perplexity_sql())
+def lm_perplexity(spark, sf):
+    """Reference-LM quality scoring (round-11 verdict item 4): per-doc
+    cross-entropy under the frozen unigram LM artifact
+    (artifacts/lm.json, tools/train_lm.py) — the CCNet perplexity
+    signal restated through the train/freeze/apply seam. The gate
+    compares xent (nats/token; ppl = exp(xent) is derived and
+    engine-local exp is not guaranteed bit-portable — same rank
+    order). operators/text.py lm_cross_entropy."""
+    return text.lm_cross_entropy(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "xent"
+    )
 
 
 _TOKEN_COUNT_SQL = rf"""
@@ -3534,84 +3720,84 @@ def zorder_key(spark, sf):
 # the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
 # evidence-less entry sits outside the first 50 positions.
 #
-# STANDING ROTATION (round 10): the THIRTEEN entries whose latest
-# evidence is r7 (exactly at the cap) LEAD, as the round-9 verdict
-# prescribed; then retrieval_eval_ivf_trained (its r9 record was the
-# declared rows-only err row — now fully oracle-checked against the
-# frozen artifacts/quantizer.json, it re-enters with no valid
-# evidence); then the SIX queries whose implementations this round's
-# de-skew work rewrote (dedup_spans, dedup_spans_strip, and — pulled
-# forward from the r8 cohort — dedup_exact, tfidf_top_terms,
-# bm25_search, hybrid_rrf, plus prepare_corpus which composes
-# dedup_exact), re-validating the new plans in-gate rather than
-# riding stale evidence; then r8-evidenced entries in
-# CORRECTNESS_r08.json order. The SIXTEEN r8 entries left over:
-#   pii_scrub, ngram_topk, corpus_stats, vocab_entropy,
-#   assign_split, mix_corpora, window_rank, window_lead_lag,
-#   window_first_last, agg_stats, agg_pivot, unpivot_melt,
-#   multimodal_features, artifact_probe, sample_stratified, repetition_metrics
-# overflow the 50-entry window and MUST lead round 11's rotation.
+# STANDING ROTATION (round 11): the SIXTEEN entries whose latest
+# evidence is r8 (exactly at the cap — the r10 overflow cohort) LEAD,
+# as the round-10 verdict prescribed; then the THREE queries new this
+# round (dedup_spans_strip_raw — original-byte substring-dedup apply;
+# dedup_semantic — SemDeDup over frozen trained cells; lm_perplexity —
+# CCNet-style frozen-LM quality scoring), which have no evidence yet;
+# then the SEVEN queries whose implementation or oracle changed this
+# round (hot_salted_count_join's bounded-collect restructure touches
+# dedup_exact / dedup_spans / dedup_spans_strip and their compositions
+# dedup_corpus / prepare_corpus; the duplicate-doc_id df fix changed
+# bm25_search's oracle and hybrid_rrf shares that CTE), re-validating
+# in-gate rather than riding r10 evidence; then r9-evidenced fill in
+# CORRECTNESS_r09.json order. The TWENTY-THREE r9 entries left over:
+#   agg_count, agg_concat, agg_tpch_q1, agg_percentile, agg_tpch_q6,
+#   top_revenue_orders, join_broadcast, semi_join, anti_join_ledger,
+#   join_salted, bloom_anti_join, join_positional, distinct_keys,
+#   union_globs, limit_n, limit_pushdown, sessionize_islands,
+#   window_tumbling, window_sliding, window_session, agg_rollup,
+#   agg_cube, argmin_nearest
+# overflow the 50-entry window and MUST lead round 12's rotation.
 _PRIORITY_QUERIES = [
-    # (1) evidence exactly 2 rounds old (r7) -- must refresh this round
-    "window_running",
-    "format_dialogue",
-    "str_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_funcs",
-    "map_funcs",
-    "knn_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "dedup_corpus",
-    "decontaminate",
-    # (2) no valid evidence (r9 err row, oracle added this round)
-    "retrieval_eval_ivf_trained",
-    # (3) implementation rewritten this round -- deliberate re-validation
+    # (1) evidence exactly 2 rounds old (r8) -- must refresh this round
+    "pii_scrub",
+    "ngram_topk",
+    "corpus_stats",
+    "vocab_entropy",
+    "assign_split",
+    "mix_corpora",
+    "window_rank",
+    "window_lead_lag",
+    "window_first_last",
+    "agg_stats",
+    "agg_pivot",
+    "unpivot_melt",
+    "multimodal_features",
+    "artifact_probe",
+    "sample_stratified",
+    "repetition_metrics",
+    # (2) no evidence yet (new this round)
+    "dedup_spans_strip_raw",
+    "dedup_semantic",
+    "lm_perplexity",
+    # (3) implementation/oracle changed this round -- deliberate
+    #     re-validation
+    "dedup_exact",
     "dedup_spans",
     "dedup_spans_strip",
-    # (4) r8-evidenced fill, CORRECTNESS_r08.json order EXCEPT the
-    #     four de-skew-rewritten entries pulled forward from deeper in
-    #     that order (tfidf_top_terms, bm25_search, hybrid_rrf,
-    #     prepare_corpus) displacing multimodal_features /
-    #     artifact_probe / sample_stratified / repetition_metrics into
-    #     the overflow; the authoritative 16-name overflow cohort that
-    #     MUST lead round 11 is the STANDING ROTATION block above
-    "normalize_text",
-    "dedup_chunks",
-    "dedup_incremental",
-    "sample_group_k",
-    "sample_weighted_k",
-    "pack_assembly",
-    "retrieval_eval",
-    "dedup_eval",
-    "mix_report",
-    "filter_year",
-    "project_arith",
-    "sort_desc",
-    "topn_per_group",
-    "join_asof",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_mem",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_lsh_pairs",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "lang_id",
-    "quality_score",
-    "quality_filter",
-    "token_count",
-    "doc_fingerprint",
-    "chunk_documents",
-    "tfidf_top_terms",
     "bm25_search",
     "hybrid_rrf",
+    "dedup_corpus",
     "prepare_corpus",
+    # (4) r9-evidenced fill, CORRECTNESS_r09.json order; the leftover
+    #     23-name overflow cohort that MUST lead round 12 is the
+    #     STANDING ROTATION block above
+    "join_interval",
+    "agg_mode",
+    "set_ops",
+    "null_funcs",
+    "explode_pos",
+    "str_distance",
+    "sample_exact_k",
+    "zorder_key",
+    "filter_notnull",
+    "retrieval_eval_ivf",
+    "filter_suffix",
+    "filter_nonempty",
+    "dedup_embedding_capped",
+    "pack_sequences",
+    "pack_pieces",
+    "project_derived",
+    "scan_catalog",
+    "scan_documents",
+    "agg_conditional_count",
+    "agg_multi_counter",
+    "agg_by_year",
+    "agg_histogram",
+    "agg_mean",
+    "agg_max",
 ]
 
 

@@ -553,3 +553,122 @@ def test_duplicated_spans_counts_distinct_docs_not_rows(spark):
     )
     regions = duplicated_spans(two_docs, k=8).collect()
     assert sorted(r.doc_id for r in regions) == [1, 2]
+
+
+def test_strip_duplicated_spans_raw_preserves_original_bytes(spark):
+    """The original-fidelity APPLY step (round-11): kept text must be
+    byte-identical to the input outside the cut character ranges —
+    casing, punctuation, tabs, and multiple spaces intact — and docs
+    with no duplicated regions must round-trip the WHOLE string
+    byte-identically (the token-space variant normalizes even those)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        strip_duplicated_spans_raw,
+    )
+
+    boiler = "This LICENSE text, is COPIED (verbatim) into many docs!"
+    keep1 = "Alpha START.\tKeeps\ttabs &  double  spaces;"
+    tail1 = "  Trailing CASE stays."
+    unique = "No duplication  in THIS one — just  original bytes . . ."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{keep1} {boiler}{tail1}"),
+            (2, f"{boiler} other tail words here now entirely different"),
+            (3, unique),
+            (4, boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_dropped)
+        for r in strip_duplicated_spans_raw(docs, k=5).collect()
+    }
+    nb = 9  # boiler token count
+    # cut is exactly the boiler's characters: the space before it and
+    # the original tail after it survive byte-for-byte
+    assert out[1] == (f"{keep1} {tail1}", nb)
+    assert out[2] == (" other tail words here now entirely different", nb)
+    assert out[3] == (unique, 0)  # byte-identical pass-through
+    assert out[4] == ("", nb)
+
+
+def test_strip_duplicated_spans_raw_mid_doc_multiple_regions(spark):
+    """Two disjoint duplicated regions in one doc: both cut at exact
+    character ranges, segments between/around them untouched, and
+    n_dropped sums both region lengths."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        strip_duplicated_spans_raw,
+    )
+
+    r1 = "alpha beta gamma delta epsilon"  # 5 tokens
+    r2 = "One Two THREE four Five!"  # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"Head-A  {r1} MIDDLE untouched {r2}  Tail-Z"),
+            (2, f"{r1} filler filler2 filler3 filler4 filler5 {r2}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_dropped)
+        for r in strip_duplicated_spans_raw(docs, k=5).collect()
+    }
+    assert out[1] == ("Head-A   MIDDLE untouched   Tail-Z", 10)
+    assert out[2] == (" filler filler2 filler3 filler4 filler5 ", 10)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup: planted near-duplicate embedding clusters collapse to
+    their lowest-id representative; isolated vectors survive; the
+    max_cell_size hygiene cap excludes oversized cells from pairing
+    (conservative — members stay kept)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    def perturb(v, eps, j):
+        out = list(v)
+        out[j] = out[j] + eps
+        return out
+
+    c1 = [1.0, 0.1, 0.0, 0.0, 0.2, 0.0, 0.0, 0.1]
+    c2 = [0.0, 0.0, 1.0, 0.3, 0.0, 0.0, 0.2, 0.0]
+    lone = [0.0, 0.5, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0]
+    rows = [
+        (10, c1),
+        (11, perturb(c1, 0.01, 1)),
+        (12, perturb(c1, -0.01, 4)),
+        (20, c2),
+        (21, perturb(c2, 0.01, 3)),
+        (30, lone),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # explicit centroids (the train/freeze/apply seam): one per planted
+    # cluster, so each cluster gets its own cell deterministically
+    cents = [c1, c2, lone]
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, threshold=0.99, dim=8, centroids=cents
+        ).collect()
+    }
+    assert len(out) == 6  # one row per input vector
+    assert [out[i].keep for i in (10, 20, 30)] == [True, True, True]
+    assert not out[11].keep and out[11].dup_of == 10
+    assert not out[12].keep and out[12].dup_of == 10
+    assert not out[21].keep and out[21].dup_of == 20
+    assert out[11].cos_max > 0.99
+    # near-identical vectors share the argmax-dot cell
+    assert out[10].cell == out[11].cell == out[12].cell
+    # kept rows carry NULL attribution
+    assert out[10].dup_of is None and out[10].cos_max is None
+    # hygiene cap: the 3-member c1 cell exceeds a cap of 2 -> excluded
+    # from pairing, all its members conservatively kept; the 2-member
+    # c2 cell still dedups
+    capped = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            emb, threshold=0.99, dim=8, centroids=cents, max_cell_size=2
+        ).collect()
+    }
+    assert capped[10] and capped[11] and capped[12]
+    assert capped[20] and not capped[21]

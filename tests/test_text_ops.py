@@ -83,3 +83,72 @@ def test_let_binding_basics(spark):
     # NULL input -> the body runs on a NULL binding (size(NULL) = NULL),
     # matching the unbound expression's null behavior
     assert [r.twice_n for r in rows] == [4, None]
+
+
+def test_lm_cross_entropy_monotonicity(spark):
+    """CCNet-style quality signal: text drawn from the reference LM's
+    training distribution must score LOWER cross-entropy than
+    gibberish (all-OOV tokens hit the pooled OOV log-prob, the worst
+    per-token score the model can assign). Also checks the per-doc
+    accounting and that empty docs emit no row."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_lm,
+        lm_cross_entropy,
+    )
+
+    lm = frozen_lm()
+    common = sorted(lm["logp"], key=lm["logp"].get, reverse=True)[:6]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(common * 3)),  # fluent: frequent in-vocab tokens
+            (2, "zzqx9 vvkpt qqj0r wmx7z bbn3c yyh5d " * 3),  # gibberish
+            (3, ""),  # no tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in lm_cross_entropy(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == 18 and out[2].n_tokens == 18
+    assert out[1].xent < out[2].xent
+    # all-OOV gibberish scores exactly the pooled OOV log-prob
+    assert abs(out[2].xent - (-lm["oov_logp"])) < 1e-5
+    # ppl is exp(xent), derived from the rounded xent
+    import math
+
+    assert abs(out[1].ppl - round(math.exp(out[1].xent), 6)) < 1e-9
+
+
+def test_frozen_lm_matches_live_training_slice():
+    """Training-slice drift guard for the LM artifact (round-11
+    verdict item 5, same contract as the quantizer's): a reseeded
+    documents corpus fails here instead of the frozen table silently
+    scoring a distribution it was never fit to; re-run
+    tools/train_lm.py to refreeze."""
+    import math
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.artifacts import (
+        corpus_fingerprint,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_lm,
+    )
+
+    lm = frozen_lm()
+    assert lm["vocab_size"] == len(lm["logp"]) > 0
+    assert all(math.isfinite(v) and v < 0 for v in lm["logp"].values())
+    # every in-vocab token beats OOV, and probabilities stay sub-unit
+    assert max(lm["logp"].values()) < 0
+    assert lm["oov_logp"] < min(lm["logp"].values())
+    # total probability mass of the smoothed model is <= 1
+    mass = sum(math.exp(v) for v in lm["logp"].values()) + math.exp(
+        lm["oov_logp"]
+    )
+    assert mass <= 1.0 + 1e-9
+    live = corpus_fingerprint(
+        "/root/testdata/sf0.01/documents.parquet", "doc_id", "text"
+    )
+    assert lm["fingerprint"] == live, (
+        "artifacts/lm.json was trained on a DIFFERENT corpus than the "
+        f"live testdata ({lm['fingerprint']} vs {live}) — regenerate "
+        "with tools/train_lm.py"
+    )

@@ -241,3 +241,38 @@ def test_frozen_quantizer_artifact_integrity():
     for cb in books:
         assert len(cb) == 16 and all(len(c) == 8 for c in cb)
         assert all(math.isfinite(x) for c in cb for x in c)
+
+
+def test_frozen_quantizer_matches_live_training_slice():
+    """Training-slice drift guard (round-11 verdict item 5): the
+    artifact's embedded fingerprint must match a fresh fingerprint of
+    the live testdata slice it claims to be trained on. If the driver
+    ever reseeds /root/testdata, the frozen quantizer would silently
+    measure a stale distribution (recall quietly degrades, every gate
+    stays green) — this test fails loudly instead; re-run
+    tools/train_quantizer.py to retrain and refreeze."""
+    import json
+    import pathlib
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.artifacts import (
+        corpus_fingerprint,
+    )
+
+    art = json.loads(
+        (
+            pathlib.Path(__file__).resolve().parent.parent
+            / "artifacts"
+            / "quantizer.json"
+        ).read_text()
+    )
+    live = corpus_fingerprint(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        "vec_id",
+        "embedding",
+        where="vec_id >= 8",
+    )
+    assert art["fingerprint"] == live, (
+        "artifacts/quantizer.json was trained on a DIFFERENT corpus "
+        f"than the live testdata slice ({art['fingerprint']} vs {live})"
+        " — regenerate with tools/train_quantizer.py"
+    )

@@ -149,6 +149,38 @@ PICKS = {
         "pins — down from 24 recorded Exchanges when each rank site "
         "was a lineage-doubling self-join (round 9)"
     ),
+    "dedup_spans_strip_raw": (
+        "original-byte substring-dedup apply (round 11): the span "
+        "index is the dedup_spans lineage; region char offsets come "
+        "from prefix-length sums over the token/gap arrays evaluated "
+        "only at region boundaries (a BroadcastHashJoin of the "
+        "doc_id-keyed region list against the array projection — no "
+        "per-token explode+window stage); kept text is rebuilt from "
+        "O(regions) inter-cut substrings via a doc-bounded lag window "
+        "plus one ordered-concat aggregation, and unchanged docs pass "
+        "through a left join byte-identical"
+    ),
+    "dedup_semantic": (
+        "SemDeDup (round 11): frozen trained k-means cell assignment "
+        "(literal centroid dots, once per vector, pinned together with "
+        "the L2 norm — an inline per-pair cosine re-aggregated both "
+        "norms 250k times), then a cell-keyed self-join whose ONLY "
+        "join condition is (cell, id<) — the cosine threshold lives "
+        "inside when()-guarded aggregates because a pushed filter "
+        "would drag the CodegenFallback HOF dot into the join "
+        "condition (measured 2.5s vs 0.15s for the same pair count); "
+        "the per-cell pair join is the SemDeDup cost model — cell "
+        "count scales with the corpus, max_cell_size caps degenerate "
+        "cells"
+    ),
+    "lm_perplexity": (
+        "CCNet-style frozen-LM scoring (round 11): explode -> "
+        "BroadcastHashJoin against the vocab-sized log-prob table "
+        "(literals frozen at training time; OOV misses coalesce to "
+        "the pooled OOV log-prob) -> ONE map-side-combined per-doc "
+        "aggregation — two Exchanges total, nothing keyed on a "
+        "content-derived hot key"
+    ),
 }
 
 HEADER = """# EXPLAIN — physical plans of the flagship queries

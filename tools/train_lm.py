@@ -1,0 +1,95 @@
+"""Train the frozen n-gram LM quality artifact (round-11 verdict item 4).
+
+CCNet (Wenzek et al. 2020) ranks web documents by perplexity under a
+reference language model and keeps the low-perplexity tail — the
+strongest standard quality signal the quality family (quality_score /
+quality_filter) lacked. Same train/freeze/apply seam as the quantizer:
+
+- TRAINING (this script, offline, once): a unigram count table over
+  the seeded reference corpus, add-one smoothed against an OOV bucket,
+  frozen as per-token log-probabilities. CCNet uses a 5-gram KenLM; the
+  unigram table is the same seam with an artifact small enough to
+  commit AND to replay literal-for-literal in the DuckDB oracle. At
+  100 TB the table is still metadata-sized (top-MAX_VOCAB tokens) and
+  broadcast into the scoring plan.
+- APPLICATION (operators/text.py lm_cross_entropy): explode ->
+  broadcast vocab join -> per-doc log-prob sum. Pure relational math,
+  so the lm_perplexity gate query and its oracle consume the SAME
+  frozen literals and the driver gets the full rows+schema+hash check.
+
+Model: p(t) = (count(t) + 1) / (T + V + 1) for the V vocab tokens,
+p(OOV) = 1 / (T + V + 1) (one pooled OOV symbol — the standard add-one
+trick; good ranking signal, not a calibrated LM). Log-probs are
+computed HERE (Python math.log) and stored, so neither engine does
+engine-local transcendental math on unshared inputs.
+
+The artifact embeds a fingerprint of the training slice (row count +
+content hash — functions/artifacts.py): if the driver reseeds
+testdata, tests/test_text.py fails loudly instead of the frozen table
+silently scoring a distribution it was never fit to (round-11 verdict
+item 5).
+
+Usage: python tools/train_lm.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.functions.artifacts import (
+    corpus_fingerprint,
+)
+from retrieval_augmented_generation_rag_data_pipeline_spark.functions.hashing import tokens
+from retrieval_augmented_generation_rag_data_pipeline_spark.session import get_spark
+
+MAX_VOCAB = 4096
+DEFAULT_OUT = (
+    pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "lm.json"
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = pathlib.Path(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_OUT
+    src = f"{sf_dir}/documents.parquet"
+    spark = get_spark("train_lm")
+    counts = (
+        spark.read.parquet(src)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(MAX_VOCAB)
+        .collect()
+    )
+    total = (
+        spark.read.parquet(src)
+        .select(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+        .collect()[0]["t"]
+    )
+    v = len(counts)
+    denom = float(total + v + 1)
+    logp = {r["term"]: math.log((r["c"] + 1) / denom) for r in counts}
+    art = {
+        "trained_on": src,
+        "max_vocab": MAX_VOCAB,
+        "vocab_size": v,
+        "total_tokens": int(total),
+        "oov_logp": math.log(1.0 / denom),
+        "logp": dict(sorted(logp.items())),
+        "fingerprint": corpus_fingerprint(src, "doc_id", "text"),
+    }
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(art, indent=1) + "\n")
+    print(f"wrote {out} ({out.stat().st_size} bytes, vocab {v}, T {total})")
+
+
+if __name__ == "__main__":
+    main()

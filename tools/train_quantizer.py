@@ -40,6 +40,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
+from retrieval_augmented_generation_rag_data_pipeline_spark.functions.artifacts import (
+    corpus_fingerprint,
+)
 from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
     train_ivf_centroids,
     train_pq_codebooks,
@@ -69,6 +72,15 @@ def main() -> None:
                 "m": M,
                 "ksub": KSUB,
                 "seed": SEED,
+                # training-slice provenance: a reseeded testdata corpus
+                # fails the integrity test instead of silently degrading
+                # the frozen quantizer's measured recall (verdict r11 #5)
+                "fingerprint": corpus_fingerprint(
+                    f"{sf_dir}/embeddings.parquet",
+                    "vec_id",
+                    "embedding",
+                    where="vec_id >= 8",
+                ),
                 "centroids": cents,
                 "codebooks": books,
             },
