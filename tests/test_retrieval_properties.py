@@ -224,6 +224,71 @@ def test_duplicated_spans_match_python_reference(spark, texts):
     assert stripped == ref_strip(texts, got, k=3)
 
 
+# ---------------------------------------------------------------------
+# strip_duplicated_spans_raw vs a direct Python reference: original-byte
+# fidelity under mixed case, punctuation, tabs, and multi-space gaps.
+# The alphabet deliberately contains case-variants of the SAME lowered
+# token ("Aa"/"aA"): the span index matches them (it lowers), so the
+# two docs cut DIFFERENT raw characters at the same token positions —
+# exactly the per-doc offset arithmetic this operator must get right.
+# ---------------------------------------------------------------------
+
+RAW_VOCAB = ["Aa", "bB,", "C!", "dd", "E?e", "ff.", "aA"]
+
+raw_doc_strategy = st.tuples(
+    st.sampled_from(["", " ", "\t ", "  "]),  # leading whitespace
+    st.lists(
+        st.tuples(
+            st.sampled_from(RAW_VOCAB),
+            st.sampled_from([" ", "  ", "\t", " \t "]),
+        ),
+        min_size=0,
+        max_size=14,
+    ),
+).map(lambda p: p[0] + "".join(tok + sep for tok, sep in p[1]))
+
+raw_corpus_strategy = st.lists(raw_doc_strategy, min_size=2, max_size=6)
+
+
+def ref_strip_raw(texts: list[str], regions):
+    """Cut each region's character span ([start of first token, end of
+    last token], 0-based half-open here) out of the ORIGINAL text."""
+    import re
+
+    out = {}
+    for i, t in enumerate(texts):
+        ms = list(re.finditer(r"\S+", t))
+        cuts = sorted(
+            (s, s + ln - 1) for d, s, ln, _n in regions if d == i
+        )
+        kept, prev, dropped = [], 0, 0
+        for s, e in cuts:
+            kept.append(t[prev : ms[s - 1].start()])
+            prev = ms[e - 1].end()
+            dropped += e - s + 1
+        kept.append(t[prev:])
+        out[i] = ("".join(kept), dropped)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=raw_corpus_strategy)
+def test_strip_raw_matches_python_reference(spark, texts):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        strip_duplicated_spans_raw,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    regions = ref_span_regions(texts, k=3)
+    got = {
+        r.doc_id: (r.text, r.n_dropped)
+        for r in strip_duplicated_spans_raw(df, k=3).collect()
+    }
+    assert got == ref_strip_raw(texts, regions)
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 30), st.sampled_from(VOCAB + [None])),

@@ -321,6 +321,49 @@ def main() -> None:
         "sec": sec_cap,
     }
 
+    # ---- SemDeDup at Nx vectors: the only quadratic stage is the
+    # within-cell pair join, so the operator's contract is that CELL
+    # COUNT scales with the corpus (paper: 50k cells for 5B vectors).
+    # Probe (a) follows the contract — k-means cells sized to ~250
+    # vectors each (trained here, the train/freeze/apply seam run
+    # live); per-cell pair work then stays bounded as n grows. The
+    # replica corpus repeats every vector N times into the same cell,
+    # so >= (N-1)/N of the corpus must be dropped (cos 1.0 to a
+    # lower-id replica) — reported as a built-in correctness signal.
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        train_ivf_centroids,
+    )
+
+    n_cells = max(8, (2000 * n) // 250)
+    t0 = time.time()
+    sem_cents = train_ivf_centroids(big_emb, n_cells=n_cells, seed=42)
+    train_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    sem = dedup.semantic_dedup(
+        big_emb, threshold=0.95, dim=64, centroids=sem_cents
+    )
+    sem_dropped = sem.filter(~F.col("keep")).count()
+    sec_sem = round(time.time() - t0, 2)
+    results["semantic_dedup"] = {
+        "vectors": 2000 * n, "n_cells": n_cells,
+        "dropped": sem_dropped,
+        "min_expected_dropped": 2000 * (n - 1),
+        "train_sec": train_sec, "sec": sec_sem,
+    }
+    # (b) deliberately UNDERSIZED cells (8 for the whole corpus) with
+    # the max_cell_size hygiene cap: every cell overflows the cap, the
+    # pair join is skipped entirely, all vectors conservatively kept —
+    # the degenerate-template guard must bound runtime, not explode
+    t0 = time.time()
+    sem_capped = dedup.semantic_dedup(
+        big_emb, threshold=0.95, dim=64, n_cells=8, max_cell_size=1000
+    )
+    capped_dropped = sem_capped.filter(~F.col("keep")).count()
+    results["semantic_dedup_capped"] = {
+        "vectors": 2000 * n, "n_cells": 8, "max_cell_size": 1000,
+        "dropped": capped_dropped, "sec": round(time.time() - t0, 2),
+    }
+
     # ---- distributed positional zip at Nx rows (replaced the
     # single-partition global window)
     from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
