@@ -1059,7 +1059,9 @@ def duplicated_spans(
        ``hot_salted_count_join`` — hashes whose distinct-doc count
        crosses the hot threshold are salted across n_salts reducers
        DETERMINISTICALLY (the build rows replicate per salt; the
-       postings learn hotness from a broadcast of the hot-hash set).
+       postings test the same bounded hot-key InSet — read once from
+       the pinned aggregate, capped by max_hot_keys — round 11; was a
+       broadcast-left-join that paid a per-posting BHJ probe).
        This is why the round-9 per-hash dense_rank window (one task
        per hash, however hot) was replaced: a boilerplate span in 10%
        of docs is billions of postings on ONE task under a window — a

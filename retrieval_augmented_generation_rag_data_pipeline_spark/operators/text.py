@@ -653,15 +653,21 @@ def lm_cross_entropy(
     token (empty/whitespace-only docs have no defined per-token
     entropy and emit no row):
 
-        xent = round(-round(sum(logp), 6) / n_tokens, 6)   [nats/token]
+        xent = -round(sum(logp), 6) / n_tokens   [nats/token]
         ppl  = round(exp(xent), 6)
 
-    The inner round-then-divide makes the fold-order-sensitive double
-    sum deterministic across engines BEFORE the division (the bm25
-    parity convention); ppl is derived from the rounded xent, so rank
-    order is shared. Gate queries compare xent, not ppl: ln is
-    bit-identical across Spark (JVM) and DuckDB (libm) on this corpus
-    but exp is not guaranteed to be, and xent is the same ranking.
+    Rounding happens ONCE, on the fold-order-sensitive double sum (the
+    bm25 parity convention) — and deliberately NOT on the division:
+    dividing a 6-decimal value by a small integer lands systematically
+    on half-ulp-of-6dp boundaries, where Spark's round (BigDecimal
+    HALF_UP over the exact binary expansion) and DuckDB's (scaled
+    double) tie-break differently — 10 of 50k docs flipped a 6th
+    decimal at the sf1 parity run before this was removed. Identical
+    rounded sums and integer counts make the quotient bit-identical by
+    IEEE-754 division determinism, no second round needed. Gate
+    queries compare xent, not ppl: ln is bit-identical across Spark
+    (JVM) and DuckDB (libm) on this corpus but exp is not guaranteed
+    to be, and xent is the same ranking.
 
     Plan (100 TB): explode -> broadcast hash join against the
     vocab-sized log-prob table (OOV misses coalesce to the pooled OOV
@@ -689,11 +695,10 @@ def lm_cross_entropy(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+    xent = -F.col("_ls") / F.col("n_tokens")
     return summed.select(
         "doc_id",
         "n_tokens",
-        F.round(-F.col("_ls") / F.col("n_tokens"), 6).alias("xent"),
-        F.round(
-            F.exp(F.round(-F.col("_ls") / F.col("n_tokens"), 6)), 6
-        ).alias("ppl"),
+        xent.alias("xent"),
+        F.round(F.exp(xent), 6).alias("ppl"),
     )

@@ -2418,7 +2418,7 @@ s AS (SELECT x.doc_id, round(sum(coalesce(v.lp, {oov!r})), 6) AS ls,
              CAST(count(*) AS BIGINT) AS n_tokens
       FROM x LEFT JOIN vocab v USING (term)
       GROUP BY x.doc_id)
-SELECT doc_id, n_tokens, round(-ls / n_tokens, 6) AS xent FROM s
+SELECT doc_id, n_tokens, -ls / n_tokens AS xent FROM s
 """
 
 

@@ -192,3 +192,41 @@ def test_df_counts_distinct_docs_on_duplicate_rows(spark):
     idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
     want = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
     assert abs(scores[1] - round(want, 6)) < 1e-9
+
+
+def test_bm25_oracle_agrees_on_duplicate_doc_id_different_dl(spark):
+    """Round-11 advisory regression: a doc_id appearing twice with
+    DIFFERENT texts (different dl) must yield the same document
+    frequency on both engines. Spark counts DISTINCT doc_id; the
+    oracle's dft used to count (doc_id, dl, term) groups from the tf
+    CTE, silently giving df=2 for such degenerate input."""
+    import duckdb
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators import (
+        retrieval as R,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.plans.queries import (
+        _bm25_cte,
+    )
+
+    rows = [(1, "spark join fast"), (1, "spark slow"), (2, "spark vector join")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.score
+        for r in R.bm25_search(docs, ["spark", "join"], topk=10).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'spark join fast'), (1, 'spark slow'), "
+        "(2, 'spark vector join')) t(doc_id, text)"
+    )
+    sql = (
+        "WITH "
+        + _bm25_cte(["spark", "join"], R.BM25_K1, R.BM25_B)
+        + " SELECT doc_id, score FROM bm25"
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert set(got) == set(want) == {1, 2}
+    for d in want:
+        assert abs(got[d] - want[d]) <= 2e-6, (d, got[d], want[d])
