@@ -723,17 +723,26 @@ def semantic_dedup(
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): cluster embeddings with a k-means coarse
-    quantizer, then WITHIN each cluster drop every vector that has a
-    near-duplicate neighbor (cosine >= ``threshold``) with a lower id
-    — the greedy keep-one-representative pass the paper runs per
-    cluster (pairwise within cells only, NOT transitive closure across
-    cells; doc-level transitive-closure dedup is ``dedup_corpus``).
+    quantizer, then WITHIN each cluster drop every vector that has ANY
+    lower-id near-duplicate neighbor (cosine >= ``threshold``) —
+    whether or not that neighbor is itself kept. This is exactly the
+    released SemDeDup implementation's rule (per-cluster pairwise
+    similarity matrix, drop column j iff the upper-triangular max over
+    i<j exceeds the threshold; ids here play the role of their
+    ordering), and it is deliberately NOT a transitive-closure
+    one-per-component pass: a chain a~b~c with a's and c's similarity
+    BELOW the threshold keeps only a (b drops via a, c drops via the
+    already-dropped b) — slightly more aggressive on similarity chains
+    than keeping one representative per connected component. Doc-level
+    transitive-closure dedup is ``dedup_corpus``; cells are never
+    bridged.
 
     Returns one row per input vector:
     (vec_id, cell, keep, dup_of, cos_max) — ``keep`` is false iff some
     lower-id vector in the same cell is a near-duplicate; for dropped
-    rows ``dup_of`` is the LOWEST such neighbor id and ``cos_max`` the
-    HIGHEST near-duplicate similarity (two independent deterministic
+    rows ``dup_of`` is the LOWEST such neighbor id (which may itself
+    have been dropped — chain case above) and ``cos_max`` the HIGHEST
+    near-duplicate similarity (two independent deterministic
     aggregates — they need not describe the same neighbor); both NULL
     for kept rows. Deduped corpus = ``.filter("keep")``.
 
@@ -1220,29 +1229,43 @@ def strip_duplicated_spans_raw(
 
     evaluated ONLY at region boundaries — two prefix-length sums per
     region over sliced arrays (O(tokens) per REGION, lambda-
-    interpreted but regions per doc are few), instead of exploding
-    every token through a shuffle + prefix-sum window. The kept text
-    is then rebuilt from the O(regions) cut list: an inter-cut
-    ``substring`` per region via a lag window over the per-doc cuts
-    (doc-bounded partitions, splittable key) plus the tail after the
-    last cut, concatenated in cut order.
+    interpreted but regions per doc are few and bounded: merged
+    maximal regions sit > k tokens apart, so a doc of n tokens holds
+    at most n/(k+1) of them). The kept text is rebuilt from the
+    O(regions) sorted cut list by ONE sequential ``aggregate`` lambda
+    per doc — accumulator (prev_end, acc), each step appending the
+    inter-cut substring, the finish appending the tail — entirely
+    row-local: no per-cut explode, no lag window, no ordered-concat
+    re-aggregation, and the document text never rides a shuffle (it
+    moves through exactly one doc_id join).
 
     Scale: the same two corpus passes as the token-space variant
-    (span index + apply join), with the apply side joining the
-    (doc_id-keyed, AQE-splittable) region list against the corpus and
-    all string math running as native column expressions. Oracle twin:
-    ``_dedup_spans_strip_raw_sql`` replays the identical prefix-length
-    arithmetic in DuckDB (verified: both engines produce the same
-    token/gap array layout including leading/trailing empties).
+    (span index + apply join). The per-doc region lists aggregate
+    FIRST, so the corpus join — and the token/gap array projection
+    above it — touches only region-bearing docs (typically ~1% of a
+    real corpus), never the unchanged majority; unchanged docs take
+    the final left join's pass-through branch byte-identically.
+    Oracle twin: ``_dedup_spans_strip_raw_sql`` replays the identical
+    prefix-length arithmetic in DuckDB via the equivalent lag-window
+    formulation (verified: both engines produce the same token/gap
+    array layout including leading/trailing empties).
     """
     regions = duplicated_spans(
         docs, k, min_docs, id_col, text_col, min_region_len
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        F.regexp_extract_all(text_col, F.lit(r"\S+"), 0).alias("_tks"),
-        F.split(F.col(text_col), r"\S+").alias("_gps"),
+    regs = regions.groupBy("doc_id").agg(
+        F.collect_list(F.struct("region_start", "region_len")).alias("_regs")
+    )
+    changed_docs = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .join(regs, "doc_id")
+        .select(
+            "doc_id",
+            "_text",
+            "_regs",
+            F.regexp_extract_all("_text", F.lit(r"\S+"), 0).alias("_tks"),
+            F.split(F.col("_text"), r"\S+").alias("_gps"),
+        )
     )
 
     def _sl(arr: str, m):
@@ -1253,42 +1276,43 @@ def strip_duplicated_spans_raw(
             lambda a, x: a + F.length(x),
         )
 
-    rs = F.col("region_start")
-    re_ = F.col("region_start") + F.col("region_len") - 1
-    cuts = regions.join(base, "doc_id").select(
-        "doc_id",
-        "_text",
-        "region_len",
-        (_sl("_gps", rs) + _sl("_tks", rs - 1) + 1).cast("long").alias("_cs"),
-        (_sl("_gps", re_) + _sl("_tks", re_)).cast("long").alias("_ce"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("_cs")
-    segs = cuts.withColumn(
-        "_pe", F.coalesce(F.lag("_ce").over(w), F.lit(0).cast("long"))
-    ).withColumn(
-        "_seg",
-        F.col("_text").substr(F.col("_pe") + 1, F.col("_cs") - F.col("_pe") - 1),
-    )
-    changed = segs.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_cs", "_seg"))),
-                lambda s: s["_seg"],
+    def _cut(r):
+        rs = r["region_start"]
+        re_ = rs + r["region_len"] - 1
+        return F.struct(
+            (_sl("_gps", rs) + _sl("_tks", rs - 1) + 1)
+            .cast("long")
+            .alias("cs"),
+            (_sl("_gps", re_) + _sl("_tks", re_)).cast("long").alias("ce"),
+        )
+
+    cuts = F.array_sort(F.transform("_regs", _cut))
+    rebuilt = F.aggregate(
+        cuts,
+        F.struct(
+            F.lit(0).cast("long").alias("pe"), F.lit("").alias("acc")
+        ),
+        lambda a, c: F.struct(
+            c["ce"].alias("pe"),
+            F.concat(
+                a["acc"],
+                F.col("_text").substr(a["pe"] + 1, c["cs"] - a["pe"] - 1),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("_text").substr(
+                a["pe"] + 1, F.length("_text") - a["pe"]
             ),
-            "",
-        ).alias("_prefix"),
-        F.max("_ce").alias("_le"),
-        F.sum("region_len").cast("long").alias("_nd"),
-        F.min("_text").alias("_tx"),
-    ).select(
-        "doc_id",
-        F.concat(
-            F.col("_prefix"),
-            F.col("_tx").substr(
-                F.col("_le") + 1, F.length("_tx") - F.col("_le")
-            ),
-        ).alias("_ktext"),
-        F.col("_nd"),
+        ),
+    )
+    n_dropped = F.aggregate(
+        F.col("_regs"),
+        F.lit(0).cast("long"),
+        lambda a, r: a + r["region_len"],
+    )
+    changed = changed_docs.select(
+        "doc_id", rebuilt.alias("_ktext"), n_dropped.alias("_nd")
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))

@@ -411,16 +411,25 @@ def hot_salted_count_join(
     the first downstream action) — bench.py times construction+action
     together, so the cost stays measured.
     """
-    from .pinning import pin
+    from .pinning import pin, pinning_is_disabled
 
     build = pin(build)
     salt_cols = [salt_src] if isinstance(salt_src, str) else list(salt_src)
-    hot_rows = (
-        build.filter(F.col(count_col) >= hot_threshold)
-        .select(F.xxhash64(F.col(key)).alias("_hx"))
-        .limit(max_hot_keys + 1)
-        .collect()
-    )
+    if pinning_is_disabled():
+        # plan-inspection context (plan_guard / make_explain): the
+        # construction-time hot-key read would execute the build's full
+        # aggregation lineage — exactly what pinning_disabled promises
+        # NOT to do. Skip it and build the cold-path plan (no hot keys
+        # -> plain equi-join on a constant salt), which is also the
+        # runtime plan for every gate-scale input.
+        hot_rows: list = []
+    else:
+        hot_rows = (
+            build.filter(F.col(count_col) >= hot_threshold)
+            .select(F.xxhash64(F.col(key)).alias("_hx"))
+            .limit(max_hot_keys + 1)
+            .collect()
+        )
     if len(hot_rows) > max_hot_keys:
         raise ValueError(
             f"hot_salted_count_join: more than {max_hot_keys} keys have "

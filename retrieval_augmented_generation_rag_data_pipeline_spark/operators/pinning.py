@@ -40,6 +40,16 @@ def pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def pinning_is_disabled() -> bool:
+    """True inside a ``pinning_disabled()`` block — i.e. a
+    plan-inspection context. Operators whose CONSTRUCTION runs Spark
+    jobs (hot_salted_count_join's bounded hot-key read) consult this to
+    skip the data-dependent step and build their cold-path plan
+    instead, keeping the 'plan inspection must not execute stages'
+    guarantee above."""
+    return _DISABLED.get()
+
+
 @contextmanager
 def pinning_disabled():
     """Context manager: build DataFrames with pins as no-ops so their

@@ -2403,8 +2403,12 @@ def _lm_perplexity_sql() -> str | None:
 
     try:
         lm = frozen_lm()
+        # SQL-escape the terms: tokens are raw corpus words, and a
+        # frequent apostrophe token ("don't") would otherwise emit an
+        # unparseable VALUES literal
         rows = ",\n  ".join(
-            f"('{t}', {lp!r})" for t, lp in sorted(lm["logp"].items())
+            "('" + t.replace("'", "''") + f"', {lp!r})"
+            for t, lp in sorted(lm["logp"].items())
         )
         oov = float(lm["oov_logp"])
     except Exception:

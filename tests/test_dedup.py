@@ -672,3 +672,36 @@ def test_semantic_dedup_planted_clusters(spark):
     }
     assert capped[10] and capped[11] and capped[12]
     assert capped[20] and not capped[21]
+
+
+def test_semantic_dedup_chain_drops_via_dropped_neighbor(spark):
+    """The released-SemDeDup chain rule, pinned: in a similarity chain
+    a~b~c where a and c are NOT near-dups of each other, b drops via a
+    and c drops via the already-dropped b — dup_of may reference a
+    dropped row, and only the chain head survives (more aggressive
+    than one-per-connected-component, as the docstring states)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # unit vectors in a 2D plane packed into dim=4: angles 0, 25, 50
+    # degrees -> cos(a,b)=cos(b,c)~0.906 >= 0.9, cos(a,c)~0.643 < 0.9
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(25)), (3, vec(50))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, threshold=0.9, dim=4, centroids=[vec(25)]
+        ).collect()
+    }
+    assert out[1].keep and not out[2].keep and not out[3].keep
+    assert out[2].dup_of == 1
+    assert out[3].dup_of == 2  # points at a row that was itself dropped

@@ -151,14 +151,15 @@ PICKS = {
     ),
     "dedup_spans_strip_raw": (
         "original-byte substring-dedup apply (round 11): the span "
-        "index is the dedup_spans lineage; region char offsets come "
-        "from prefix-length sums over the token/gap arrays evaluated "
-        "only at region boundaries (a BroadcastHashJoin of the "
-        "doc_id-keyed region list against the array projection — no "
-        "per-token explode+window stage); kept text is rebuilt from "
-        "O(regions) inter-cut substrings via a doc-bounded lag window "
-        "plus one ordered-concat aggregation, and unchanged docs pass "
-        "through a left join byte-identical"
+        "index is the dedup_spans lineage; per-doc region lists "
+        "aggregate FIRST, so the corpus join and the token/gap array "
+        "projection above it touch only region-bearing docs; region "
+        "char offsets come from prefix-length sums over the arrays "
+        "evaluated only at region boundaries, and kept text is rebuilt "
+        "by ONE row-local sequential aggregate over the sorted cut "
+        "list — no per-token explode, no per-cut lag window, document "
+        "text never rides a shuffle; unchanged docs pass through the "
+        "left join byte-identical"
     ),
     "dedup_semantic": (
         "SemDeDup (round 11): frozen trained k-means cell assignment "

@@ -25,7 +25,7 @@ engine-local transcendental math on unshared inputs.
 
 The artifact embeds a fingerprint of the training slice (row count +
 content hash — functions/artifacts.py): if the driver reseeds
-testdata, tests/test_text.py fails loudly instead of the frozen table
+testdata, tests/test_text_ops.py fails loudly instead of the frozen table
 silently scoring a distribution it was never fit to (round-11 verdict
 item 5).
 
