@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_spans_strip_raw",
     "dedup_semantic",
     "lm_perplexity",
+    "lm_perplexity_bigram",
 ]
 
 RUNS = 3

@@ -702,3 +702,93 @@ def lm_cross_entropy(
         xent.alias("xent"),
         F.round(F.exp(xent), 6).alias("ppl"),
     )
+
+
+def lm_cross_entropy_bigram(
+    docs: DataFrame,
+    lm: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under the frozen CONDITIONAL-BIGRAM
+    tier of the reference LM — the word-order signal the unigram tier
+    cannot see (CCNet's KenLM is a 5-gram for the same reason; the
+    bigram is the same train/freeze/apply seam one order up). Token i
+    scores log p(t_i | t_{i-1}) from the frozen pair table; a pair
+    absent from the table scores the per-context unseen mass
+    (also frozen); a context absent from the table — or a document's
+    first token — falls back to the unigram tier (incl. its pooled OOV
+    symbol). Same output/rounding contract as ``lm_cross_entropy``:
+    (doc_id, n_tokens, xent, ppl), one round on the fold-order-
+    sensitive sum, the division left unrounded (bit-identical by
+    IEEE-754 given identical rounded sums — see the boundary-tie
+    lesson in lm_cross_entropy's docstring).
+
+    Plan (100 TB): one narrow pass builds (token, prev-token) pairs
+    with a zip-against-shifted-self (no self-join, no window), then
+    THREE broadcast hash joins against metadata-sized frozen tables
+    (unigram <= max_vocab, contexts <= max_vocab, pairs <=
+    max_bigrams) and one partial-aggregating per-doc sum — the only
+    shuffle is the doc_id aggregation."""
+    if lm is None:
+        lm = frozen_lm()
+    ss = docs.sparkSession
+    vocab = ss.createDataFrame(
+        list(lm["logp"].items()), "t string, _ulp double"
+    )
+    ctx = ss.createDataFrame(
+        list(lm["ctx_unseen_logp"].items()), "s string, _cu double"
+    )
+    bi = ss.createDataFrame(
+        [(*k.split(" ", 1), v) for k, v in lm["bigram_logp"].items()],
+        "s string, t string, _blp double",
+    )
+    oov = float(lm["oov_logp"])
+    tk = tokens(F.col(text_col))
+    from ..functions.binding import let
+
+    # arrays_zip pads to the LONGER input, and the shifted side is
+    # [NULL] (length 1) for an empty token array — unguarded, an
+    # empty/whitespace-only doc would emit one bogus (NULL, NULL) pair
+    # instead of no rows (the unigram tier's explode drops it).
+    zipped = let(
+        tk,
+        lambda a: F.when(
+            F.size(a) > 0,
+            F.arrays_zip(
+                a.alias("t"),
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0))),
+                ).alias("s"),
+            ),
+        ).otherwise(F.array().cast("array<struct<t:string,s:string>>")),
+    )
+    pairs = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(zipped).alias("_p")
+    ).select("doc_id", F.col("_p.t").alias("t"), F.col("_p.s").alias("s"))
+    scored = (
+        pairs.join(F.broadcast(vocab), "t", "left")
+        .join(F.broadcast(ctx), "s", "left")
+        .join(F.broadcast(bi), ["s", "t"], "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_cu").isNull(),  # first token or unknown context
+                F.coalesce(F.col("_ulp"), F.lit(oov)),
+            )
+            .otherwise(F.coalesce(F.col("_blp"), F.col("_cu")))
+            .alias("_lp"),
+        )
+    )
+    summed = scored.groupBy("doc_id").agg(
+        F.round(F.sum("_lp"), 6).alias("_ls"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    xent = -F.col("_ls") / F.col("n_tokens")
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        xent.alias("xent"),
+        F.round(F.exp(xent), 6).alias("ppl"),
+    )

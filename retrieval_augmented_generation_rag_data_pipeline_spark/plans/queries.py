@@ -2426,6 +2426,75 @@ SELECT doc_id, n_tokens, -ls / n_tokens AS xent FROM s
 """
 
 
+def _lm_perplexity_bigram_sql() -> str | None:
+    """Oracle for the conditional-bigram LM tier: same frozen-literal
+    replay and artifact guard as _lm_perplexity_sql, with the pair
+    table and per-context unseen mass as two extra VALUES relations.
+    The first token (and any unknown context) takes the unigram
+    branch, mirroring lm_cross_entropy_bigram's CASE exactly."""
+    from ..operators.text import frozen_lm
+
+    def esc(x: str) -> str:
+        return x.replace("'", "''")
+
+    try:
+        lm = frozen_lm()
+        uni = ",\n  ".join(
+            f"('{esc(t)}', {lp!r})" for t, lp in sorted(lm["logp"].items())
+        )
+        ctx = ",\n  ".join(
+            f"('{esc(s)}', {cu!r})"
+            for s, cu in sorted(lm["ctx_unseen_logp"].items())
+        )
+        bi = ",\n  ".join(
+            f"('{esc(k.split(' ', 1)[0])}', '{esc(k.split(' ', 1)[1])}', {lp!r})"
+            for k, lp in sorted(lm["bigram_logp"].items())
+        )
+        oov = float(lm["oov_logp"])
+    except Exception:
+        return None
+    return f"""
+WITH vocab(t, ulp) AS (VALUES
+  {uni}
+), ctx(s, cu) AS (VALUES
+  {ctx}
+), bi(s, t, blp) AS (VALUES
+  {bi}
+), tt AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+pr AS (SELECT doc_id, tk[i] AS t,
+              CASE WHEN i > 1 THEN tk[i-1] END AS s
+       FROM (SELECT doc_id, tk,
+                    unnest(generate_series(1, len(tk))) AS i
+             FROM tt)),
+sc AS (SELECT pr.doc_id,
+              CASE WHEN c.cu IS NULL THEN coalesce(v.ulp, {oov!r})
+                   ELSE coalesce(b.blp, c.cu) END AS lp
+       FROM pr
+       LEFT JOIN vocab v ON pr.t = v.t
+       LEFT JOIN ctx c ON pr.s = c.s
+       LEFT JOIN bi b ON pr.s = b.s AND pr.t = b.t),
+sm AS (SELECT doc_id, round(sum(lp), 6) AS ls,
+              CAST(count(*) AS BIGINT) AS n_tokens
+       FROM sc GROUP BY doc_id)
+SELECT doc_id, n_tokens, -ls / n_tokens AS xent FROM sm
+"""
+
+
+@_q("lm_perplexity_bigram", _lm_perplexity_bigram_sql())
+def lm_perplexity_bigram(spark, sf):
+    """Conditional-bigram tier of the frozen reference LM (round 11):
+    per-doc cross-entropy with word-order sensitivity — token i scores
+    log p(t_i | t_{i-1}) from the frozen pair table, per-context
+    unseen mass for absent pairs, unigram fallback for the first token
+    and unknown contexts. A shuffled document scores measurably worse
+    than the same bag of tokens in fluent order (asserted in
+    tests/test_text_ops.py), which the unigram tier cannot
+    distinguish. operators/text.py lm_cross_entropy_bigram."""
+    return text.lm_cross_entropy_bigram(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "xent"
+    )
+
+
 @_q("lm_perplexity", _lm_perplexity_sql())
 def lm_perplexity(spark, sf):
     """Reference-LM quality scoring (round-11 verdict item 4): per-doc
@@ -3726,23 +3795,24 @@ def zorder_key(spark, sf):
 #
 # STANDING ROTATION (round 11): the SIXTEEN entries whose latest
 # evidence is r8 (exactly at the cap — the r10 overflow cohort) LEAD,
-# as the round-10 verdict prescribed; then the THREE queries new this
+# as the round-10 verdict prescribed; then the FOUR queries new this
 # round (dedup_spans_strip_raw — original-byte substring-dedup apply;
-# dedup_semantic — SemDeDup over frozen trained cells; lm_perplexity —
-# CCNet-style frozen-LM quality scoring), which have no evidence yet;
+# dedup_semantic — SemDeDup over frozen trained cells; lm_perplexity /
+# lm_perplexity_bigram — CCNet-style frozen-LM quality scoring,
+# unigram + conditional-bigram tiers), which have no evidence yet;
 # then the SEVEN queries whose implementation or oracle changed this
 # round (hot_salted_count_join's bounded-collect restructure touches
 # dedup_exact / dedup_spans / dedup_spans_strip and their compositions
 # dedup_corpus / prepare_corpus; the duplicate-doc_id df fix changed
 # bm25_search's oracle and hybrid_rrf shares that CTE), re-validating
 # in-gate rather than riding r10 evidence; then r9-evidenced fill in
-# CORRECTNESS_r09.json order. The TWENTY-THREE r9 entries left over:
-#   agg_count, agg_concat, agg_tpch_q1, agg_percentile, agg_tpch_q6,
-#   top_revenue_orders, join_broadcast, semi_join, anti_join_ledger,
-#   join_salted, bloom_anti_join, join_positional, distinct_keys,
-#   union_globs, limit_n, limit_pushdown, sessionize_islands,
-#   window_tumbling, window_sliding, window_session, agg_rollup,
-#   agg_cube, argmin_nearest
+# CORRECTNESS_r09.json order. The TWENTY-FOUR r9 entries left over:
+#   agg_max, agg_count, agg_concat, agg_tpch_q1, agg_percentile,
+#   agg_tpch_q6, top_revenue_orders, join_broadcast, semi_join,
+#   anti_join_ledger, join_salted, bloom_anti_join, join_positional,
+#   distinct_keys, union_globs, limit_n, limit_pushdown,
+#   sessionize_islands, window_tumbling, window_sliding,
+#   window_session, agg_rollup, agg_cube, argmin_nearest
 # overflow the 50-entry window and MUST lead round 12's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r8) -- must refresh this round
@@ -3766,6 +3836,7 @@ _PRIORITY_QUERIES = [
     "dedup_spans_strip_raw",
     "dedup_semantic",
     "lm_perplexity",
+    "lm_perplexity_bigram",
     # (3) implementation/oracle changed this round -- deliberate
     #     re-validation
     "dedup_exact",
@@ -3801,7 +3872,6 @@ _PRIORITY_QUERIES = [
     "agg_by_year",
     "agg_histogram",
     "agg_mean",
-    "agg_max",
 ]
 
 

@@ -152,3 +152,68 @@ def test_frozen_lm_matches_live_training_slice():
         f"live testdata ({lm['fingerprint']} vs {live}) — regenerate "
         "with tools/train_lm.py"
     )
+
+
+def test_lm_bigram_word_order_sensitivity(spark):
+    """The bigram tier's reason to exist: the SAME bag of tokens in
+    fluent order (a greedy chain of the artifact's highest-probability
+    bigrams) must score strictly lower cross-entropy than sorted
+    (shuffled) order — while the unigram tier scores both identically
+    (bag-of-words is order-blind). Also: one-token docs take the
+    unigram path; empty docs emit no row."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_lm,
+        lm_cross_entropy,
+        lm_cross_entropy_bigram,
+    )
+
+    lm = frozen_lm()
+    best: dict[str, tuple[str, float]] = {}
+    for k, v in lm["bigram_logp"].items():
+        s, t = k.split(" ", 1)
+        if s not in best or v > best[s][1]:
+            best[s] = (t, v)
+    toks = [sorted(lm["logp"])[0]]
+    for _ in range(11):
+        toks.append(best[toks[-1]][0])
+    fluent = " ".join(toks)
+    scrambled = " ".join(sorted(toks))
+    single = toks[0]
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, scrambled), (3, single), (4, "")],
+        ["doc_id", "text"],
+    )
+    bi = {r.doc_id: r for r in lm_cross_entropy_bigram(docs).collect()}
+    un = {r.doc_id: r for r in lm_cross_entropy(docs).collect()}
+    assert set(bi) == set(un) == {1, 2, 3}
+    assert un[1].xent == un[2].xent  # unigram: order-blind
+    assert bi[1].xent < bi[2].xent  # bigram: fluent order wins
+    assert bi[1].n_tokens == 12 and bi[2].n_tokens == 12
+    # single token: no bigram context -> exactly the unigram score
+    assert bi[3].xent == un[3].xent
+
+
+def test_frozen_lm_bigram_tier_integrity():
+    """Bigram-tier shape/consistency checks on the committed artifact:
+    every stored pair's context is in the context table, pair log-probs
+    beat that context's unseen mass (add-one monotonicity), and all
+    mass terms are finite negatives."""
+    import math
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_lm,
+    )
+
+    lm = frozen_lm()
+    assert 0 < len(lm["bigram_logp"]) <= lm["max_bigrams"]
+    assert all(
+        math.isfinite(v) and v < 0 for v in lm["bigram_logp"].values()
+    )
+    assert all(
+        math.isfinite(v) and v < 0 for v in lm["ctx_unseen_logp"].values()
+    )
+    for k, v in lm["bigram_logp"].items():
+        s, _t = k.split(" ", 1)
+        assert s in lm["ctx_unseen_logp"], k
+        # c >= 1 for stored pairs -> log((c+1)/d) > log(1/d)
+        assert v > lm["ctx_unseen_logp"][s], k

@@ -17,11 +17,22 @@ quality_filter) lacked. Same train/freeze/apply seam as the quantizer:
   so the lm_perplexity gate query and its oracle consume the SAME
   frozen literals and the driver gets the full rows+schema+hash check.
 
-Model: p(t) = (count(t) + 1) / (T + V + 1) for the V vocab tokens,
-p(OOV) = 1 / (T + V + 1) (one pooled OOV symbol — the standard add-one
-trick; good ranking signal, not a calibrated LM). Log-probs are
-computed HERE (Python math.log) and stored, so neither engine does
-engine-local transcendental math on unshared inputs.
+Model — two tiers, one artifact:
+
+- unigram: p(t) = (count(t) + 1) / (T + V + 1) for the V vocab tokens,
+  p(OOV) = 1 / (T + V + 1) (one pooled OOV symbol — the standard
+  add-one trick; good ranking signal, not a calibrated LM).
+- conditional bigram (round 11, the word-order signal the unigram
+  cannot see): p(t | s) = (count(s,t) + 1) / (count(s,·) + V + 1) for
+  stored (s,t) pairs, with per-context unseen mass
+  p_unseen(s) = 1 / (count(s,·) + V + 1); a context s outside the
+  table (or a document's first token) falls back to the unigram tier.
+  The pair table is capped at MAX_BIGRAMS by (count desc, s, t) —
+  capped-out pairs score as unseen-within-context on BOTH engines (the
+  artifact is the model; coarser, never inconsistent).
+
+Log-probs are computed HERE (Python math.log) and stored, so neither
+engine does engine-local transcendental math on unshared inputs.
 
 The artifact embeds a fingerprint of the training slice (row count +
 content hash — functions/artifacts.py): if the driver reseeds
@@ -50,6 +61,7 @@ from retrieval_augmented_generation_rag_data_pipeline_spark.functions.hashing im
 from retrieval_augmented_generation_rag_data_pipeline_spark.session import get_spark
 
 MAX_VOCAB = 4096
+MAX_BIGRAMS = 8192
 DEFAULT_OUT = (
     pathlib.Path(__file__).resolve().parent.parent / "artifacts" / "lm.json"
 )
@@ -77,13 +89,54 @@ def main() -> None:
     v = len(counts)
     denom = float(total + v + 1)
     logp = {r["term"]: math.log((r["c"] + 1) / denom) for r in counts}
+    # conditional-bigram tier: adjacent (prev, tok) pairs via a
+    # zip-with-shifted-self explode — one distributed pass each for the
+    # pair counts and the per-context totals
+    toks_arr = tokens(F.col("text"))
+    pairs = (
+        spark.read.parquet(src)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))).alias("t"),
+                    F.slice(toks_arr, 1, F.greatest(F.size(toks_arr) - 1, F.lit(0))).alias("s"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.s").alias("s"), F.col("p.t").alias("t"))
+    )
+    ctx_counts = {
+        r["s"]: r["c"]
+        for r in pairs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    bi_counts = (
+        pairs.groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("s"), F.asc("t"))
+        .limit(MAX_BIGRAMS)
+        .collect()
+    )
+    bigram_logp = {
+        f"{r['s']} {r['t']}": math.log(
+            (r["c"] + 1) / (ctx_counts[r["s"]] + v + 1)
+        )
+        for r in bi_counts
+    }
+    ctx_unseen_logp = {
+        s: math.log(1.0 / (c + v + 1)) for s, c in ctx_counts.items()
+    }
     art = {
         "trained_on": src,
         "max_vocab": MAX_VOCAB,
+        "max_bigrams": MAX_BIGRAMS,
         "vocab_size": v,
         "total_tokens": int(total),
         "oov_logp": math.log(1.0 / denom),
         "logp": dict(sorted(logp.items())),
+        "bigram_logp": dict(sorted(bigram_logp.items())),
+        "ctx_unseen_logp": dict(sorted(ctx_unseen_logp.items())),
         "fingerprint": corpus_fingerprint(src, "doc_id", "text"),
     }
     out.parent.mkdir(parents=True, exist_ok=True)
