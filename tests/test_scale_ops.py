@@ -224,3 +224,58 @@ def test_hot_salted_count_join_matches_plain_and_spreads_hot(spark):
     )
     assert got_ns.filter(F.col("k").isNull()).count() == 0
     assert got_ns.count() == 65
+
+
+def test_hot_salted_count_join_caps_hot_key_set(spark):
+    """The max_hot_keys guard (round-11 advisory): a hot-key set past
+    the cap must raise with actionable guidance, not silently build an
+    unbounded driver-resident set."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        hot_salted_count_join,
+    )
+
+    rows = [(i * 10 + j, f"k{i}") for i in range(8) for j in range(3)]
+    probe = spark.createDataFrame(rows, "id long, k string")
+    build = probe.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    with pytest.raises(ValueError, match="Raise hot_threshold"):
+        hot_salted_count_join(
+            probe, build, key="k", count_col="n", salt_src="id",
+            hot_threshold=2, max_hot_keys=4,
+        )
+    # at the exact cap, no raise
+    out = hot_salted_count_join(
+        probe, build, key="k", count_col="n", salt_src="id",
+        hot_threshold=2, max_hot_keys=8,
+    )
+    assert out.count() == len(rows)
+
+
+def test_hot_salted_count_join_builds_no_jobs_under_pinning_disabled(spark):
+    """Plan-inspection purity (round-11 review): constructing a
+    hot_salted_count_join plan inside pinning_disabled() must submit
+    ZERO Spark jobs — plan_guard/make_explain rely on that contract
+    (the hot-key read is skipped; the cold-path plan is built)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        hot_salted_count_join,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import (
+        pinning_disabled,
+    )
+
+    probe = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(50)], "id long, k string"
+    )
+    build = probe.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    with pinning_disabled():
+        df = hot_salted_count_join(
+            probe, build, key="k", count_col="n", salt_src="id",
+            hot_threshold=2,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction/inspection submitted jobs"
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
