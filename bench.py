@@ -95,6 +95,7 @@ HEADLINE = [
     "dedup_semantic",
     "lm_perplexity",
     "lm_perplexity_bigram",
+    "select_token_budget",
 ]
 
 RUNS = 3

@@ -256,3 +256,76 @@ def sample_weighted(
         .limit(int(k))
         .drop("_es_key")
     )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Data selection under a global TOKEN budget: rank documents by a
+    quality score and keep the maximal ranked prefix whose cumulative
+    token count fits ``budget_tokens`` — the standard way a pretraining
+    corpus is cut to a target size (CCNet keeps the low-perplexity
+    tail; quality-pruning work like DsDm/DoReMi selects top-ranked data
+    up to the token budget, not a doc count, because training cost is
+    measured in tokens).
+
+    Ranking: (score, id) ascending when ``ascending=True`` (scores
+    where LOWER is better — perplexity/xent), else (-score, id)
+    (higher-is-better quality scores). The id tie-break makes the
+    order — and therefore every cumulative sum — total and
+    deterministic. ``keep`` is true iff the doc's INCLUSIVE running
+    token total fits the budget: the greedy prefix rule, so one
+    over-size document at the boundary ends the kept prefix rather
+    than being skipped (no best-fit backtracking — deterministic,
+    SQL-expressible, and the convention budget cuts use).
+
+    Returns one row per input doc:
+    (doc_id, score, n_tokens, cum_tokens, keep), cum_tokens the
+    inclusive running total in rank order. Kept corpus =
+    ``.filter("keep")``.
+
+    Scale: the global running sum NEVER runs as an unpartitioned
+    window (ORDER BY over a corpus = one task) — it reuses
+    ``range_parted_offsets`` (the pack_sequences machinery): range-
+    partition on the rank key, one metadata-sized stats collect for
+    per-partition offsets, then a per-partition running sum. Pass a
+    NARROW frame (id, score, token count); join payloads back by id.
+    Cumulative counts are integer longs — no float fold-order parity
+    hazard anywhere.
+    """
+    if budget_tokens < 0:
+        raise ValueError(
+            f"select_token_budget: budget_tokens must be >= 0, got "
+            f"{budget_tokens}"
+        )
+    from .joins import range_parted_offsets
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).alias("score"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_ord",
+        F.col("score") if ascending else -F.col("score"),
+    )
+    parted, off = range_parted_offsets(
+        base, ["_ord", "doc_id"], num_parts, weight_col="n_tokens"
+    )
+    w = (
+        Window.partitionBy("_part")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (off + F.sum("n_tokens").over(w)).cast("long")
+    return (
+        parted.withColumn("cum_tokens", cum)
+        .withColumn("keep", F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "score", "n_tokens", "cum_tokens", "keep")
+    )

@@ -2495,6 +2495,74 @@ def lm_perplexity_bigram(spark, sf):
     )
 
 
+_BUDGET_TOKENS = 10_000
+
+
+def _select_token_budget_sql() -> str | None:
+    """Oracle for the token-budget selection gate: the unigram-LM
+    cross-entropy CTE (same frozen literals and artifact guard as
+    _lm_perplexity_sql) ranked ascending, cut at the inclusive running
+    token total — integer longs end-to-end, so the cut itself has no
+    float parity hazard; the DuckDB side may use a plain global window
+    (it is the ORACLE; the Spark side must not, see
+    sampling.select_token_budget's scale note)."""
+    from ..operators.text import frozen_lm
+
+    try:
+        lm = frozen_lm()
+        rows = ",\n  ".join(
+            "('" + t.replace("'", "''") + f"', {lp!r})"
+            for t, lp in sorted(lm["logp"].items())
+        )
+        oov = float(lm["oov_logp"])
+    except Exception:
+        return None
+    return f"""
+WITH vocab(term, lp) AS (VALUES
+  {rows}
+), t AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+s AS (SELECT x.doc_id, round(sum(coalesce(v.lp, {oov!r})), 6) AS ls,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM x LEFT JOIN vocab v USING (term)
+      GROUP BY x.doc_id),
+sc AS (SELECT doc_id, n_tokens, -ls / n_tokens AS xent FROM s),
+w AS (SELECT doc_id, n_tokens, xent,
+             sum(n_tokens) OVER (ORDER BY xent ASC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sc)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, xent
+FROM w WHERE cum <= {_BUDGET_TOKENS}
+"""
+
+
+@_q("select_token_budget", _select_token_budget_sql())
+def select_token_budget(spark, sf):
+    """Token-budget data selection (round 11): rank the corpus by
+    frozen-LM cross-entropy (ascending — CCNet keeps the fluent,
+    low-perplexity tail) and keep the maximal prefix whose cumulative
+    token count fits a global budget. The running total reuses the
+    pack_sequences distributed-prefix machinery
+    (sampling.select_token_budget) — never an unpartitioned global
+    window; cum_tokens is an integer long so the cut is parity-exact.
+    Reports the KEPT rows (the n_dropped>0 convention: a bare count
+    cannot hollow the plan out, and the kept set IS the deliverable)."""
+    from ..operators.sampling import select_token_budget as _stb
+
+    scored = text.lm_cross_entropy(_t(spark, sf, "documents")).select(
+        "doc_id", "xent", "n_tokens"
+    )
+    out = _stb(
+        scored, _BUDGET_TOKENS, score_col="xent", ascending=True
+    )
+    return out.filter("keep").select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.col("score").alias("xent"),
+    )
+
+
 @_q("lm_perplexity", _lm_perplexity_sql())
 def lm_perplexity(spark, sf):
     """Reference-LM quality scoring (round-11 verdict item 4): per-doc
@@ -3795,24 +3863,27 @@ def zorder_key(spark, sf):
 #
 # STANDING ROTATION (round 11): the SIXTEEN entries whose latest
 # evidence is r8 (exactly at the cap — the r10 overflow cohort) LEAD,
-# as the round-10 verdict prescribed; then the FOUR queries new this
+# as the round-10 verdict prescribed; then the FIVE queries new this
 # round (dedup_spans_strip_raw — original-byte substring-dedup apply;
 # dedup_semantic — SemDeDup over frozen trained cells; lm_perplexity /
 # lm_perplexity_bigram — CCNet-style frozen-LM quality scoring,
-# unigram + conditional-bigram tiers), which have no evidence yet;
+# unigram + conditional-bigram tiers; select_token_budget —
+# LM-ranked greedy corpus cut at a global token budget), which have
+# no evidence yet;
 # then the SEVEN queries whose implementation or oracle changed this
 # round (hot_salted_count_join's bounded-collect restructure touches
 # dedup_exact / dedup_spans / dedup_spans_strip and their compositions
 # dedup_corpus / prepare_corpus; the duplicate-doc_id df fix changed
 # bm25_search's oracle and hybrid_rrf shares that CTE), re-validating
 # in-gate rather than riding r10 evidence; then r9-evidenced fill in
-# CORRECTNESS_r09.json order. The TWENTY-FOUR r9 entries left over:
-#   agg_max, agg_count, agg_concat, agg_tpch_q1, agg_percentile,
-#   agg_tpch_q6, top_revenue_orders, join_broadcast, semi_join,
-#   anti_join_ledger, join_salted, bloom_anti_join, join_positional,
-#   distinct_keys, union_globs, limit_n, limit_pushdown,
-#   sessionize_islands, window_tumbling, window_sliding,
-#   window_session, agg_rollup, agg_cube, argmin_nearest
+# CORRECTNESS_r09.json order. The TWENTY-FIVE r9 entries left over:
+#   agg_mean, agg_max, agg_count, agg_concat, agg_tpch_q1,
+#   agg_percentile, agg_tpch_q6, top_revenue_orders, join_broadcast,
+#   semi_join, anti_join_ledger, join_salted, bloom_anti_join,
+#   join_positional, distinct_keys, union_globs, limit_n,
+#   limit_pushdown, sessionize_islands, window_tumbling,
+#   window_sliding, window_session, agg_rollup, agg_cube,
+#   argmin_nearest
 # overflow the 50-entry window and MUST lead round 12's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r8) -- must refresh this round
@@ -3837,6 +3908,7 @@ _PRIORITY_QUERIES = [
     "dedup_semantic",
     "lm_perplexity",
     "lm_perplexity_bigram",
+    "select_token_budget",
     # (3) implementation/oracle changed this round -- deliberate
     #     re-validation
     "dedup_exact",
@@ -3871,7 +3943,6 @@ _PRIORITY_QUERIES = [
     "agg_multi_counter",
     "agg_by_year",
     "agg_histogram",
-    "agg_mean",
 ]
 
 

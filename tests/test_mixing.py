@@ -233,3 +233,38 @@ def test_sample_weighted_tracks_weights(spark):
     a = sorted(r.doc_id for r in sample_weighted(df, k=10, weight_col="w", seed=5).collect())
     b = sorted(r.doc_id for r in sample_weighted(df, k=10, weight_col="w", seed=5).collect())
     assert a == b
+
+
+def test_select_token_budget_greedy_prefix(spark):
+    """Token-budget selection: deterministic rank by (score desc, id),
+    inclusive running totals, greedy prefix (an oversize doc at the
+    boundary ends the kept set rather than being skipped), budget 0
+    keeps nothing, and ascending=True flips the ranking for
+    lower-is-better scores."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    rows = [(1, 0.9, 40), (2, 0.8, 30), (3, 0.7, 50), (4, 0.95, 20), (5, 0.5, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    out = {r.doc_id: r for r in select_token_budget(docs, 95, "score").collect()}
+    assert len(out) == 5  # one row per input doc
+    # rank order: 4 (0.95, cum 20), 1 (0.9, 60), 2 (0.8, 90), 3, 5
+    assert [out[i].cum_tokens for i in (4, 1, 2, 3, 5)] == [20, 60, 90, 140, 150]
+    assert {i for i in out if out[i].keep} == {4, 1, 2}
+    # doc 3 (50 tokens) overflows at cum 140 and ENDS the prefix: doc 5
+    # (10 tokens, cum 150) stays dropped even though 95-90=5 < 10 anyway;
+    # with budget 100 the same boundary doc still ends the prefix
+    out100 = {r.doc_id: r.keep for r in select_token_budget(docs, 100, "score").collect()}
+    assert {i for i, k in out100.items() if k} == {4, 1, 2}
+    # budget 0 keeps nothing; negative budget raises
+    out0 = select_token_budget(docs, 0, "score")
+    assert out0.filter("keep").count() == 0
+    with pytest.raises(ValueError, match="budget_tokens"):
+        select_token_budget(docs, -1, "score")
+    # ascending: lowest scores first (perplexity-style)
+    asc = {r.doc_id: r.cum_tokens for r in
+           select_token_budget(docs, 1000, "score", ascending=True).collect()}
+    assert [asc[i] for i in (5, 3, 2, 1, 4)] == [10, 60, 90, 130, 150]
