@@ -751,6 +751,14 @@ def semantic_dedup(
     output) for trained cells — metadata-sized, broadcast into the
     plan as literals, SQL-replayable by the oracle; None uses the
     fixed pseudo-random family (deterministic, test/oracle baseline).
+    LITERAL-CENTROID CEILING: ``ivf_cell`` embeds n_cells x dim
+    doubles as expression literals, and the serialized task binary
+    grows with the plan (~130 MB at 800 cells x 64 dims, measured in
+    the 100x probe — workable, but broadcast-warned). Beyond ~1k cells
+    (the paper uses 50k), assign cells via a broadcast centroid TABLE
+    join + per-vector argmax (the ``ann_ivf_topk`` ``cellranked``
+    oracle shape) instead of literals; the within-cell pairing below
+    is unchanged.
 
     Scale (the SemDeDup cost model): the only quadratic stage is the
     within-cell self-join, so cell count must scale with the corpus —

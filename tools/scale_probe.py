@@ -334,20 +334,30 @@ def main() -> None:
         train_ivf_centroids,
     )
 
-    n_cells = max(8, (2000 * n) // 250)
+    # capped at 30x WITHIN the sweep: ivf_cell embeds n_cells x dim
+    # literal doubles, and at 100x (800 cells) the ~130 MB serialized
+    # task binaries stacked on the sweep's accumulated checkpoint
+    # blocks OOM'd the shared 32-core JVM — the 100x point is recorded
+    # from a DEDICATED run (200k vectors, 800 cells, 95s, drop floor
+    # hit exactly; see README scaling table), and semantic_dedup's
+    # docstring documents the literal-centroid ceiling (beyond ~1k
+    # cells, assign via a broadcast centroid table instead).
+    sem_n = min(n, 30)
+    sem_emb = big_emb if sem_n == n else replicate(emb, sem_n, ["vec_id"])
+    n_cells = max(8, (2000 * sem_n) // 250)
     t0 = time.time()
-    sem_cents = train_ivf_centroids(big_emb, n_cells=n_cells, seed=42)
+    sem_cents = train_ivf_centroids(sem_emb, n_cells=n_cells, seed=42)
     train_sec = round(time.time() - t0, 2)
     t0 = time.time()
     sem = dedup.semantic_dedup(
-        big_emb, threshold=0.95, dim=64, centroids=sem_cents
+        sem_emb, threshold=0.95, dim=64, centroids=sem_cents
     )
     sem_dropped = sem.filter(~F.col("keep")).count()
     sec_sem = round(time.time() - t0, 2)
     results["semantic_dedup"] = {
-        "vectors": 2000 * n, "n_cells": n_cells,
+        "vectors": 2000 * sem_n, "n_cells": n_cells,
         "dropped": sem_dropped,
-        "min_expected_dropped": 2000 * (n - 1),
+        "min_expected_dropped": 2000 * (sem_n - 1),
         "train_sec": train_sec, "sec": sec_sem,
     }
     # (b) deliberately UNDERSIZED cells (8 for the whole corpus) with
