@@ -337,6 +337,13 @@ def salted_join(
     return f.join(d, [key, "_salt"], how).drop("_salt")
 
 
+# Above this many hot-key hashes, hot_salted_count_join stops inlining
+# them as IN-list expression literals (py4j shipping cost + serialized
+# plan size on BOTH join sides) and broadcasts a tiny hot-hash frame
+# instead. InSet evaluation is O(1) either way; this bounds the PLAN.
+HOT_INSET_MAX = 1024
+
+
 def hot_salted_count_join(
     probe: DataFrame,
     build: DataFrame,
@@ -347,6 +354,7 @@ def hot_salted_count_join(
     n_salts: int = 16,
     null_safe: bool = False,
     max_hot_keys: int = 100_000,
+    hot_hashes_override: Sequence[int] | None = None,
 ) -> DataFrame:
     """Inner equi-join of a big ``probe`` against a per-key-UNIQUE
     ``build`` where ONLY the hot keys are salted — the deterministic
@@ -410,12 +418,29 @@ def hot_salted_count_join(
     this operator EAGER (it runs the build's jobs when called, not at
     the first downstream action) — bench.py times construction+action
     together, so the cost stays measured.
+
+    How the hot set rides back into the plan: up to ``HOT_INSET_MAX``
+    hashes it is an ``IN <literals>`` predicate (Catalyst compiles it
+    to an O(1) InSet) — the join-free common case. Past that, ~100k
+    64-bit literals would ship through py4j into BOTH sides'
+    expression trees (slow plan construction, a multi-MB serialized
+    plan — the literal-centroid ceiling class of cost), so the hot set
+    instead becomes a tiny one-column frame and hotness is a broadcast
+    LEFT join + null test on each side. Same results either way.
+
+    ``hot_hashes_override`` injects a synthetic hot-hash set and skips
+    the construction-time read entirely — the plan-inspection seam
+    (tools/plan_guard.py guards the salted plan shapes through it;
+    under ``pinning_disabled`` the default path can only ever show the
+    cold plan).
     """
     from .pinning import pin, pinning_is_disabled
 
     build = pin(build)
     salt_cols = [salt_src] if isinstance(salt_src, str) else list(salt_src)
-    if pinning_is_disabled():
+    if hot_hashes_override is not None:
+        hot_rows = [{"_hx": int(v)} for v in hot_hashes_override]
+    elif pinning_is_disabled():
         # plan-inspection context (plan_guard / make_explain): the
         # construction-time hot-key read would execute the build's full
         # aggregation lineage — exactly what pinning_disabled promises
@@ -440,27 +465,55 @@ def hot_salted_count_join(
         )
     hot_vals = sorted({r["_hx"] for r in hot_rows})
     if hot_vals:
-        def _is_hot(c):
-            return F.xxhash64(c).isin(hot_vals)
-
-        probe_salt = (
+        probe_salt_for = lambda hot: (  # noqa: E731
             F.when(
-                _is_hot(F.col(key)),
+                hot,
                 F.pmod(
                     F.xxhash64(*[F.col(c) for c in salt_cols]),
                     F.lit(n_salts),
                 ).cast("int"),
-            )
-            .otherwise(F.lit(0))
+            ).otherwise(F.lit(0))
         )
-        build_salts = F.when(
-            _is_hot(F.col(key)), F.sequence(F.lit(0), F.lit(n_salts - 1))
+        build_salts_for = lambda hot: F.when(  # noqa: E731
+            hot, F.sequence(F.lit(0), F.lit(n_salts - 1))
         ).otherwise(F.array(F.lit(0)))
+        if len(hot_vals) <= HOT_INSET_MAX:
+            def _is_hot(c):
+                return F.xxhash64(c).isin(hot_vals)
+
+            salted_probe = probe.withColumn(
+                "_salt", probe_salt_for(_is_hot(F.col(key)))
+            )
+            salted_build = build.withColumn(
+                "_salt", F.explode(build_salts_for(_is_hot(F.col(key))))
+            )
+        else:
+            # large hot set: a broadcast join against a tiny hot-hash
+            # frame instead of shipping every hash as an expression
+            # literal through py4j into both sides' plans
+            hot_df = probe.sparkSession.createDataFrame(
+                [(int(v),) for v in hot_vals], "_hx bigint"
+            )
+
+            def _mark(df, salt_expr_for):
+                marked = df.join(
+                    F.broadcast(hot_df),
+                    F.xxhash64(F.col(key)) == F.col("_hx"),
+                    "left",
+                )
+                return marked.withColumn(
+                    "_salt", salt_expr_for(F.col("_hx").isNotNull())
+                ).drop("_hx")
+
+            salted_probe = _mark(probe, probe_salt_for)
+            salted_build = _mark(
+                build, lambda hot: F.explode(build_salts_for(hot))
+            )
     else:
-        probe_salt = F.lit(0)
-        build_salts = F.array(F.lit(0))
-    salted_probe = probe.withColumn("_salt", probe_salt)
-    salted_build = build.withColumn("_salt", F.explode(build_salts))
+        salted_probe = probe.withColumn("_salt", F.lit(0))
+        salted_build = build.withColumn(
+            "_salt", F.explode(F.array(F.lit(0)))
+        )
     if not null_safe:
         return salted_probe.join(salted_build, [key, "_salt"], "inner").drop("_salt")
     b_cols = [c for c in build.columns if c != key]

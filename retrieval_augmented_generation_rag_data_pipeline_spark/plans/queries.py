@@ -2411,6 +2411,11 @@ def _lm_perplexity_sql() -> str | None:
             for t, lp in sorted(lm["logp"].items())
         )
         oov = float(lm["oov_logp"])
+        # an artifact with an EMPTY vocab table would render
+        # "AS (VALUES )" — broken SQL, not a broken-artifact degrade;
+        # treat it as the degrade condition like a load failure
+        if not rows:
+            return None
     except Exception:
         return None
     return f"""
@@ -2451,6 +2456,10 @@ def _lm_perplexity_bigram_sql() -> str | None:
             for k, lp in sorted(lm["bigram_logp"].items())
         )
         oov = float(lm["oov_logp"])
+        # empty vocab/ctx/bi tables would render "AS (VALUES )" —
+        # broken SQL; degrade to rows-only like a load failure
+        if not (uni and ctx and bi):
+            return None
     except Exception:
         return None
     return f"""
@@ -2515,6 +2524,9 @@ def _select_token_budget_sql() -> str | None:
             for t, lp in sorted(lm["logp"].items())
         )
         oov = float(lm["oov_logp"])
+        # empty vocab table -> "AS (VALUES )" is broken SQL; degrade
+        if not rows:
+            return None
     except Exception:
         return None
     return f"""

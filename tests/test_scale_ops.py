@@ -279,3 +279,79 @@ def test_hot_salted_count_join_builds_no_jobs_under_pinning_disabled(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "plan construction/inspection submitted jobs"
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_hot_salted_count_join_large_hot_set_broadcasts(spark, monkeypatch):
+    """Round-12 advisory: past HOT_INSET_MAX hot hashes the hot set
+    must ride into the plan as a broadcast join against a tiny frame,
+    not as IN-list expression literals on both sides — and results
+    must stay exactly the plain inner join's either way."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators import joins as J
+
+    rows = (
+        [(i, "hot") for i in range(60)]
+        + [(100 + i, f"cold{i}") for i in range(5)]
+    )
+    probe = spark.createDataFrame(rows, "id long, k string")
+    build = probe.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("id").alias("lead_id"),
+    )
+    want = sorted(
+        map(tuple, probe.join(build, "k").select("id", "k", "n", "lead_id").collect())
+    )
+    monkeypatch.setattr(J, "HOT_INSET_MAX", 0)  # force the bcast path
+    got = J.hot_salted_count_join(
+        probe, build, key="k", count_col="n", salt_src="id",
+        hot_threshold=50, n_salts=4,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan and "INSET" not in plan.upper()
+    assert sorted(
+        map(tuple, got.select("id", "k", "n", "lead_id").collect())
+    ) == want
+    # build side spreads the hot key across salts under the bcast
+    # marking too
+    parts = got.filter(F.col("k") == "hot").select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    assert parts >= 1  # smoke: the join executed through the salt
+
+
+def test_hot_salted_count_join_hot_hashes_override_skips_read(spark):
+    """hot_hashes_override is the plan-inspection seam: under
+    pinning_disabled() (how plan_guard uses it) it must build the
+    SALTED plan with ZERO jobs — neither the construction-time hot-key
+    read nor the pin — and an overridden hot hash that matches the
+    real key must still produce the plain join's rows when executed."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        hot_salted_count_join,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import (
+        pinning_disabled,
+    )
+
+    probe = spark.createDataFrame(
+        [(i, "hot") for i in range(20)] + [(100, "cold")],
+        "id long, k string",
+    )
+    build = probe.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hot_hash = spark.sql("SELECT xxhash64('hot') AS h").collect()[0]["h"]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    with pinning_disabled():
+        df = hot_salted_count_join(
+            probe, build, key="k", count_col="n", salt_src="id",
+            hot_threshold=5, n_salts=4, hot_hashes_override=[hot_hash],
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "override still submitted construction jobs"
+    assert "xxhash64" in plan  # the salted (hot) plan, not the cold one
+    # executed (outside the inspection block, rebuilt with a pin): the
+    # injected hot hash matches the real hot key -> plain join rows
+    out = hot_salted_count_join(
+        probe, build, key="k", count_col="n", salt_src="id",
+        hot_threshold=5, n_salts=4, hot_hashes_override=[hot_hash],
+    )
+    assert out.count() == 21

@@ -159,10 +159,43 @@ def pseudo_queries() -> dict:
         )
         return dedup.cc_jump_round(und, labels)
 
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators import joins
+
+    def _hot_salted(spark, sf, hot_hashes):
+        # the dedup_exact shape: digest probe + per-key count build.
+        # hot_hashes_override injects a synthetic hot set so the guard
+        # sees the SALTED plan — under pinning_disabled the default
+        # path skips the hot-key read and can only ever show the cold
+        # plan (round-12 advisory).
+        from pyspark.sql import functions as F
+
+        probe = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", F.md5("text").alias("k")
+        )
+        build = probe.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return joins.hot_salted_count_join(
+            probe, build, key="k", count_col="n", salt_src="doc_id",
+            hot_hashes_override=hot_hashes,
+        )
+
+    def hot_salted_inset(spark, sf):
+        # small hot set -> IN-literal marking (no extra joins)
+        return _hot_salted(spark, sf, [1, 2, 3])
+
+    def hot_salted_bcast(spark, sf):
+        # past HOT_INSET_MAX -> broadcast hot-hash frame marks each side
+        return _hot_salted(
+            spark, sf, list(range(joins.HOT_INSET_MAX + 1))
+        )
+
     return {
         "cc_corpus_edges": cc_corpus_edges,
         "cc_edges": cc_edges,
         "cc_jump": cc_jump,
+        "hot_salted_inset": hot_salted_inset,
+        "hot_salted_bcast": hot_salted_bcast,
     }
 
 

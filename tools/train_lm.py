@@ -29,7 +29,12 @@ Model — two tiers, one artifact:
   table (or a document's first token) falls back to the unigram tier.
   The pair table is capped at MAX_BIGRAMS by (count desc, s, t) —
   capped-out pairs score as unseen-within-context on BOTH engines (the
-  artifact is the model; coarser, never inconsistent).
+  artifact is the model; coarser, never inconsistent). The context
+  table is capped to the stored vocabulary (<= MAX_VOCAB rows) for the
+  same reason — capped-out contexts fall back to the unigram tier on
+  both engines, and the artifact / driver collect / broadcast / oracle
+  VALUES literal all stay metadata-sized regardless of the training
+  corpus's distinct-token count.
 
 Log-probs are computed HERE (Python math.log) and stored, so neither
 engine does engine-local transcendental math on unshared inputs.
@@ -105,14 +110,28 @@ def main() -> None:
         )
         .select(F.col("p.s").alias("s"), F.col("p.t").alias("t"))
     )
+    # Contexts are CAPPED to the stored vocabulary (<= MAX_VOCAB rows)
+    # — the artifact's size contract. Without this, ctx_counts /
+    # ctx_unseen_logp grow with the distinct-token count of the
+    # training corpus: an unbounded driver collect here, an unbounded
+    # committed artifact, an unbounded broadcast in
+    # lm_cross_entropy_bigram, and an unbounded VALUES literal in the
+    # oracle SQL. A context outside the vocab falls back to the
+    # unigram tier identically on both engines (the same rule as a
+    # document-first token), so the capped model stays consistent —
+    # just coarser, exactly like the MAX_BIGRAMS cap one level down.
+    vocab_df = spark.createDataFrame(
+        [(r["term"],) for r in counts], "s string"
+    )
+    vpairs = pairs.join(F.broadcast(vocab_df), "s", "inner")
     ctx_counts = {
         r["s"]: r["c"]
-        for r in pairs.groupBy("s")
+        for r in vpairs.groupBy("s")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
     bi_counts = (
-        pairs.groupBy("s", "t")
+        vpairs.groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("s"), F.asc("t"))
         .limit(MAX_BIGRAMS)
