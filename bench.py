@@ -96,6 +96,7 @@ HEADLINE = [
     "lm_perplexity",
     "lm_perplexity_bigram",
     "select_token_budget",
+    "select_budget_grouped",
 ]
 
 RUNS = 3

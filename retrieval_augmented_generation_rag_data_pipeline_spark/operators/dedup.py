@@ -719,6 +719,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_size: int | None = None,
+    assign: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -748,17 +749,23 @@ def semantic_dedup(
 
     ``centroids`` follows the train/freeze/apply seam of the quantizer
     family: pass ``frozen_quantizer()[0]`` (or ``train_ivf_centroids``
-    output) for trained cells — metadata-sized, broadcast into the
-    plan as literals, SQL-replayable by the oracle; None uses the
-    fixed pseudo-random family (deterministic, test/oracle baseline).
-    LITERAL-CENTROID CEILING: ``ivf_cell`` embeds n_cells x dim
-    doubles as expression literals, and the serialized task binary
-    grows with the plan (~130 MB at 800 cells x 64 dims, measured in
-    the 100x probe — workable, but broadcast-warned). Beyond ~1k cells
-    (the paper uses 50k), assign cells via a broadcast centroid TABLE
-    join + per-vector argmax (the ``ann_ivf_topk`` ``cellranked``
-    oracle shape) instead of literals; the within-cell pairing below
-    is unchanged.
+    output) for trained cells — metadata-sized, SQL-replayable by the
+    oracle; None uses the fixed pseudo-random family (deterministic,
+    test/oracle baseline).
+
+    TWO ASSIGNMENT PATHS, switched on ``assign`` (None = auto): up to
+    ``vectors.CELL_LITERAL_MAX`` cells the centroids ride the plan as
+    expression literals (``ivf_cell`` — join-free, the gate/oracle
+    baseline); past it they ride a broadcast centroid TABLE + per-
+    vector argmax (``assign_cells_table`` — plan size and shuffle
+    volume independent of cell count; the paper-scale 50k-cells
+    deployment shape, measured in tools/scale_probe.py
+    ``semantic_table_assign``). Both paths fold the same doubles in
+    the same order, so the assignment — and therefore every downstream
+    keep/drop — is bit-identical between them; ``assign="literal"`` /
+    ``assign="table"`` forces a path (the parity test and the scale
+    probe pin each explicitly). The within-cell pairing below is
+    identical on either path.
 
     Scale (the SemDeDup cost model): the only quadratic stage is the
     within-cell self-join, so cell count must scale with the corpus —
@@ -775,24 +782,48 @@ def semantic_dedup(
     is narrow (no shuffle jobs at call time).
     """
     from .pinning import pin
-    from .vectors import dot, ivf_cell, l2_norm
+    from .vectors import (
+        CELL_LITERAL_MAX,
+        assign_cells_table,
+        dot,
+        ivf_cell,
+        ivf_centroid,
+        l2_norm,
+    )
 
     if centroids is not None:
         n_cells = len(centroids)
+    if assign not in (None, "literal", "table"):
+        raise ValueError(
+            f"semantic_dedup: assign must be None, 'literal' or 'table', "
+            f"got {assign!r}"
+        )
+    use_table = (
+        assign == "table"
+        or (assign is None and n_cells > CELL_LITERAL_MAX)
+    )
     # Per-pair work is the hot path (a cell of m vectors scores ~m^2/2
     # pairs), so the L2 norm is computed ONCE per vector here, pinned —
     # an inline cosine() re-aggregates both norms for every pair
     # (measured 8.5s at sf0.1 vs 0.6s for this plan). Same doubles as
     # the oracle's inline norms: fold orders match, parity unchanged.
-    base = pin(
-        emb.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    spine = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    )
+    if use_table:
+        cents = (
+            centroids
+            if centroids is not None
+            else [ivf_centroid(c, dim) for c in range(n_cells)]
         )
-        .withColumn(
+        assigned = assign_cells_table(
+            spine, cents, id_col="vec_id", vec_col="_v", out_col="_cell"
+        )
+    else:
+        assigned = spine.withColumn(
             "_cell", ivf_cell("_v", dim, n_cells, centroids).cast("int")
         )
-        .withColumn("_n", l2_norm(F.col("_v")))
-    )
+    base = pin(assigned.withColumn("_n", l2_norm(F.col("_v"))))
     paired = base
     if max_cell_size is not None:
         ok = (

@@ -409,15 +409,19 @@ def hot_salted_count_join(
     md5(NULL) group). Output: probe columns + build's other columns;
     bookkeeping columns are dropped.
 
-    ``build`` is pinned (lazy localCheckpoint, the ngram_jaccard
-    inverted-index convention): its aggregation lineage — often a full
-    corpus pass — materializes once and serves both the construction-
-    time hot-key read and the executed join build. The pinned frame is
-    the per-key aggregate: key + counts, orders of magnitude narrower
-    than the probe it summarizes. Note the construction-time read makes
-    this operator EAGER (it runs the build's jobs when called, not at
-    the first downstream action) — bench.py times construction+action
-    together, so the cost stays measured.
+    ``build`` is pinned (an EAGER localCheckpoint on the default path —
+    round-11 verdict item 5 folded the bounded hot-set read into the
+    build materialization, so the aggregation lineage — often a full
+    corpus pass — runs as ONE job whose checkpointed output serves the
+    hot read AND the executed join build; the lazy-pin + filter-collect
+    pair it replaced submitted the same stages twice). The pinned frame
+    is the per-key aggregate: key + counts, orders of magnitude narrower
+    than the probe it summarizes. Note the construction-time
+    materialization makes this operator EAGER (it runs the build's jobs
+    when called, not at the first downstream action) — bench.py times
+    construction+action together, so the cost stays measured. The
+    override / plan-inspection paths keep the lazy ``pin`` (no collect
+    happens there, so there is nothing to fold).
 
     How the hot set rides back into the plan: up to ``HOT_INSET_MAX``
     hashes it is an ``IN <literals>`` predicate (Catalyst compiles it
@@ -436,9 +440,9 @@ def hot_salted_count_join(
     """
     from .pinning import pin, pinning_is_disabled
 
-    build = pin(build)
     salt_cols = [salt_src] if isinstance(salt_src, str) else list(salt_src)
     if hot_hashes_override is not None:
+        build = pin(build)
         hot_rows = [{"_hx": int(v)} for v in hot_hashes_override]
     elif pinning_is_disabled():
         # plan-inspection context (plan_guard / make_explain): the
@@ -447,8 +451,20 @@ def hot_salted_count_join(
         # NOT to do. Skip it and build the cold-path plan (no hot keys
         # -> plain equi-join on a constant salt), which is also the
         # runtime plan for every gate-scale input.
+        build = pin(build)
         hot_rows: list = []
     else:
+        # Fold the build materialization and the hot-set read into ONE
+        # aggregation pass (round-11 verdict item 5): an EAGER local
+        # checkpoint runs every stage of the build's lineage in a single
+        # job and pins the result; the bounded hot read below then scans
+        # only the checkpointed per-key aggregate (trivial next to the
+        # aggregation). The previous lazy-pin + filter-collect pair paid
+        # two submissions for the same work — AQE submits the lazy
+        # checkpoint's shuffle stages at .localCheckpoint() call time,
+        # and the collect then ran the final stage under CollectLimit's
+        # incremental partition scans on top.
+        build = build.localCheckpoint(eager=True)
         hot_rows = (
             build.filter(F.col(count_col) >= hot_threshold)
             .select(F.xxhash64(F.col(key)).alias("_hx"))
@@ -651,6 +667,104 @@ def range_parted_offsets(
     )
     parted = parted.join(F.broadcast(offs_df), "_part")
     return parted, F.col("_poff")
+
+
+def range_parted_offsets_grouped(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    num_parts: int | None = None,
+    weight_col: str | None = None,
+):
+    """``range_parted_offsets`` with PER-GROUP prefix offsets: range-
+    partition on ``group_cols + order_cols`` (each group occupies a
+    contiguous partition span) and return ``(parted, off)`` where
+    ``off`` maps each row's (partition, group) to the total weight of
+    preceding partitions WITHIN THE SAME GROUP. Consumers add a window
+    partitioned by ``(_part, *group_cols)`` on top and get one
+    independent global prefix sum per group — the per-domain running
+    token totals of ``select_token_budget_grouped`` — without ever
+    funnelling a group through a single task.
+
+    Stats collect stays metadata-sized by construction: groups are
+    contiguous under the range exchange, so the per-(partition, group)
+    frame holds at most ``num_parts + n_groups - 1`` rows regardless of
+    data volume. The offsets always ride back as a broadcast join on
+    ``(_part, *group_cols)`` (no literal-map fast path — the composite
+    key would need struct literals for marginal gain); consumers drop
+    ``_part`` and ``_goff`` when done. Weight validation (no negatives,
+    no NULLs) matches the ungrouped helper. NULL group values form
+    their own group (groupBy and the null-safe join condition both
+    treat NULL as a value).
+    """
+    spark = df.sparkSession
+    if num_parts:
+        n = num_parts
+    else:
+        conf = spark.conf.get("spark.sql.shuffle.partitions", "")
+        n = (
+            int(conf)
+            if conf.isdigit()
+            else (df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism)
+        )
+    parted = (
+        df.repartitionByRange(n, *group_cols, *order_cols)
+        .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    if weight_col is None:
+        stats = (
+            parted.groupBy("_part", *group_cols)
+            .agg(F.count("*").alias("_w"))
+            .collect()
+        )
+    else:
+        stats = (
+            parted.groupBy("_part", *group_cols)
+            .agg(
+                F.sum(weight_col).alias("_w"),
+                F.min(weight_col).alias("_m"),
+                (F.count("*") - F.count(weight_col)).alias("_nulls"),
+            )
+            .collect()
+        )
+        bad = [r["_part"] for r in stats if r["_m"] is not None and r["_m"] < 0]
+        if bad:
+            raise ValueError(
+                f"range_parted_offsets_grouped: negative values in "
+                f"{weight_col!r} (partitions {sorted(bad)[:5]}); weights "
+                "must be >= 0"
+            )
+        nulls = [r["_part"] for r in stats if r["_nulls"]]
+        if nulls:
+            raise ValueError(
+                f"range_parted_offsets_grouped: NULL values in "
+                f"{weight_col!r} (partitions {sorted(nulls)[:5]}); "
+                "coalesce them to 0 explicitly if that is the intended "
+                "weight"
+            )
+    # per-group running offsets in partition order
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(stats, key=lambda r: r["_part"]):
+        g = tuple(r[c] for c in group_cols)
+        rows.append((int(r["_part"]), *g, int(acc.get(g, 0))))
+        acc[g] = acc.get(g, 0) + int(r["_w"] or 0)
+    if not rows:
+        return parted, F.lit(0).cast("long")
+    offs_schema = parted.select("_part", *group_cols).schema.add(
+        "_goff", "long", False
+    )
+    offs_df = spark.createDataFrame(rows, offs_schema)
+    cond = F.col("_l._part") == F.col("_r._part")
+    for c in group_cols:
+        cond = cond & F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+    parted = (
+        parted.alias("_l")
+        .join(F.broadcast(offs_df.alias("_r")), cond)
+        .select("_l.*", F.col("_r._goff").alias("_goff"))
+    )
+    return parted, F.col("_goff")
 
 
 def global_index(

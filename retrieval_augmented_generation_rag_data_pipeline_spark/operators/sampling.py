@@ -329,3 +329,106 @@ def select_token_budget(
         .withColumn("keep", F.col("cum_tokens") <= budget_tokens)
         .select("doc_id", "score", "n_tokens", "cum_tokens", "keep")
     )
+
+
+def select_token_budget_grouped(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str,
+    score_col: str,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    num_parts: int | None = None,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Data selection under PER-GROUP token budgets — the mixture form
+    of ``select_token_budget``: real corpus recipes cut per domain
+    (DoReMi/Pile-style domain weights give each source its own token
+    share, then the kept sets union), not one global prefix, because a
+    single global cut lets a low-perplexity-skewed domain crowd out
+    every other one.
+
+    Within each group the semantics are EXACTLY the global operator's:
+    rank by (score, id), keep the maximal prefix whose inclusive
+    running token total fits that group's budget (greedy prefix, no
+    best-fit backtracking). Consequence (asserted in
+    tests/test_mixing.py): if each group's budget equals the tokens the
+    GLOBAL selection allotted that group, the grouped kept set is
+    identical to the global one — the operator only re-apportions the
+    budget, never re-orders within a group.
+
+    ``budgets`` maps group value -> token budget (driver-side dict —
+    domain mixtures are tens of sources, metadata by construction;
+    values must be >= 0). Groups absent from the dict get
+    ``default_budget`` (default 0: unlisted domains contribute
+    nothing — the conservative reading of a mixture recipe; pass a
+    positive default to give unlisted groups a floor). NULL group
+    values always get the default (Spark map keys cannot be NULL).
+
+    Returns one row per input doc:
+    (doc_id, <group_col>, score, n_tokens, cum_tokens, keep) with
+    cum_tokens the group's inclusive running total. Kept corpus =
+    ``.filter("keep")``.
+
+    Scale: the per-group running sums ride
+    ``range_parted_offsets_grouped`` — range-partitioned on
+    (group, rank key) so every group's prefix sum is distributed
+    across its partition span, offsets per (partition, group) collected
+    driver-side (metadata-sized: groups are contiguous under the range
+    exchange), budgets applied as a literal map. No global window, no
+    per-group single task, no collect of data rows.
+    """
+    bad = {g: b for g, b in budgets.items() if b < 0}
+    if bad:
+        raise ValueError(
+            f"select_token_budget_grouped: budgets must be >= 0, got {bad}"
+        )
+    if default_budget < 0:
+        raise ValueError(
+            "select_token_budget_grouped: default_budget must be >= 0, "
+            f"got {default_budget}"
+        )
+    from .joins import range_parted_offsets_grouped
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias(group_col),
+        F.col(score_col).alias("score"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_ord",
+        F.col("score") if ascending else -F.col("score"),
+    )
+    parted, off = range_parted_offsets_grouped(
+        base,
+        [group_col],
+        ["_ord", "doc_id"],
+        num_parts,
+        weight_col="n_tokens",
+    )
+    w = (
+        Window.partitionBy("_part", group_col)
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (off + F.sum("n_tokens").over(w)).cast("long")
+    budget_map = F.create_map(
+        *[F.lit(v) for g, b in sorted(budgets.items()) for v in (g, int(b))]
+    ) if budgets else None
+    budget = (
+        F.coalesce(
+            F.element_at(budget_map, F.col(group_col)),
+            F.lit(int(default_budget)),
+        )
+        if budget_map is not None
+        else F.lit(int(default_budget))
+    )
+    return (
+        parted.withColumn("cum_tokens", cum)
+        .withColumn("keep", F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id", group_col, "score", "n_tokens", "cum_tokens", "keep"
+        )
+    )

@@ -337,6 +337,94 @@ def ivf_cell(
     )
 
 
+# Literal-centroid ceiling: ivf_cell / _cell_rank_sql embed n_cells x
+# dim doubles as EXPRESSION literals, and the serialized task binary
+# grows with the plan (~130 MB at 800 cells x 64 dims, measured in the
+# round-11 100x probe). Past this bound, quantizer-applying operators
+# switch to assign_cells_table — centroid data rides a broadcast, not
+# the plan.
+CELL_LITERAL_MAX = 1024
+
+
+def assign_cells_table(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Coarse-quantizer cell assignment via a broadcast centroid TABLE
+    — the >``CELL_LITERAL_MAX``-cells path (SemDeDup's cost model wants
+    cells ~ corpus/target_cell_size; the paper runs 50k cells for 5B
+    embeddings, and 50k x 64 dims is ~25 MB of centroid data — two
+    orders of magnitude past the literal-expression ceiling).
+
+    Plan shape: the (cell, centroid) table is collapsed to ONE row
+    holding a cell-ordered ``array<struct<c, cent>>`` and broadcast; a
+    BroadcastNestedLoopJoin against that single row attaches it to
+    every vector (no shuffle, no per-vector data movement — the stream
+    side's partitioning is untouched), and a per-row fold computes
+    argmax-dot in place: ``transform`` scores each centroid once, the
+    ``aggregate`` keeps the first strict minimum of (-dot), so ties go
+    to the LOWEST cell id — exactly ``_cell_rank_sql``'s ``array_sort``
+    element 1. Plan size, broadcast payload per executor, and shuffle
+    volume (zero) are all independent of n_cells.
+
+    NOT the join-per-(vector, cell) shape: scoring as a
+    BroadcastNestedLoopJoin row PER CANDIDATE materializes n x k joined
+    rows each carrying the 64-dim vector into a re-grouping aggregate —
+    measured 180s for 2k vectors x 1k cells at sf0.1 against ~2s for
+    this in-place fold, which evaluates the same dots without ever
+    widening or regrouping the stream.
+
+    Parity: the dot is the same sequential zip_with/aggregate fold over
+    the same doubles as ``_dot_sql``'s literal path — the two
+    assignment paths agree bit-for-bit on shared centroids
+    (tests/test_vectors.py::test_table_assignment_matches_literal).
+    One dim-guard per row (``assert_true`` folded into the fold's
+    init), matching the literal path's guard-once convention. NULL
+    vectors get a NULL cell (every -dot is NULL, the fold never
+    improves on the NULL-cell init) rather than an arbitrary one.
+
+    Returns ``df``'s columns plus ``out_col``. Cost is n x k dots of
+    interpreted higher-order-function work regardless of path — size
+    the STREAM side's partitioning to the cluster (a single-file local
+    read is one partition and will single-thread; ``.repartition()``
+    first if the scan's natural parallelism is low).
+    """
+    spark = df.sparkSession
+    dim = len(centroids[0]) if centroids else 0
+    cells = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in enumerate(centroids)],
+        "_cc int, _cent array<double>",
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_cc").alias("c"), F.col("_cent").alias("cent")))
+        ).alias("_cents")
+    )
+    vq = f"`{vec_col}`"
+    nd = (
+        f"-(aggregate(zip_with({vq}, s.cent, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"0D, (a, v) -> a + v))"
+    )
+    guard = (
+        f"coalesce(CAST(assert_true({vq} IS NULL OR size({vq}) = {dim}, "
+        f"'assign_cells_table: vector length <> dim={dim}') AS DOUBLE), 0D)"
+    )
+    best = F.expr(
+        f"""aggregate(
+  transform(_cents, s -> named_struct('nd', {nd}, 'c', s.c)),
+  named_struct('nd', {guard} + CAST('Infinity' AS DOUBLE),
+               'c', CAST(NULL AS INT)),
+  (acc, x) -> IF(x.nd < acc.nd, x, acc)).c"""
+    )
+    return (
+        df.crossJoin(F.broadcast(cells))
+        .withColumn(out_col, best.cast("int"))
+        .drop("_cents")
+    )
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

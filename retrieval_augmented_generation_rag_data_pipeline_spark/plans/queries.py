@@ -1983,10 +1983,28 @@ def dedup_semantic(spark, sf):
     (vec_id, cell, dup_of, cos_max): the drop set IS the operator's
     semantic output, and reporting only changed rows keeps a bare
     count() from letting Catalyst eliminate the unique-key left join
-    (the dedup_spans_strip precedent)."""
+    (the dedup_spans_strip precedent).
+
+    CELLS FOLLOW THE CORPUS (round-12 verdict item 2): SemDeDup's only
+    quadratic stage is the within-cell pairing, so cell count must
+    scale with data volume (the paper: 50k cells / 5B embeddings). A
+    scale directory may therefore carry its OWN trained quantizer —
+    ``<sf_dir>/quantizer.json``, written by tools/make_scale_replica.py
+    with n_cells ~ vectors/250 — and this gate prefers it; the driver's
+    sf dirs carry none and fall back to the committed sf0.01-trained
+    artifact, which is exactly what the static oracle replays (the
+    oracle only ever runs at gate scale, where the fallback is the
+    correct quantizer for the corpus)."""
+    import json as _json
+    import pathlib as _pathlib
+
     from ..operators.vectors import frozen_quantizer
 
-    cents, _books = frozen_quantizer()
+    local = _pathlib.Path(sf) / "quantizer.json"
+    if local.is_file():
+        cents = _json.loads(local.read_text())["centroids"]
+    else:
+        cents, _books = frozen_quantizer()
     out = dedup.semantic_dedup(
         _t(spark, sf, "embeddings"),
         threshold=_SEMDEDUP_TAU,
@@ -2569,6 +2587,89 @@ def select_token_budget(spark, sf):
     )
     return out.filter("keep").select(
         "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.col("score").alias("xent"),
+    )
+
+
+# Per-language token budgets for the grouped-selection gate — a
+# DoReMi/Pile-style domain-weight recipe (en-heavy, the long tail
+# floored). Sums to ~the global gate's 10k so the two selections are
+# comparable in size.
+_BUDGETS_BY_LANG = {"en": 4000, "de": 1600, "es": 1600, "fr": 1600, "zh": 1200}
+
+
+def _select_budget_grouped_sql() -> str | None:
+    """Oracle for the per-group token-budget gate: the same frozen
+    unigram-LM xent CTE (and artifact guard) as _select_token_budget_sql,
+    then a PER-LANGUAGE cumulative window cut at that language's budget
+    (a CASE literal — the mixture recipe is metadata). DuckDB may use
+    plain partitioned windows; the Spark side must not funnel a group
+    through one task (sampling.select_token_budget_grouped)."""
+    from ..operators.text import frozen_lm
+
+    try:
+        lm = frozen_lm()
+        rows = ",\n  ".join(
+            "('" + t.replace("'", "''") + f"', {lp!r})"
+            for t, lp in sorted(lm["logp"].items())
+        )
+        oov = float(lm["oov_logp"])
+        if not rows:
+            return None
+    except Exception:
+        return None
+    case = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in sorted(_BUDGETS_BY_LANG.items())
+    )
+    return f"""
+WITH vocab(term, lp) AS (VALUES
+  {rows}
+), t AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+s AS (SELECT x.doc_id, round(sum(coalesce(v.lp, {oov!r})), 6) AS ls,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM x LEFT JOIN vocab v USING (term)
+      GROUP BY x.doc_id),
+sc AS (SELECT s.doc_id, d.lang, s.n_tokens, -s.ls / s.n_tokens AS xent
+       FROM s JOIN documents d USING (doc_id)),
+w AS (SELECT doc_id, lang, n_tokens, xent,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY xent ASC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sc)
+SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, xent
+FROM w WHERE cum <= CASE lang {case} ELSE 0 END
+"""
+
+
+@_q("select_budget_grouped", _select_budget_grouped_sql())
+def select_budget_grouped(spark, sf):
+    """Per-group token-budget selection (round-12 verdict item 4): the
+    mixture form of select_token_budget — each language gets its own
+    token budget (_BUDGETS_BY_LANG), the kept sets union. Within a
+    group the semantics are exactly the global operator's greedy
+    ranked prefix; the per-group running totals ride
+    range_parted_offsets_grouped (range-partitioned on (lang, rank),
+    per-(partition, group) offsets, broadcast join back) — no global
+    window, no per-group single task. Reports the KEPT rows."""
+    from ..operators.sampling import select_token_budget_grouped as _stbg
+
+    docs = _t(spark, sf, "documents")
+    scored = text.lm_cross_entropy(docs).select(
+        "doc_id", "xent", "n_tokens"
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    out = _stbg(
+        scored,
+        _BUDGETS_BY_LANG,
+        group_col="lang",
+        score_col="xent",
+        ascending=True,
+    )
+    return out.filter("keep").select(
+        "doc_id",
+        "lang",
         "n_tokens",
         "cum_tokens",
         F.col("score").alias("xent"),
@@ -3873,88 +3974,83 @@ def zorder_key(spark, sf):
 # the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
 # evidence-less entry sits outside the first 50 positions.
 #
-# STANDING ROTATION (round 11): the SIXTEEN entries whose latest
-# evidence is r8 (exactly at the cap — the r10 overflow cohort) LEAD,
-# as the round-10 verdict prescribed; then the FIVE queries new this
-# round (dedup_spans_strip_raw — original-byte substring-dedup apply;
-# dedup_semantic — SemDeDup over frozen trained cells; lm_perplexity /
-# lm_perplexity_bigram — CCNet-style frozen-LM quality scoring,
-# unigram + conditional-bigram tiers; select_token_budget —
-# LM-ranked greedy corpus cut at a global token budget), which have
-# no evidence yet;
-# then the SEVEN queries whose implementation or oracle changed this
-# round (hot_salted_count_join's bounded-collect restructure touches
-# dedup_exact / dedup_spans / dedup_spans_strip and their compositions
-# dedup_corpus / prepare_corpus; the duplicate-doc_id df fix changed
-# bm25_search's oracle and hybrid_rrf shares that CTE), re-validating
-# in-gate rather than riding r10 evidence; then r9-evidenced fill in
-# CORRECTNESS_r09.json order. The TWENTY-FIVE r9 entries left over:
-#   agg_mean, agg_max, agg_count, agg_concat, agg_tpch_q1,
-#   agg_percentile, agg_tpch_q6, top_revenue_orders, join_broadcast,
-#   semi_join, anti_join_ledger, join_salted, bloom_anti_join,
-#   join_positional, distinct_keys, union_globs, limit_n,
-#   limit_pushdown, sessionize_islands, window_tumbling,
-#   window_sliding, window_session, agg_rollup, agg_cube,
-#   argmin_nearest
-# overflow the 50-entry window and MUST lead round 12's rotation.
+# STANDING ROTATION (round 12): the TWENTY-FIVE entries whose latest
+# evidence is r9 (exactly at the cap — the r11 overflow cohort) LEAD,
+# as the round-11 verdict prescribed; then the ONE query new this
+# round (select_budget_grouped — per-language token budgets, the
+# mixture form of select_token_budget), which has no evidence yet;
+# then the SEVEN queries whose implementation changed this round
+# (hot_salted_count_join's one-job eager-checkpoint construction
+# touches dedup_exact / dedup_spans / dedup_spans_strip /
+# dedup_spans_strip_raw and their compositions dedup_corpus /
+# prepare_corpus; semantic_dedup's assignment-path switch touches
+# dedup_semantic), re-validating in-gate rather than riding r11
+# evidence; then r10-evidenced fill in CORRECTNESS_r10.json order.
+# The TWENTY-SEVEN r10 entries left over:
+#   sample_group_k, sample_weighted_k, pack_assembly, retrieval_eval,
+#   dedup_eval, mix_report, filter_year, project_arith, sort_desc,
+#   topn_per_group, join_asof, ann_ivf_topk, ann_pq_topk,
+#   ann_ivfpq_mem, dedup_embedding_cosine, dedup_minhash,
+#   dedup_lsh_pairs, dedup_clusters, dedup_simhash,
+#   dedup_ngram_jaccard, lang_id, quality_score, quality_filter,
+#   token_count, doc_fingerprint, chunk_documents, tfidf_top_terms
+# overflow the 50-entry window and MUST lead round 13's rotation.
 _PRIORITY_QUERIES = [
-    # (1) evidence exactly 2 rounds old (r8) -- must refresh this round
-    "pii_scrub",
-    "ngram_topk",
-    "corpus_stats",
-    "vocab_entropy",
-    "assign_split",
-    "mix_corpora",
-    "window_rank",
-    "window_lead_lag",
-    "window_first_last",
-    "agg_stats",
-    "agg_pivot",
-    "unpivot_melt",
-    "multimodal_features",
-    "artifact_probe",
-    "sample_stratified",
-    "repetition_metrics",
+    # (1) evidence exactly 2 rounds old (r9) -- must refresh this round
+    "agg_mean",
+    "agg_max",
+    "agg_count",
+    "agg_concat",
+    "agg_tpch_q1",
+    "agg_percentile",
+    "agg_tpch_q6",
+    "top_revenue_orders",
+    "join_broadcast",
+    "semi_join",
+    "anti_join_ledger",
+    "join_salted",
+    "bloom_anti_join",
+    "join_positional",
+    "distinct_keys",
+    "union_globs",
+    "limit_n",
+    "limit_pushdown",
+    "sessionize_islands",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "agg_rollup",
+    "agg_cube",
+    "argmin_nearest",
     # (2) no evidence yet (new this round)
-    "dedup_spans_strip_raw",
-    "dedup_semantic",
-    "lm_perplexity",
-    "lm_perplexity_bigram",
-    "select_token_budget",
-    # (3) implementation/oracle changed this round -- deliberate
-    #     re-validation
+    "select_budget_grouped",
+    # (3) implementation changed this round -- deliberate re-validation
     "dedup_exact",
     "dedup_spans",
     "dedup_spans_strip",
-    "bm25_search",
-    "hybrid_rrf",
+    "dedup_spans_strip_raw",
     "dedup_corpus",
     "prepare_corpus",
-    # (4) r9-evidenced fill, CORRECTNESS_r09.json order; the leftover
-    #     23-name overflow cohort that MUST lead round 12 is the
+    "dedup_semantic",
+    # (4) r10-evidenced fill, CORRECTNESS_r10.json order; the leftover
+    #     27-name overflow cohort that MUST lead round 13 is the
     #     STANDING ROTATION block above
-    "join_interval",
-    "agg_mode",
-    "set_ops",
-    "null_funcs",
-    "explode_pos",
-    "str_distance",
-    "sample_exact_k",
-    "zorder_key",
-    "filter_notnull",
-    "retrieval_eval_ivf",
-    "filter_suffix",
-    "filter_nonempty",
-    "dedup_embedding_capped",
-    "pack_sequences",
-    "pack_pieces",
-    "project_derived",
-    "scan_catalog",
-    "scan_documents",
-    "agg_conditional_count",
-    "agg_multi_counter",
-    "agg_by_year",
-    "agg_histogram",
+    "window_running",
+    "format_dialogue",
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "map_funcs",
+    "knn_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "decontaminate",
+    "retrieval_eval_ivf_trained",
+    "normalize_text",
+    "dedup_chunks",
+    "dedup_incremental",
 ]
 
 

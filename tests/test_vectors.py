@@ -276,3 +276,62 @@ def test_frozen_quantizer_matches_live_training_slice():
         f"than the live testdata slice ({art['fingerprint']} vs {live})"
         " — regenerate with tools/train_quantizer.py"
     )
+
+
+def test_table_assignment_matches_literal(spark):
+    """assign_cells_table must agree BIT-FOR-BIT with the literal
+    ivf_cell path on shared centroids — both on the fixed pseudo-random
+    family and on the frozen trained artifact — because semantic_dedup
+    auto-switches between them on cell count and the switch must never
+    move a vector's cell (and therefore its keep/drop)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        assign_cells_table,
+        frozen_quantizer,
+        ivf_cell,
+        ivf_centroid,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("_v")
+    )
+    trained, _ = frozen_quantizer()
+    for cents in ([ivf_centroid(c, 64) for c in range(8)], trained):
+        lit = {
+            r.vec_id: r.c
+            for r in emb.withColumn(
+                "c", ivf_cell("_v", 64, len(cents), cents).cast("int")
+            ).collect()
+        }
+        tab = {
+            r.vec_id: r._cell
+            for r in assign_cells_table(
+                emb, cents, id_col="vec_id", vec_col="_v"
+            ).collect()
+        }
+        assert lit == tab
+    # NULL vector -> NULL cell on the table path (never an arbitrary 0)
+    one = spark.createDataFrame([(1, None)], "vec_id int, _v array<double>")
+    row = assign_cells_table(
+        one, [ivf_centroid(c, 64) for c in range(4)], "vec_id", "_v"
+    ).first()
+    assert row._cell is None
+
+
+def test_semantic_dedup_table_path_matches_literal(spark):
+    """Forcing assign='table' must reproduce the literal path's full
+    (keep, dup_of, cell) output — the auto-switch is pure plumbing."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    key = lambda rows: sorted(  # noqa: E731
+        (r.vec_id, r.cell, r.keep, r.dup_of, r.cos_max) for r in rows
+    )
+    lit = key(
+        semantic_dedup(emb, 0.35, 64, n_cells=8, assign="literal").collect()
+    )
+    tab = key(
+        semantic_dedup(emb, 0.35, 64, n_cells=8, assign="table").collect()
+    )
+    assert lit == tab and len(lit) == emb.count()

@@ -91,6 +91,34 @@ def main() -> None:
     for name in SHIFT_KEYS:
         rows = replicate_table(spark, name, n, outdir)
         print(f"{name}: {rows} rows")
+
+    # Scale-appropriate SemDeDup quantizer (round-12 verdict item 2):
+    # SemDeDup's contract is cells ~ corpus (the paper: 50k cells / 5B
+    # embeddings; ~250 vectors per cell here), and the dedup_semantic
+    # gate prefers <dir>/quantizer.json over the frozen gate-scale
+    # artifact — so a replica bench run pairs within right-sized cells
+    # instead of pushing Nx the vectors through sf0.01-sized ones (the
+    # quadratic 32s sf1 reading this replaces). Same train/freeze/apply
+    # seam as tools/train_quantizer.py, trained on the replica itself.
+    import json
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{outdir}/embeddings.parquet")
+    n_vec = emb.count()
+    n_cells = max(8, n_vec // 250)
+    cents = train_ivf_centroids(emb, n_cells=n_cells, seed=42)
+    art = {
+        "trained_on": outdir,
+        "dim": len(cents[0]),
+        "n_cells": n_cells,
+        "seed": 42,
+        "centroids": cents,
+    }
+    pathlib.Path(f"{outdir}/quantizer.json").write_text(json.dumps(art))
+    print(f"quantizer: {n_cells} cells over {n_vec} vectors")
     print(f"wrote {outdir}")
 
 

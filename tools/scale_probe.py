@@ -339,9 +339,10 @@ def main() -> None:
     # task binaries stacked on the sweep's accumulated checkpoint
     # blocks OOM'd the shared 32-core JVM — the 100x point is recorded
     # from a DEDICATED run (200k vectors, 800 cells, 95s, drop floor
-    # hit exactly; see README scaling table), and semantic_dedup's
-    # docstring documents the literal-centroid ceiling (beyond ~1k
-    # cells, assign via a broadcast centroid table instead).
+    # hit exactly; see README scaling table). Probe (c) below runs the
+    # round-12 broadcast-centroid-TABLE path past that ceiling (10k
+    # cells, constant plan size); trained cells here stay on the
+    # literal path because n_cells <= CELL_LITERAL_MAX at probe scale.
     sem_n = min(n, 30)
     sem_emb = big_emb if sem_n == n else replicate(emb, sem_n, ["vec_id"])
     n_cells = max(8, (2000 * sem_n) // 250)
@@ -372,6 +373,37 @@ def main() -> None:
     results["semantic_dedup_capped"] = {
         "vectors": 2000 * n, "n_cells": 8, "max_cell_size": 1000,
         "dropped": capped_dropped, "sec": round(time.time() - t0, 2),
+    }
+
+    # (c) broadcast-centroid-TABLE assignment at paper-scale cell
+    # counts (round-12 verdict item 2): the literal-centroid plan
+    # ceiling is gone — 10k cells x 64 dims ride ONE broadcast row
+    # (~5 MB); plan size, serialized task binaries, and shuffle volume
+    # are all independent of k (the round-11 literal path OOM'd this
+    # sweep's shared JVM at 800 cells from ~130 MB task binaries).
+    # Fixed pseudo-random family: training a 10k-cell k-means on probe
+    # data would swamp the measurement, and the assignment path under
+    # probe is identical either way. Per-vector cost is O(k*dim)
+    # interpreted-HOF dots on ANY path, so the probe reports
+    # vectors/sec, not a flat runtime; the stream side must carry the
+    # parallelism (a single local parquet file is 1 partition —
+    # repartition first, exactly the operator docstring's guidance).
+    n_tcells = 10_000
+    tcents = [vectors.ivf_centroid(c, 64) for c in range(n_tcells)]
+    emb_parted = (
+        emb.select("vec_id", "embedding").repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    sem_t = dedup.semantic_dedup(
+        emb_parted, threshold=0.95, dim=64, centroids=tcents,
+        assign="table",
+    )
+    t_dropped = sem_t.filter(~F.col("keep")).count()
+    sec_t = round(time.time() - t0, 2)
+    results["semantic_table_assign"] = {
+        "vectors": 2000, "n_cells": n_tcells, "dropped": t_dropped,
+        "sec": sec_t, "vectors_per_sec": round(2000 / max(sec_t, 1e-9)),
     }
 
     # ---- distributed positional zip at Nx rows (replaced the
