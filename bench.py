@@ -104,10 +104,16 @@ RUNS = 3
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # dir names look like .../sf0.1; report sf=-1 rather than crash on
-    # a non-conforming name (e.g. a scale-replica dir)
+    # dir names look like .../sf0.1; SPARK_GRAFT_SF overrides for dirs
+    # whose name carries no sf suffix (a 10x scale replica of sf0.1 is
+    # sf1 — run with SPARK_GRAFT_SF=1); report sf=-1 rather than crash
+    # when neither source yields a number
     try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        sf = float(
+            os.environ.get(
+                "SPARK_GRAFT_SF", sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+            )
+        )
     except ValueError:
         sf = -1.0
     load_start = [round(x, 2) for x in os.getloadavg()]

@@ -394,33 +394,90 @@ def assign_cells_table(
     """
     spark = df.sparkSession
     dim = len(centroids[0]) if centroids else 0
-    cells = spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in enumerate(centroids)],
-        "_cc int, _cent array<double>",
-    ).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_cc").alias("c"), F.col("_cent").alias("cent")))
-        ).alias("_cents")
-    )
-    vq = f"`{vec_col}`"
-    nd = (
-        f"-(aggregate(zip_with({vq}, s.cent, (x, y) -> CAST(x AS DOUBLE) * y), "
-        f"0D, (a, v) -> a + v))"
-    )
-    guard = (
-        f"coalesce(CAST(assert_true({vq} IS NULL OR size({vq}) = {dim}, "
-        f"'assign_cells_table: vector length <> dim={dim}') AS DOUBLE), 0D)"
-    )
     best = F.expr(
         f"""aggregate(
-  transform(_cents, s -> named_struct('nd', {nd}, 'c', s.c)),
-  named_struct('nd', {guard} + CAST('Infinity' AS DOUBLE),
+  transform(_cents, s -> named_struct('nd', {_table_nd_sql(vec_col)}, 'c', s.c)),
+  named_struct('nd', {_table_guard_sql(vec_col, dim, 'assign_cells_table')} + CAST('Infinity' AS DOUBLE),
                'c', CAST(NULL AS INT)),
   (acc, x) -> IF(x.nd < acc.nd, x, acc)).c"""
     )
     return (
-        df.crossJoin(F.broadcast(cells))
+        df.crossJoin(F.broadcast(_cells_one_row(spark, centroids)))
         .withColumn(out_col, best.cast("int"))
+        .drop("_cents")
+    )
+
+
+def _cells_one_row(spark, centroids: list[list[float]]) -> DataFrame:
+    """The broadcast side of the table-assignment family: the whole
+    centroid table collapsed to ONE row holding a cell-ordered
+    ``_cents array<struct<c, cent>>`` (struct comparison sorts on the
+    leading c field, so array_sort restores cell-id order regardless of
+    collect_list's arrival order)."""
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in enumerate(centroids)],
+        "_cc int, _cent array<double>",
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("_cc").alias("c"), F.col("_cent").alias("cent"))
+            )
+        ).alias("_cents")
+    )
+
+
+def _table_nd_sql(vec_col: str) -> str:
+    """-dot(vec, s.cent) as SQL text for lambdas iterating the
+    broadcast ``_cents`` array — the same sequential zip_with/aggregate
+    fold (same doubles, same order) as ``_dot_sql``'s literal path."""
+    vq = f"`{vec_col}`"
+    return (
+        f"-(aggregate(zip_with({vq}, s.cent, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"0D, (a, v) -> a + v))"
+    )
+
+
+def _table_guard_sql(vec_col: str, dim: int, who: str) -> str:
+    """One dim-guard per ROW (not per cell) for the table-assignment
+    family — evaluates to 0D or raises, mirroring ``_dot_sql``'s
+    guard-once convention (guard=True only on cell 0)."""
+    vq = f"`{vec_col}`"
+    return (
+        f"coalesce(CAST(assert_true({vq} IS NULL OR size({vq}) = {dim}, "
+        f"'{who}: vector length <> dim={dim}') AS DOUBLE), 0D)"
+    )
+
+
+def probe_cells_table(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    nprobe: int,
+    out_col: str = "_probes",
+) -> DataFrame:
+    """Top-``nprobe`` nearest cells per vector via the broadcast
+    centroid TABLE — the query-side companion of ``assign_cells_table``
+    (IVF probing needs the nprobe BEST cells, not just the argmax).
+    Same one-row broadcast, same dots, and the ranking is
+    ``array_sort`` over (nd, c) structs — element-for-element the
+    ordering ``_cell_rank_sql`` produces, so literal and table probes
+    select identical cell lists. Adds ``out_col`` as an
+    ``array<int>`` of cell ids, best first; the dim guard fires once
+    per row via the IF wrapper (the guard expression is 0D or raises).
+    """
+    spark = df.sparkSession
+    dim = len(centroids[0]) if centroids else 0
+    ranked = F.expr(
+        f"""IF({_table_guard_sql(vec_col, dim, 'probe_cells_table')} = 0D,
+  transform(
+    slice(array_sort(transform(_cents, s -> named_struct('nd', {_table_nd_sql(vec_col)}, 'c', s.c))),
+          1, {int(nprobe)}),
+    s -> s.c),
+  NULL)"""
+    )
+    return (
+        df.crossJoin(F.broadcast(_cells_one_row(spark, centroids)))
+        .withColumn(out_col, ranked)
         .drop("_cents")
     )
 
@@ -436,6 +493,7 @@ def ann_ivf_topk(
     n_cells: int = 8,
     nprobe: int = 2,
     centroids: list[list[float]] | None = None,
+    assign: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -452,22 +510,54 @@ def ann_ivf_topk(
     measurably better recall at every nprobe (see
     tests/test_vectors.py::test_trained_centroids_beat_fixed). Probing
     all cells (nprobe = n_cells) degenerates to exact search.
+
+    ``assign`` switches the centroid transport exactly like
+    ``semantic_dedup``: None auto-selects the literal-expression path
+    up to ``CELL_LITERAL_MAX`` cells and the broadcast-centroid-TABLE
+    path (``assign_cells_table`` / ``probe_cells_table``) past it —
+    FAISS-scale IVF wants n_cells ~ sqrt(corpus), which outgrows plan
+    literals around a billion vectors. Both paths fold identical
+    doubles, so cell lists and the final top-k agree bit-for-bit
+    (tests/test_vectors.py::test_ivf_table_path_matches_literal).
     """
     if centroids is not None:
         n_cells = len(centroids)
+    if assign not in (None, "literal", "table"):
+        raise ValueError(
+            f"ann_ivf_topk: assign must be None, 'literal' or 'table', "
+            f"got {assign!r}"
+        )
+    use_table = assign == "table" or (
+        assign is None and n_cells > CELL_LITERAL_MAX
+    )
     cb = corpus.select(
         F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv")
-    ).withColumn("_cell", ivf_cell("_cv", dim, n_cells, centroids)).withColumn(
-        "_cn", l2_norm(F.col("_cv"))  # once per corpus row, not per pair
-    )
-    probes = F.expr(
-        f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
     )
     qb = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).select("query_id", "_qv", F.explode(probes).alias("_cell")).withColumn(
-        "_qn", l2_norm(F.col("_qv"))
     )
+    if use_table:
+        cents = (
+            centroids
+            if centroids is not None
+            else [ivf_centroid(c, dim) for c in range(n_cells)]
+        )
+        cb = assign_cells_table(cb, cents, corpus_id, "_cv", out_col="_cell")
+        qb = probe_cells_table(qb, cents, "_qv", nprobe, out_col="_probes")
+        probes = F.col("_probes")
+    else:
+        cb = cb.withColumn(
+            "_cell", ivf_cell("_cv", dim, n_cells, centroids)
+        )
+        probes = F.expr(
+            f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
+        )
+    cb = cb.withColumn(
+        "_cn", l2_norm(F.col("_cv"))  # once per corpus row, not per pair
+    )
+    qb = qb.select(
+        "query_id", "_qv", F.explode(probes).alias("_cell")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     scored = cb.join(F.broadcast(qb), "_cell").select(
         "query_id",
         corpus_id,

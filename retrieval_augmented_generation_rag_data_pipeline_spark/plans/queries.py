@@ -1931,16 +1931,24 @@ def dedup_embedding_cosine(spark, sf):
 _SEMDEDUP_TAU = 0.35
 
 
-def _semdedup_sql() -> str | None:
+def _semdedup_sql(cents: list | None = None) -> str | None:
     """Oracle for the SemDeDup gate: replays the frozen trained
     centroids' cell assignment + within-cell greedy near-dup drop in
     DuckDB. Same artifact guard as _trained_quantizer_sql — a missing
     or corrupt artifacts/quantizer.json degrades this ONE query to the
-    rows-only path instead of an ImportError taking down the registry."""
+    rows-only path instead of an ImportError taking down the registry.
+
+    ``cents`` overrides the frozen artifact — the scale-replica parity
+    harness rebuilds this oracle from ``<sf_dir>/quantizer.json`` so
+    the dedup_semantic gate's cells-follow-the-corpus seam stays
+    oracle-checked at replica scale too (the registry's static string
+    always replays the frozen artifact, which is the gate's behavior
+    at every driver sf dir)."""
     from ..operators.vectors import frozen_quantizer
 
     try:
-        cents, _books = frozen_quantizer()
+        if cents is None:
+            cents, _books = frozen_quantizer()
     except Exception:
         return None
     rows = []

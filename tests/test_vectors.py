@@ -335,3 +335,36 @@ def test_semantic_dedup_table_path_matches_literal(spark):
         semantic_dedup(emb, 0.35, 64, n_cells=8, assign="table").collect()
     )
     assert lit == tab and len(lit) == emb.count()
+
+
+def test_ivf_table_path_matches_literal(spark):
+    """ann_ivf_topk's table path must reproduce the literal path's full
+    top-k (ids, sims, ranks) — probes and assignments fold identical
+    doubles, so the result sets are bit-equal, not merely same-recall."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivf_topk,
+        frozen_quantizer,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    trained, _ = frozen_quantizer()
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.vec_id, r.sim, r.rank) for r in rows
+    )
+    for cents in (None, trained):
+        lit = key(
+            ann_ivf_topk(
+                q, emb, k=5, dim=64, nprobe=2, centroids=cents,
+                assign="literal",
+            ).collect()
+        )
+        tab = key(
+            ann_ivf_topk(
+                q, emb, k=5, dim=64, nprobe=2, centroids=cents,
+                assign="table",
+            ).collect()
+        )
+        assert lit == tab and len(lit) == 25
