@@ -19,9 +19,10 @@ depends on data shape, printing one JSON line per probe:
   exact_skew       10% of docs made IDENTICAL — dedup_exact's groupBy+
                    join output must stay flat per task (the old
                    per-digest window welded the group to one task)
-  (plus embedding_near_dup[_capped], positional_zip, skew_join,
-  bloom_anti_join, chain_cc, pack_sequences, pack_assembly,
-  pq_adc_topk — one results key each in the printed JSON)
+  (plus embedding_near_dup[_capped], semantic_dedup[_capped],
+  semantic_table_assign, positional_zip, skew_join, bloom_anti_join,
+  chain_cc, pack_sequences, pack_assembly, pq_adc_topk — one results
+  key each in the printed JSON)
 
 Usage: python tools/scale_probe.py [N]   (default 10)
 """
