@@ -811,13 +811,24 @@ def semantic_dedup(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     )
     if use_table:
+        from ..session import ensure_parallelism
+
         cents = (
             centroids
             if centroids is not None
             else [ivf_centroid(c, dim) for c in range(n_cells)]
         )
+        # >CELL_LITERAL_MAX cells means >=65k interpreted multiply-adds
+        # PER ROW — exactly the compute-bound shape ensure_parallelism
+        # exists for (a single-file local scan is ONE partition and
+        # would single-thread the whole assignment; at cluster scale
+        # the input is already split and this is a no-op)
         assigned = assign_cells_table(
-            spine, cents, id_col="vec_id", vec_col="_v", out_col="_cell"
+            ensure_parallelism(spine),
+            cents,
+            id_col="vec_id",
+            vec_col="_v",
+            out_col="_cell",
         )
     else:
         assigned = spine.withColumn(

@@ -537,12 +537,21 @@ def ann_ivf_topk(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     if use_table:
+        from ..session import ensure_parallelism
+
         cents = (
             centroids
             if centroids is not None
             else [ivf_centroid(c, dim) for c in range(n_cells)]
         )
-        cb = assign_cells_table(cb, cents, corpus_id, "_cv", out_col="_cell")
+        # corpus assignment past the literal ceiling is >=65k
+        # interpreted multiply-adds per row — spread an
+        # under-parallelized local scan before paying it (no-op at
+        # cluster partition counts); queries ride the broadcast join
+        # as-is (they are the small side by construction)
+        cb = assign_cells_table(
+            ensure_parallelism(cb), cents, corpus_id, "_cv", out_col="_cell"
+        )
         qb = probe_cells_table(qb, cents, "_qv", nprobe, out_col="_probes")
         probes = F.col("_probes")
     else:

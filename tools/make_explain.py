@@ -182,6 +182,18 @@ PICKS = {
         "aggregation — two Exchanges total, nothing keyed on a "
         "content-derived hot key"
     ),
+    "select_budget_grouped": (
+        "per-group token budgets (round 12), shown from the pinned "
+        "range exchange down (the eager checkpoint that fixes "
+        "partition ids truncates the frozen-LM scoring subplan to an "
+        "ExistingRDD scan — same property as pack_sequences): "
+        "per-(partition, group) offsets ride back as a "
+        "BroadcastHashJoin (metadata-sized because groups are "
+        "contiguous under the range exchange), ONE Window partitioned "
+        "by (_part, lang), the per-group budget a literal map — no "
+        "global window, no per-group single task, no collect of data "
+        "rows"
+    ),
 }
 
 HEADER = """# EXPLAIN — physical plans of the flagship queries
