@@ -362,3 +362,33 @@ def test_grouped_budgets_reproduce_global_cut_when_weights_match(spark):
     assert sum(per_group_tokens.values()) == sum(
         r.n_tokens for r in glob.filter("keep").collect()
     )
+
+
+def test_budgets_from_weights_apportionment():
+    """Mixture weights -> budgets: exact-total apportionment (largest
+    fractional remainder, name tie-break), unnormalized weights
+    accepted, zero-weight groups pinned to 0, validation raises."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        budgets_from_weights,
+    )
+
+    b = budgets_from_weights(100, {"web": 0.5, "books": 0.3, "code": 0.2})
+    assert b == {"web": 50, "books": 30, "code": 20}
+    # 100 over 3 equal weights: floor gives 33 each, largest-remainder
+    # (all equal) ties break by name -> 'a' gets the leftover token
+    b3 = budgets_from_weights(100, {"a": 1, "b": 1, "c": 1})
+    assert b3 == {"a": 34, "b": 33, "c": 33}
+    assert sum(b3.values()) == 100
+    # unnormalized recipe weights and exact-sum at an awkward total
+    b7 = budgets_from_weights(7, {"x": 2.0, "y": 3.0, "z": 5.0})
+    assert sum(b7.values()) == 7 and b7["z"] >= b7["y"] >= b7["x"]
+    # zero-weight group stays listed at 0 (vs unlisted -> default)
+    assert budgets_from_weights(10, {"a": 1.0, "b": 0.0})["b"] == 0
+    with pytest.raises(ValueError, match="total_tokens"):
+        budgets_from_weights(-1, {"a": 1.0})
+    with pytest.raises(ValueError, match="weights"):
+        budgets_from_weights(10, {"a": -0.1})
+    with pytest.raises(ValueError, match="positive sum"):
+        budgets_from_weights(10, {"a": 0.0})
