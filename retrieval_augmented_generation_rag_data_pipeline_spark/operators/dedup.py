@@ -753,19 +753,24 @@ def semantic_dedup(
     oracle; None uses the fixed pseudo-random family (deterministic,
     test/oracle baseline).
 
-    TWO ASSIGNMENT PATHS, switched on ``assign`` (None = auto): up to
-    ``vectors.CELL_LITERAL_MAX`` cells the centroids ride the plan as
-    expression literals (``ivf_cell`` — join-free, the gate/oracle
+    THREE ASSIGNMENT PATHS, switched on ``assign`` (None = auto): up
+    to ``vectors.CELL_LITERAL_MAX`` cells the centroids ride the plan
+    as expression literals (``ivf_cell`` — join-free, the gate/oracle
     baseline); past it they ride a broadcast centroid TABLE + per-
     vector argmax (``assign_cells_table`` — plan size and shuffle
     volume independent of cell count; the paper-scale 50k-cells
     deployment shape, measured in tools/scale_probe.py
-    ``semantic_table_assign``). Both paths fold the same doubles in
+    ``semantic_table_assign``). Those two fold the same doubles in
     the same order, so the assignment — and therefore every downstream
     keep/drop — is bit-identical between them; ``assign="literal"`` /
     ``assign="table"`` forces a path (the parity test and the scale
-    probe pin each explicitly). The within-cell pairing below is
-    identical on either path.
+    probe pin each explicitly). ``assign="arrow"`` (never auto) is the
+    opt-in raw-throughput variant — one numpy float64 GEMM per Arrow
+    batch against an executor-broadcast centroid matrix, ~3 orders of
+    magnitude faster per dot than the interpreted folds but
+    argmax-under-GEMM rather than bit-exact (``assign_cells_arrow``'s
+    parity caveat); on real embedding data all three agree. The
+    within-cell pairing below is identical on every path.
 
     Scale (the SemDeDup cost model): the only quadratic stage is the
     within-cell self-join, so cell count must scale with the corpus —
@@ -793,10 +798,10 @@ def semantic_dedup(
 
     if centroids is not None:
         n_cells = len(centroids)
-    if assign not in (None, "literal", "table"):
+    if assign not in (None, "literal", "table", "arrow"):
         raise ValueError(
-            f"semantic_dedup: assign must be None, 'literal' or 'table', "
-            f"got {assign!r}"
+            f"semantic_dedup: assign must be None, 'literal', 'table' "
+            f"or 'arrow', got {assign!r}"
         )
     use_table = (
         assign == "table"
@@ -810,7 +815,19 @@ def semantic_dedup(
     spine = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     )
-    if use_table:
+    if assign == "arrow":
+        # opt-in raw-throughput path (numpy GEMM per Arrow batch) —
+        # argmax-under-float64 semantics, not the oracle's bit-exact
+        # fold; see assign_cells_arrow's parity caveat
+        from .vectors import assign_cells_arrow
+
+        cents = (
+            centroids
+            if centroids is not None
+            else [ivf_centroid(c, dim) for c in range(n_cells)]
+        )
+        assigned = assign_cells_arrow(spine, cents, "_v", out_col="_cell")
+    elif use_table:
         from ..session import ensure_parallelism
 
         cents = (

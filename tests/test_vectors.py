@@ -368,3 +368,71 @@ def test_ivf_table_path_matches_literal(spark):
             ).collect()
         )
         assert lit == tab and len(lit) == 25
+
+
+def test_arrow_assignment_agrees_on_real_data(spark):
+    """assign_cells_arrow (numpy GEMM) must agree with the exact paths
+    on the test corpora — real embeddings have no cross-centroid dot
+    ties, so argmax-under-GEMM and the bit-exact folds coincide (the
+    documented guarantee; exact ties are the only divergence surface).
+    NULL vectors get NULL cells; dim mismatch raises from the batch."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        assign_cells_arrow,
+        frozen_quantizer,
+        ivf_cell,
+        ivf_centroid,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("_v")
+    )
+    trained, _ = frozen_quantizer()
+    for cents in ([ivf_centroid(c, 64) for c in range(8)], trained):
+        lit = {
+            r.vec_id: r.c
+            for r in emb.withColumn(
+                "c", ivf_cell("_v", 64, len(cents), cents).cast("int")
+            ).collect()
+        }
+        arw = {
+            r.vec_id: r._cell
+            for r in assign_cells_arrow(emb, cents, "_v").collect()
+        }
+        assert lit == arw
+    one = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 64)], "vec_id int, _v array<double>"
+    )
+    rows = {
+        r.vec_id: r._cell
+        for r in assign_cells_arrow(
+            one, [ivf_centroid(c, 64) for c in range(4)], "_v"
+        ).collect()
+    }
+    assert rows[1] is None and rows[2] is not None
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, _v array<double>")
+    with pytest.raises(Exception, match="dim"):
+        assign_cells_arrow(
+            bad, [ivf_centroid(c, 64) for c in range(4)], "_v"
+        ).collect()
+
+
+def test_semantic_dedup_arrow_path_matches_exact_paths(spark):
+    """assign='arrow' reproduces the literal path's full output on the
+    test corpus (no dot ties on real data), and rejects unknown modes."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    key = lambda rows: sorted(  # noqa: E731
+        (r.vec_id, r.cell, r.keep, r.dup_of, r.cos_max) for r in rows
+    )
+    lit = key(semantic_dedup(emb, 0.35, 64, n_cells=8, assign="literal").collect())
+    arw = key(semantic_dedup(emb, 0.35, 64, n_cells=8, assign="arrow").collect())
+    assert lit == arw
+    with pytest.raises(ValueError, match="assign"):
+        semantic_dedup(emb, 0.35, 64, assign="gpu")

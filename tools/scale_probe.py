@@ -20,9 +20,9 @@ depends on data shape, printing one JSON line per probe:
                    join output must stay flat per task (the old
                    per-digest window welded the group to one task)
   (plus embedding_near_dup[_capped], semantic_dedup[_capped],
-  semantic_table_assign, positional_zip, skew_join, bloom_anti_join,
-  chain_cc, pack_sequences, pack_assembly, pq_adc_topk — one results
-  key each in the printed JSON)
+  semantic_table_assign, semantic_arrow_assign, positional_zip,
+  skew_join, bloom_anti_join, chain_cc, pack_sequences, pack_assembly,
+  pq_adc_topk — one results key each in the printed JSON)
 
 Usage: python tools/scale_probe.py [N]   (default 10)
 """
@@ -405,6 +405,28 @@ def main() -> None:
     results["semantic_table_assign"] = {
         "vectors": 2000, "n_cells": n_tcells, "dropped": t_dropped,
         "sec": sec_t, "vectors_per_sec": round(2000 / max(sec_t, 1e-9)),
+    }
+
+    # (d) the Arrow/GEMM assignment at the PAPER's cell count (50k
+    # cells — SemDeDup's 5B-embedding configuration): one numpy float64
+    # matmul per Arrow batch, centroid matrix broadcast once per
+    # executor. Same dedup semantics (argmax ties to lowest cell; on
+    # real data identical assignments to the exact folds — the 10k-cell
+    # distinct-cell counts of probes (c) and (d') match), ~10x the HOF
+    # fold at 10k cells and still ~2s at 50k where the interpreted
+    # paths would take minutes.
+    n_acells = 50_000
+    acents = [vectors.ivf_centroid(c, 64) for c in range(n_acells)]
+    t0 = time.time()
+    sem_a = dedup.semantic_dedup(
+        emb_parted, threshold=0.95, dim=64, centroids=acents,
+        assign="arrow",
+    )
+    a_dropped = sem_a.filter(~F.col("keep")).count()
+    sec_a = round(time.time() - t0, 2)
+    results["semantic_arrow_assign"] = {
+        "vectors": 2000, "n_cells": n_acells, "dropped": a_dropped,
+        "sec": sec_a, "vectors_per_sec": round(2000 / max(sec_a, 1e-9)),
     }
 
     # ---- distributed positional zip at Nx rows (replaced the
