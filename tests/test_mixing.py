@@ -392,3 +392,29 @@ def test_budgets_from_weights_apportionment():
         budgets_from_weights(10, {"a": -0.1})
     with pytest.raises(ValueError, match="positive sum"):
         budgets_from_weights(10, {"a": 0.0})
+
+
+def test_select_token_budget_grouped_null_group(spark):
+    """NULL group values form their own group (null-safe offsets join,
+    groupBy treats NULL as a value) and always get the default budget
+    (Spark map keys cannot be NULL, so they can never be listed)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        select_token_budget_grouped,
+    )
+
+    rows = [(1, "a", 0.9, 10), (2, None, 0.8, 10), (3, None, 0.7, 10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, grp string, score double, n_tokens long"
+    )
+    out = {
+        r.doc_id: r
+        for r in select_token_budget_grouped(
+            docs, {"a": 10}, "grp", "score", default_budget=10
+        ).collect()
+    }
+    assert len(out) == 3
+    # NULL group: its own prefix sum (2 ranks 0.8 above 3's 0.7 under
+    # descending order -> cum 10 then 20), default budget keeps doc 2
+    assert out[2].cum_tokens == 10 and out[2].keep is True
+    assert out[3].cum_tokens == 20 and out[3].keep is False
+    assert out[1].keep is True
