@@ -97,6 +97,9 @@ HEADLINE = [
     "lm_perplexity_bigram",
     "select_token_budget",
     "select_budget_grouped",
+    "quality_classifier",
+    "select_budget_classifier",
+    "dedup_corpus_best",
 ]
 
 RUNS = 3

@@ -611,6 +611,102 @@ def pii_scrub(
 _FROZEN_LM_CACHE: dict[str, dict] = {}
 
 
+_FROZEN_CLF_CACHE: dict[str, dict] = {}
+
+
+def frozen_classifier(path: str | None = None) -> dict:
+    """The committed frozen quality-classifier artifact
+    (artifacts/quality_clf.json, written by tools/train_classifier.py
+    — the FineWeb-Edu/DCLM-style trained quality signal; round-12
+    verdict item 3). Same train/freeze/apply seam as ``frozen_lm``:
+    per-token logistic-regression weights + intercept, metadata-sized,
+    trained offline on the seeded reference corpus, applied to any
+    corpus at any sf, weight literals replayed verbatim by the DuckDB
+    oracle. Loaded once per process (tiny, cached)."""
+    import json as _json
+    import pathlib as _pathlib
+
+    if path is None:
+        path = str(
+            _pathlib.Path(__file__).resolve().parents[2]
+            / "artifacts"
+            / "quality_clf.json"
+        )
+    cached = _FROZEN_CLF_CACHE.get(path)
+    if cached is None:
+        cached = _json.loads(_pathlib.Path(path).read_text())
+        _FROZEN_CLF_CACHE[path] = cached
+    return cached
+
+
+def quality_classifier(
+    docs: DataFrame,
+    clf: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quality logit under the frozen trained classifier
+    — the model-based quality signal of FineWeb-Edu / DCLM (train a
+    classifier on a labeled slice, freeze it, score the corpus, keep
+    the high tail), restated through the train/freeze/apply seam.
+    ``clf`` is the artifact dict (default ``frozen_classifier()``)
+    carrying per-token weights computed at TRAINING time — neither
+    engine does its own training or transcendental math on unshared
+    inputs; scoring is pure relational arithmetic over shared
+    literals.
+
+    Returns (doc_id, n_tokens, logit, pred) for EVERY input document
+    (unlike the LM family, a zero-token document has a well-defined
+    score — the bare intercept — so the doc spine is left-joined back
+    rather than letting the explode drop it):
+
+        logit = intercept + round(sum_t count(t) * w(t), 6)
+        pred  = logit >= 0          [the classifier's keep verdict]
+
+    Out-of-vocab tokens carry no trained signal and contribute 0 (the
+    broadcast join's miss branch — coalesce(w, 0)). Rounding happens
+    ONCE, on the fold-order-sensitive double sum (the lm_cross_entropy
+    convention); adding the shared intercept literal afterwards is
+    IEEE-754 deterministic, and the gate compares the LOGIT, never the
+    sigmoid (monotone — same ranking, no engine-local exp).
+
+    Plan (100 TB): explode -> broadcast hash join against the
+    vocab-sized weight table -> one partial-aggregating per-doc sum ->
+    broadcast-scale left join onto the doc spine. The only shuffle is
+    the doc_id aggregation; the weight table is metadata-sized
+    (<= max_vocab rows) and rides a broadcast, never a per-token map
+    literal."""
+    if clf is None:
+        clf = frozen_classifier()
+    spine = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    weights = docs.sparkSession.createDataFrame(
+        list(clf["weights"].items()), "term string, _w double"
+    )
+    b = float(clf["intercept"])
+    ex = ensure_parallelism(spine).select(
+        "doc_id", F.explode(tokens(F.col("_t"))).alias("term")
+    )
+    summed = (
+        ex.join(F.broadcast(weights), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("_w"), F.lit(0.0))), 6).alias(
+                "_ws"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    logit = F.lit(b) + F.coalesce(F.col("_ws"), F.lit(0.0))
+    return spine.join(summed, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
+        logit.alias("logit"),
+        (logit >= 0.0).alias("pred"),
+    )
+
+
 def frozen_lm(path: str | None = None) -> dict:
     """The committed frozen unigram LM artifact (artifacts/lm.json,
     written by tools/train_lm.py — the CCNet-style reference model for

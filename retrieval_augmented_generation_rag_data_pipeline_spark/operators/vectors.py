@@ -334,25 +334,46 @@ def ivf_cell(
 ) -> Column:
     """Coarse-quantizer cell assignment: argmax dot(vec, centroid).
     Takes the vector COLUMN NAME (the expression is generated as SQL
-    text — see _cell_rank_sql)."""
+    text — see _cell_rank_sql).
+
+    A NULL vector gets a NULL cell — every dot is NULL, there is no
+    argmax. Without the explicit guard the ranking's array_sort is
+    stable over all-NULL keys and the first literal (cell 0) would win,
+    silently counting NULL vectors toward cell 0's ``max_cell_size``
+    budget while ``assign_cells_table`` put them in the NULL cell —
+    the round-12 advisory's literal/table divergence. With the guard
+    the two paths agree on EVERY input row, NULLs included."""
     return F.expr(
-        f"element_at({_cell_rank_sql(vec_col, dim, n_cells, centroids)}, 1).c"
+        f"IF({vec_col} IS NULL, CAST(NULL AS INT), "
+        f"element_at({_cell_rank_sql(vec_col, dim, n_cells, centroids)}, 1).c)"
     )
 
 
 # Literal-centroid ceiling: ivf_cell / _cell_rank_sql embed n_cells x
 # dim doubles as EXPRESSION literals, and the serialized task binary
 # grows with the plan (~130 MB at 800 cells x 64 dims, measured in the
-# round-11 100x probe). Past this bound, quantizer-applying operators
-# switch to assign_cells_table — centroid data rides a broadcast, not
-# the plan.
-CELL_LITERAL_MAX = 1024
+# round-11 100x probe — with an OOM on the shared JVM at that size).
+# The ceiling therefore sits BELOW the measured-fragile 800-cell
+# point, not above it (round-12 advisory): past this bound,
+# quantizer-applying operators switch to assign_cells_table — centroid
+# data rides a broadcast, not the plan.
+CELL_LITERAL_MAX = 512
+
+# Exact-fold ceiling for AUTO path selection: past this cell count the
+# interpreted HOF fold (k x dim multiply-adds per row, ~10x slower
+# than the GEMM at 10k cells and growing with k — round-12 verdict
+# item 1) is compute-infeasible at SemDeDup's own cost model (50k
+# cells / 5B embeddings), so ``assign=None`` switches to the
+# Arrow/numpy-GEMM path. Callers that need the SQL-replayable
+# bit-exact fold above this count (oracle replay, parity harnesses)
+# pass assign="table" explicitly — the table path has no ceiling,
+# only the throughput trade documented on assign_cells_arrow.
+CELL_EXACT_AUTO_MAX = 4096
 
 
 def assign_cells_table(
     df: DataFrame,
     centroids: list[list[float]],
-    id_col: str,
     vec_col: str,
     out_col: str = "_cell",
 ) -> DataFrame:
@@ -618,13 +639,13 @@ def ann_ivf_topk(
             if centroids is not None
             else [ivf_centroid(c, dim) for c in range(n_cells)]
         )
-        # corpus assignment past the literal ceiling is >=65k
+        # corpus assignment past the literal ceiling is >=32k
         # interpreted multiply-adds per row — spread an
         # under-parallelized local scan before paying it (no-op at
         # cluster partition counts); queries ride the broadcast join
         # as-is (they are the small side by construction)
         cb = assign_cells_table(
-            ensure_parallelism(cb), cents, corpus_id, "_cv", out_col="_cell"
+            ensure_parallelism(cb), cents, "_cv", out_col="_cell"
         )
         qb = probe_cells_table(qb, cents, "_qv", nprobe, out_col="_probes")
         probes = F.col("_probes")

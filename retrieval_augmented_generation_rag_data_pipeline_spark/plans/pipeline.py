@@ -128,6 +128,10 @@ def prepare_corpus(
          variants collapse under content dedup;
       3. ``dedup_corpus`` over the normalized text of quality-passing
          docs only (no point clustering docs already dropped);
+         ``dedup_kwargs`` passes straight through — including
+         ``survivor_scores=`` for best-member (max-score) survivor
+         selection instead of the min-id default (round-12 verdict
+         item 4; see ``dedup.resolve_survivors``);
       4. ``assign_split`` — deterministic train/val/test labels for the
          final keeps (hash-keyed: stable under reruns and corpus growth).
 

@@ -2380,6 +2380,114 @@ def quality_score(spark, sf):
     return text.quality_score(_t(spark, sf, "documents"))
 
 
+def _quality_clf_sql() -> str | None:
+    """Oracle for the trained-classifier quality gate: replays the
+    frozen artifact's per-token weight literals (computed once at
+    training time — no engine-local training or transcendental math)
+    with the identical round-sum-then-add-intercept fold, left-joined
+    back onto the doc spine so zero-token docs score the bare
+    intercept. Same artifact guard as _lm_perplexity_sql: a
+    missing/corrupt artifacts/quality_clf.json degrades this ONE query
+    to the rows-only path."""
+    from ..operators.text import frozen_classifier
+
+    try:
+        clf = frozen_classifier()
+        rows = ",\n  ".join(
+            "('" + t.replace("'", "''") + f"', {w!r})"
+            for t, w in sorted(clf["weights"].items())
+        )
+        b = float(clf["intercept"])
+        # empty weight table -> "AS (VALUES )" is broken SQL; degrade
+        if not rows:
+            return None
+    except Exception:
+        return None
+    return f"""
+WITH w(term, wt) AS (VALUES
+  {rows}
+), t AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+s AS (SELECT x.doc_id, round(sum(coalesce(w.wt, 0.0)), 6) AS ws,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM x LEFT JOIN w USING (term)
+      GROUP BY x.doc_id)
+SELECT t.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       CAST({b!r} AS DOUBLE) + coalesce(s.ws, 0.0) AS logit,
+       CAST({b!r} AS DOUBLE) + coalesce(s.ws, 0.0) >= 0.0 AS pred
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
+@_q("quality_classifier", _quality_clf_sql())
+def quality_classifier(spark, sf):
+    """Model-based quality scoring (round-12 verdict item 3): per-doc
+    logit under the frozen trained classifier
+    (artifacts/quality_clf.json, tools/train_classifier.py) — the
+    FineWeb-Edu/DCLM trained-quality-signal seam: an offline teacher
+    labels a slice, a cheap frozen linear student scores the whole
+    corpus, the pipeline keeps the high-logit tail. The gate compares
+    the logit, never the sigmoid (monotone; the lm_perplexity
+    xent-not-ppl convention). operators/text.py quality_classifier."""
+    return text.quality_classifier(_t(spark, sf, "documents"))
+
+
+def _dedup_corpus_best_sql() -> str:
+    """Oracle for quality-aware survivor selection: the same
+    exact+LSH closure as _dedup_corpus_sql, but the kept member per
+    cluster is the HIGHEST-quality one (Gopher-style heuristic score,
+    6dp — identical literals/rounding to the quality_score gate,
+    computed over the dup CORPUS), deterministic tie-break to the
+    lowest doc_id. NULLS LAST is spelled explicitly so an unscored
+    member sorts after every scored one on both engines."""
+    return f"""
+WITH RECURSIVE {_lsh_ctes()},
+{_CLOSURE_CTES},
+qt AS (SELECT doc_id, text, {O.tokens('text')} AS tk FROM corpus),
+qm AS (SELECT doc_id,
+        CAST(len(tk) AS DOUBLE) AS n_tok,
+        (CAST(length(text) AS DOUBLE)
+           - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
+          / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
+          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+        CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS mean_wlen
+      FROM qt),
+q AS (SELECT doc_id,
+       round(least(n_tok/64.0, 1.0)*0.4 + least(stop_ratio*4.0, 1.0)*0.3
+             + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 0.3 ELSE 0.0 END)
+             - punct, 6) AS quality
+      FROM qm),
+r AS (SELECT c.doc_id, c.component_id,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality DESC NULLS LAST,
+                                         c.doc_id ASC) AS rn
+      FROM closure c LEFT JOIN q USING (doc_id))
+SELECT doc_id, component_id, rn = 1 AS keep FROM r
+"""
+
+
+@_q("dedup_corpus_best", _dedup_corpus_best_sql())
+def dedup_corpus_best(spark, sf):
+    """Quality-aware survivor selection in the dedup closure
+    (round-12 verdict item 4): same exact+LSH transitive closure as
+    dedup_corpus, but each duplicate cluster keeps its BEST member —
+    highest Gopher-heuristic quality score, ties to the lowest doc_id
+    (dedup.resolve_survivors; real pipelines keep the best copy, not
+    the accidentally-lowest-id one). Exact-duplicate members share a
+    text and therefore a score, exercising the deterministic
+    tie-break; near-dup LSH clusters can promote a higher-id,
+    higher-quality member over the min-id default — the behavioral
+    difference is unit-pinned in tests/test_dedup.py."""
+    corpus = _dup_corpus(spark, sf)
+    scores = text.quality_score(corpus).select("doc_id", "quality")
+    return dedup.dedup_corpus(
+        corpus, survivor_scores=scores, survivor_score_col="quality"
+    )
+
+
 _QF_TRI = O.word_shingles("tk", 3)
 
 _QFILTER_SQL = f"""
@@ -2681,6 +2789,78 @@ def select_budget_grouped(spark, sf):
         "n_tokens",
         "cum_tokens",
         F.col("score").alias("xent"),
+    )
+
+
+_CLF_BUDGET_TOKENS = 6_000
+
+
+def _select_budget_classifier_sql() -> str | None:
+    """Oracle for the classifier-ranked token-budget gate: the frozen
+    classifier logit CTE (same weight literals and artifact guard as
+    _quality_clf_sql) ranked DESCENDING (higher logit = keep first —
+    the FineWeb-Edu selection direction, opposite the xent gate's
+    ascending cut), cumulative token total cut at the budget. Zero-
+    token docs join the ranking with the bare-intercept logit and a
+    0-token cost, matching the Spark side's full-spine contract."""
+    from ..operators.text import frozen_classifier
+
+    try:
+        clf = frozen_classifier()
+        rows = ",\n  ".join(
+            "('" + t.replace("'", "''") + f"', {w!r})"
+            for t, w in sorted(clf["weights"].items())
+        )
+        b = float(clf["intercept"])
+        if not rows:
+            return None
+    except Exception:
+        return None
+    return f"""
+WITH w(term, wt) AS (VALUES
+  {rows}
+), t AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+s AS (SELECT x.doc_id, round(sum(coalesce(w.wt, 0.0)), 6) AS ws,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM x LEFT JOIN w USING (term)
+      GROUP BY x.doc_id),
+sc AS (SELECT t.doc_id,
+              coalesce(s.n_tokens, 0) AS n_tokens,
+              CAST({b!r} AS DOUBLE) + coalesce(s.ws, 0.0) AS logit
+       FROM t LEFT JOIN s USING (doc_id)),
+cw AS (SELECT doc_id, n_tokens, logit,
+             sum(n_tokens) OVER (ORDER BY logit DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sc)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, logit
+FROM cw WHERE cum <= {_CLF_BUDGET_TOKENS}
+"""
+
+
+@_q("select_budget_classifier", _select_budget_classifier_sql())
+def select_budget_classifier(spark, sf):
+    """Token-budget selection ranked by the TRAINED quality classifier
+    (round-12 verdict item 3, composed form): the FineWeb-Edu recipe
+    end-to-end — frozen classifier scores the corpus, the kept set is
+    the maximal highest-logit prefix whose cumulative token count fits
+    the budget. Same distributed running-total machinery as
+    select_token_budget (range_parted_offsets — never a global
+    window); ranking is descending (higher logit first), ties to
+    doc_id. Reports the KEPT rows."""
+    from ..operators.sampling import select_token_budget as _stb
+
+    scored = text.quality_classifier(_t(spark, sf, "documents")).select(
+        "doc_id", "logit", "n_tokens"
+    )
+    out = _stb(
+        scored, _CLF_BUDGET_TOKENS, score_col="logit", ascending=False
+    )
+    return out.filter("keep").select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.col("score").alias("logit"),
     )
 
 
@@ -3982,83 +4162,87 @@ def zorder_key(spark, sf):
 # the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
 # evidence-less entry sits outside the first 50 positions.
 #
-# STANDING ROTATION (round 12): the TWENTY-FIVE entries whose latest
-# evidence is r9 (exactly at the cap — the r11 overflow cohort) LEAD,
-# as the round-11 verdict prescribed; then the ONE query new this
-# round (select_budget_grouped — per-language token budgets, the
-# mixture form of select_token_budget), which has no evidence yet;
-# then the SEVEN queries whose implementation changed this round
-# (hot_salted_count_join's one-job eager-checkpoint construction
-# touches dedup_exact / dedup_spans / dedup_spans_strip /
-# dedup_spans_strip_raw and their compositions dedup_corpus /
-# prepare_corpus; semantic_dedup's assignment-path switch touches
-# dedup_semantic), re-validating in-gate rather than riding r11
-# evidence; then r10-evidenced fill in CORRECTNESS_r10.json order.
-# The TWENTY-SEVEN r10 entries left over:
-#   sample_group_k, sample_weighted_k, pack_assembly, retrieval_eval,
-#   dedup_eval, mix_report, filter_year, project_arith, sort_desc,
-#   topn_per_group, join_asof, ann_ivf_topk, ann_pq_topk,
-#   ann_ivfpq_mem, dedup_embedding_cosine, dedup_minhash,
-#   dedup_lsh_pairs, dedup_clusters, dedup_simhash,
-#   dedup_ngram_jaccard, lang_id, quality_score, quality_filter,
-#   token_count, doc_fingerprint, chunk_documents, tfidf_top_terms
-# overflow the 50-entry window and MUST lead round 13's rotation.
+# STANDING ROTATION (round 13): the TWENTY-SEVEN entries whose latest
+# evidence is r10 (exactly at the cap — named by the round-12 verdict
+# and the previous rotation note) LEAD; then the THREE queries new
+# this round (quality_classifier / select_budget_classifier — the
+# frozen trained-classifier quality seam, round-12 verdict item 3 —
+# and dedup_corpus_best — quality-aware survivor selection, item 4),
+# which have no evidence yet; then FIVE queries whose implementation
+# was touched this round (semantic_dedup's assign=None tiering +
+# ivf_cell's NULL-cell guard touch dedup_semantic; the
+# survivor_scores seam touches dedup_corpus / prepare_corpus; the
+# ivf_cell guard also sits in the IVF index build consumed by
+# retrieval_eval_ivf / retrieval_eval_ivf_trained), re-validating
+# in-gate rather than riding r11/r12 evidence; then r11-evidenced
+# fill in CORRECTNESS_r11.json order. The TWENTY-SIX r11 entries
+# left over after this window:
+#   repetition_metrics, lm_perplexity, lm_perplexity_bigram,
+#   select_token_budget, bm25_search, hybrid_rrf, join_interval,
+#   agg_mode, set_ops, null_funcs, explode_pos, str_distance,
+#   sample_exact_k, zorder_key, filter_notnull, filter_nonempty,
+#   dedup_embedding_capped, pack_sequences, pack_pieces,
+#   project_derived, scan_catalog, scan_documents,
+#   agg_conditional_count, agg_multi_counter, agg_by_year,
+#   agg_histogram
+# overflow the 50-entry window and MUST lead round 14's rotation.
 _PRIORITY_QUERIES = [
-    # (1) evidence exactly 2 rounds old (r9) -- must refresh this round
-    "agg_mean",
-    "agg_max",
-    "agg_count",
-    "agg_concat",
-    "agg_tpch_q1",
-    "agg_percentile",
-    "agg_tpch_q6",
-    "top_revenue_orders",
-    "join_broadcast",
-    "semi_join",
-    "anti_join_ledger",
-    "join_salted",
-    "bloom_anti_join",
-    "join_positional",
-    "distinct_keys",
-    "union_globs",
-    "limit_n",
-    "limit_pushdown",
-    "sessionize_islands",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "agg_rollup",
-    "agg_cube",
-    "argmin_nearest",
+    # (1) evidence exactly 2 rounds old (r10) -- must refresh this round
+    "filter_year",
+    "project_arith",
+    "sort_desc",
+    "topn_per_group",
+    "join_asof",
+    "retrieval_eval",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_mem",
+    "dedup_embedding_cosine",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "dedup_eval",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "lang_id",
+    "quality_score",
+    "quality_filter",
+    "token_count",
+    "pack_assembly",
+    "doc_fingerprint",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "mix_report",
+    "sample_group_k",
+    "sample_weighted_k",
     # (2) no evidence yet (new this round)
-    "select_budget_grouped",
-    # (3) implementation changed this round -- deliberate re-validation
-    "dedup_exact",
-    "dedup_spans",
-    "dedup_spans_strip",
-    "dedup_spans_strip_raw",
+    "quality_classifier",
+    "select_budget_classifier",
+    "dedup_corpus_best",
+    # (3) implementation touched this round -- deliberate re-validation
+    "dedup_semantic",
     "dedup_corpus",
     "prepare_corpus",
-    "dedup_semantic",
-    # (4) r10-evidenced fill, CORRECTNESS_r10.json order; the leftover
-    #     27-name overflow cohort that MUST lead round 13 is the
-    #     STANDING ROTATION block above
-    "window_running",
-    "format_dialogue",
-    "str_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_funcs",
-    "map_funcs",
-    "knn_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "decontaminate",
+    "retrieval_eval_ivf",
     "retrieval_eval_ivf_trained",
-    "normalize_text",
-    "dedup_chunks",
-    "dedup_incremental",
+    # (4) r11-evidenced fill, CORRECTNESS_r11.json order; the leftover
+    #     26-name overflow cohort that MUST lead round 14 is the
+    #     STANDING ROTATION block above
+    "pii_scrub",
+    "ngram_topk",
+    "corpus_stats",
+    "vocab_entropy",
+    "assign_split",
+    "mix_corpora",
+    "window_rank",
+    "window_lead_lag",
+    "window_first_last",
+    "agg_stats",
+    "agg_pivot",
+    "unpivot_melt",
+    "multimodal_features",
+    "artifact_probe",
+    "sample_stratified",
 ]
 
 

@@ -705,3 +705,131 @@ def test_semantic_dedup_chain_drops_via_dropped_neighbor(spark):
     assert out[1].keep and not out[2].keep and not out[3].keep
     assert out[2].dup_of == 1
     assert out[3].dup_of == 2  # points at a row that was itself dropped
+
+
+def test_resolve_survivors_keeps_best_member(spark):
+    """Quality-aware survivor selection (round-12 verdict item 4):
+    the HIGHEST-scoring member of each cluster survives, ties break to
+    the lowest doc_id, NULL/missing scores sort last, and an
+    all-unscored cluster degrades to exactly the min-id rule."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        resolve_survivors,
+    )
+
+    comp = spark.createDataFrame(
+        [
+            # cluster 1: doc 3 has the best score -> survives over min-id 1
+            (1, 1), (2, 1), (3, 1),
+            # cluster 4: tie on score -> lowest id 4 survives
+            (4, 4), (5, 4),
+            # cluster 6: member 7 unscored (absent from scores) -> 6 wins
+            (6, 6), (7, 6),
+            # cluster 8: ALL members unscored -> min-id rule
+            (8, 8), (9, 8),
+        ],
+        "doc_id long, component_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.5), (3, 0.9), (4, 0.7), (5, 0.7), (6, 0.2)],
+        "doc_id long, score double",
+    )
+    got = {
+        r.doc_id: r.keep for r in resolve_survivors(comp, scores).collect()
+    }
+    assert got == {
+        1: False, 2: False, 3: True,
+        4: True, 5: False,
+        6: True, 7: False,
+        8: True, 9: False,
+    }
+
+
+def test_dedup_corpus_survivor_scores_promotes_best(spark):
+    """dedup_corpus(survivor_scores=...) keeps the max-score member of
+    each duplicate cluster instead of the min-id default — the
+    behavioral difference the dedup_corpus_best gate composes (there
+    with the Gopher quality heuristic as the score)."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near dup of 1, higher id, HIGHER score
+        (3, "totally unrelated words about nothing in particular today"),
+        (5, "hi"),
+        (6, "hi"),  # exact dup of 5, equal score -> tie-break keeps 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.8), (3, 0.5), (5, 0.4), (6, 0.4)],
+        "doc_id long, score double",
+    )
+    out = dedup_corpus(df, survivor_scores=scores)
+    got = {r.doc_id: (r.component_id, r.keep) for r in out.collect()}
+    assert got[1] == (1, False)  # min-id member loses to the better copy
+    assert got[2] == (1, True)
+    assert got[3] == (3, True)
+    assert got[5] == (5, True)   # equal scores -> deterministic min-id
+    assert got[6] == (5, False)
+    # default rule on the same corpus keeps 1, not 2 — the policies differ
+    dflt = {r.doc_id: r.keep for r in dedup_corpus(df).collect()}
+    assert dflt[1] and not dflt[2]
+
+
+def test_semantic_dedup_auto_assign_tiers():
+    """assign=None tiering (round-12 verdict item 1): literal up to
+    CELL_LITERAL_MAX, bit-exact table fold up to CELL_EXACT_AUTO_MAX,
+    Arrow/GEMM past it — paper-scale cell counts get the fast path
+    without the caller knowing to ask."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        _auto_assign_path,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        CELL_EXACT_AUTO_MAX,
+        CELL_LITERAL_MAX,
+    )
+
+    assert CELL_LITERAL_MAX < 800, (
+        "literal ceiling must sit below the 800-cell point where the "
+        "round-11 probe measured ~130MB task binaries + an OOM"
+    )
+    assert _auto_assign_path(CELL_LITERAL_MAX) == "literal"
+    assert _auto_assign_path(CELL_LITERAL_MAX + 1) == "table"
+    assert _auto_assign_path(CELL_EXACT_AUTO_MAX) == "table"
+    assert _auto_assign_path(CELL_EXACT_AUTO_MAX + 1) == "arrow"
+    assert _auto_assign_path(50_000) == "arrow"  # the paper's config
+
+
+def test_semantic_dedup_auto_arrow_matches_forced_arrow(spark):
+    """Past CELL_EXACT_AUTO_MAX, assign=None must take the GEMM path:
+    same keep/drop output as assign='arrow' on a planted near-dup
+    corpus, at a cell count where the interpreted folds would be the
+    wrong default."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        CELL_EXACT_AUTO_MAX,
+        ivf_centroid,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(40)
+    )
+    cents = [
+        ivf_centroid(c, 64) for c in range(CELL_EXACT_AUTO_MAX + 8)
+    ]
+    key = lambda rows: sorted(
+        (r.vec_id, r.cell, r.keep, r.dup_of) for r in rows
+    )
+    auto = key(
+        semantic_dedup(emb, threshold=0.95, dim=64, centroids=cents).collect()
+    )
+    forced = key(
+        semantic_dedup(
+            emb, threshold=0.95, dim=64, centroids=cents, assign="arrow"
+        ).collect()
+    )
+    assert auto == forced

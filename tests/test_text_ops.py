@@ -217,3 +217,91 @@ def test_frozen_lm_bigram_tier_integrity():
         assert s in lm["ctx_unseen_logp"], k
         # c >= 1 for stored pairs -> log((c+1)/d) > log(1/d)
         assert v > lm["ctx_unseen_logp"][s], k
+
+
+def test_frozen_classifier_artifact_integrity():
+    """artifacts/quality_clf.json (tools/train_classifier.py) must be
+    finite, non-degenerate (the all-one-label corpus freezes all-zero
+    weights — MLlib skips training entirely; that artifact scores
+    nothing), and fingerprint-locked to the live training slice —
+    the frozen-LM drift guard applied to the classifier seam."""
+    import math
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.artifacts import (
+        corpus_fingerprint,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_classifier,
+    )
+
+    clf = frozen_classifier()
+    assert 0 < len(clf["weights"]) <= clf["max_vocab"]
+    assert all(math.isfinite(w) for w in clf["weights"].values())
+    assert math.isfinite(clf["intercept"])
+    # a degenerate fit (all labels equal) produces all-zero weights
+    assert any(w != 0.0 for w in clf["weights"].values())
+    live = corpus_fingerprint(
+        "/root/testdata/sf0.01/documents.parquet", "doc_id", "text"
+    )
+    assert clf["fingerprint"] == live, (
+        "artifacts/quality_clf.json was trained on a DIFFERENT corpus "
+        f"than the live testdata ({clf['fingerprint']} vs {live}) — "
+        "regenerate with tools/train_classifier.py"
+    )
+
+
+def test_quality_classifier_scores_every_doc(spark):
+    """quality_classifier scores EVERY input doc (unlike the LM
+    family's explode-drop): a zero-token doc gets the bare intercept,
+    a known-token doc gets intercept + round(sum counts*w, 6), and
+    pred is exactly logit >= 0."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_classifier,
+        quality_classifier,
+    )
+
+    clf = frozen_classifier()
+    term, w = next(iter(sorted(clf["weights"].items())))
+    b = float(clf["intercept"])
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                      # zero tokens
+            (2, "   "),                   # whitespace only -> zero tokens
+            (3, f"{term} {term} zzzz-oov"),  # 2 in-vocab + 1 OOV token
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in quality_classifier(docs, clf).collect()}
+    assert len(got) == 3
+    assert got[1].n_tokens == 0 and got[1].logit == b
+    assert got[2].n_tokens == 0 and got[2].logit == b
+    assert got[3].n_tokens == 3
+    assert got[3].logit == b + round(2 * w, 6)
+    for r in got.values():
+        assert r.pred == (r.logit >= 0.0)
+
+
+def test_quality_classifier_agrees_with_teacher(spark):
+    """The frozen student must still separate its teacher's labels on
+    the training corpus (the artifact records the train accuracy; this
+    re-derives agreement through the ENGINE's scoring path, catching a
+    weight/intercept transcription bug between MLlib and the frozen
+    artifact)."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        quality_classifier,
+        quality_score,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    qs = quality_score(docs).select("doc_id", "quality")
+    med = qs.agg(F.expr("percentile(quality, 0.5)")).collect()[0][0]
+    joined = quality_classifier(docs).join(qs, "doc_id")
+    n = joined.count()
+    agree = joined.filter(
+        F.col("pred") == (F.col("quality") >= float(med))
+    ).count()
+    assert agree / n >= 0.95, f"student/teacher agreement {agree}/{n}"

@@ -305,16 +305,23 @@ def test_table_assignment_matches_literal(spark):
         tab = {
             r.vec_id: r._cell
             for r in assign_cells_table(
-                emb, cents, id_col="vec_id", vec_col="_v"
+                emb, cents, vec_col="_v"
             ).collect()
         }
         assert lit == tab
-    # NULL vector -> NULL cell on the table path (never an arbitrary 0)
+    # NULL vector -> NULL cell on BOTH paths (round-12 advisory: the
+    # literal path's all-NULL sort keys used to leave cell 0 first, so
+    # NULL vectors silently landed in cell 0 on one path and the NULL
+    # cell on the other — with max_cell_size that asymmetry could flip
+    # keep/drop at the auto-switch)
     one = spark.createDataFrame([(1, None)], "vec_id int, _v array<double>")
-    row = assign_cells_table(
-        one, [ivf_centroid(c, 64) for c in range(4)], "vec_id", "_v"
-    ).first()
+    cents4 = [ivf_centroid(c, 64) for c in range(4)]
+    row = assign_cells_table(one, cents4, "_v").first()
     assert row._cell is None
+    lit_row = one.select(
+        ivf_cell("_v", 64, 4, cents4).alias("c")
+    ).first()
+    assert lit_row.c is None
 
 
 def test_semantic_dedup_table_path_matches_literal(spark):

@@ -90,13 +90,107 @@ def skew_probe_confs(spark):
             spark.conf.set(k, v)
 
 
+def assign_probes(spark) -> dict:
+    """The two paper-scale cell-assignment probes, ISOLATED (round-12
+    verdict item "trustworthy probe artifacts"): run in a DEDICATED
+    process via ``--assign-probes`` BEFORE the sweep's session exists,
+    so the recorded numbers are standalone readings, not sweep-tail
+    readings taken on a JVM carrying 20 probes of accumulated
+    checkpoint blocks (round-12's in-sweep readings were ~10x worse
+    than standalone and the artifact carried the misleading ones).
+
+    (c) broadcast-centroid-TABLE assignment at 10k cells: the literal
+    plan ceiling is gone — 10k cells x 64 dims ride ONE broadcast row
+    (~5 MB); plan size, serialized task binaries, and shuffle volume
+    are all independent of k. Fixed pseudo-random family: training a
+    10k-cell k-means on probe data would swamp the measurement, and
+    the assignment path under probe is identical either way. Cost is
+    O(k*dim) interpreted-HOF dots per vector, so it reports
+    vectors/sec; the stream side must carry the parallelism
+    (single-file local scan is 1 partition — repartition first).
+
+    (d) the Arrow/GEMM assignment at the PAPER's 50k cells (SemDeDup's
+    5B-embedding configuration, and since round 13 the assign=None
+    default past CELL_EXACT_AUTO_MAX): one numpy float64 matmul per
+    Arrow batch, centroid matrix broadcast once per executor — ~10x
+    the HOF fold at 10k cells, and still ~seconds at 50k where the
+    interpreted folds would take minutes."""
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    results = {"loadavg_start": list(os.getloadavg())}
+    n_tcells = 10_000
+    tcents = [vectors.ivf_centroid(c, 64) for c in range(n_tcells)]
+    emb_parted = (
+        emb.select("vec_id", "embedding").repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    # count the MATERIALIZED frame (cheap post-checkpoint) instead of
+    # assuming the 2000-row base corpus — round-12 advisory: a changed
+    # probe corpus would otherwise silently skew vectors_per_sec
+    n_vecs = emb_parted.count()
+    t0 = time.time()
+    sem_t = dedup.semantic_dedup(
+        emb_parted, threshold=0.95, dim=64, centroids=tcents,
+        assign="table",
+    )
+    t_dropped = sem_t.filter(~F.col("keep")).count()
+    sec_t = round(time.time() - t0, 2)
+    results["semantic_table_assign"] = {
+        "vectors": n_vecs, "n_cells": n_tcells, "dropped": t_dropped,
+        "sec": sec_t, "vectors_per_sec": round(n_vecs / max(sec_t, 1e-9)),
+    }
+
+    n_acells = 50_000
+    acents = [vectors.ivf_centroid(c, 64) for c in range(n_acells)]
+    t0 = time.time()
+    sem_a = dedup.semantic_dedup(
+        emb_parted, threshold=0.95, dim=64, centroids=acents,
+        assign="arrow",
+    )
+    a_dropped = sem_a.filter(~F.col("keep")).count()
+    sec_a = round(time.time() - t0, 2)
+    results["semantic_arrow_assign"] = {
+        "vectors": n_vecs, "n_cells": n_acells, "dropped": a_dropped,
+        "sec": sec_a, "vectors_per_sec": round(n_vecs / max(sec_a, 1e-9)),
+    }
+    results["loadavg_end"] = list(os.getloadavg())
+    return results
+
+
 def main() -> None:
+    import os
+    import subprocess
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # the isolated assignment probes run FIRST, in their own process,
+    # before this sweep's JVM exists — serialized, never concurrent
+    # (this box's readings inflate 2-4x under a concurrent Spark job)
+    iso: dict = {}
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--assign-probes"],
+            capture_output=True, text=True, timeout=1800, check=True,
+        ).stdout
+        for line in out.splitlines():
+            if line.startswith("ASSIGN_PROBES_JSON:"):
+                iso = json.loads(line[len("ASSIGN_PROBES_JSON:"):])
+    except Exception as e:  # probe isolation must never kill the sweep
+        iso = {"error": f"{type(e).__name__}: {e}"}
     spark = get_spark("scale_probe")
     ev = load_events(spark, SF)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    results = {}
+    results = {"loadavg_start": list(os.getloadavg())}
+    if iso:
+        # standalone readings from the dedicated process, recorded
+        # under the same keys the sweep used to carry
+        results["assign_probe_isolation"] = {
+            k: iso[k] for k in ("loadavg_start", "loadavg_end") if k in iso
+        }
+        for k in ("semantic_table_assign", "semantic_arrow_assign", "error"):
+            if k in iso:
+                results[k] = iso[k]
 
     # ---- asof on ONE long file: the per-file ordering worst case
     base = ev.filter(F.col("event_type").isin("click", "view")).limit(2000)
@@ -376,58 +470,11 @@ def main() -> None:
         "dropped": capped_dropped, "sec": round(time.time() - t0, 2),
     }
 
-    # (c) broadcast-centroid-TABLE assignment at paper-scale cell
-    # counts (round-12 verdict item 2): the literal-centroid plan
-    # ceiling is gone — 10k cells x 64 dims ride ONE broadcast row
-    # (~5 MB); plan size, serialized task binaries, and shuffle volume
-    # are all independent of k (the round-11 literal path OOM'd this
-    # sweep's shared JVM at 800 cells from ~130 MB task binaries).
-    # Fixed pseudo-random family: training a 10k-cell k-means on probe
-    # data would swamp the measurement, and the assignment path under
-    # probe is identical either way. Per-vector cost is O(k*dim)
-    # interpreted-HOF dots on ANY path, so the probe reports
-    # vectors/sec, not a flat runtime; the stream side must carry the
-    # parallelism (a single local parquet file is 1 partition —
-    # repartition first, exactly the operator docstring's guidance).
-    n_tcells = 10_000
-    tcents = [vectors.ivf_centroid(c, 64) for c in range(n_tcells)]
-    emb_parted = (
-        emb.select("vec_id", "embedding").repartition(32)
-        .localCheckpoint(eager=True)
-    )
-    t0 = time.time()
-    sem_t = dedup.semantic_dedup(
-        emb_parted, threshold=0.95, dim=64, centroids=tcents,
-        assign="table",
-    )
-    t_dropped = sem_t.filter(~F.col("keep")).count()
-    sec_t = round(time.time() - t0, 2)
-    results["semantic_table_assign"] = {
-        "vectors": 2000, "n_cells": n_tcells, "dropped": t_dropped,
-        "sec": sec_t, "vectors_per_sec": round(2000 / max(sec_t, 1e-9)),
-    }
-
-    # (d) the Arrow/GEMM assignment at the PAPER's cell count (50k
-    # cells — SemDeDup's 5B-embedding configuration): one numpy float64
-    # matmul per Arrow batch, centroid matrix broadcast once per
-    # executor. Same dedup semantics (argmax ties to lowest cell; on
-    # real data identical assignments to the exact folds — the 10k-cell
-    # distinct-cell counts of probes (c) and (d') match), ~10x the HOF
-    # fold at 10k cells and still ~2s at 50k where the interpreted
-    # paths would take minutes.
-    n_acells = 50_000
-    acents = [vectors.ivf_centroid(c, 64) for c in range(n_acells)]
-    t0 = time.time()
-    sem_a = dedup.semantic_dedup(
-        emb_parted, threshold=0.95, dim=64, centroids=acents,
-        assign="arrow",
-    )
-    a_dropped = sem_a.filter(~F.col("keep")).count()
-    sec_a = round(time.time() - t0, 2)
-    results["semantic_arrow_assign"] = {
-        "vectors": 2000, "n_cells": n_acells, "dropped": a_dropped,
-        "sec": sec_a, "vectors_per_sec": round(2000 / max(sec_a, 1e-9)),
-    }
+    # (c)/(d) the paper-scale cell-assignment probes moved OUT of this
+    # sweep into a dedicated pre-sweep process (assign_probes /
+    # --assign-probes) — see its docstring; their results are merged
+    # into this JSON under the same keys by the subprocess launch in
+    # __main__.
 
     # ---- distributed positional zip at Nx rows (replaced the
     # single-partition global window)
@@ -593,8 +640,17 @@ def main() -> None:
         "exact_sec": results["knn_corpus"]["sec"],
     }
 
+    results["loadavg_end"] = list(os.getloadavg())
     print(json.dumps({"scale_multiplier": n, "probes": results}))
 
 
 if __name__ == "__main__":
-    main()
+    if "--assign-probes" in sys.argv:
+        # dedicated-process mode: fresh session, ONLY the assignment
+        # probes, one JSON line on stdout (prefixed for easy parsing
+        # among Spark log noise)
+        spark = get_spark("assign_probes")
+        print("ASSIGN_PROBES_JSON:" + json.dumps(assign_probes(spark)))
+        spark.stop()
+    else:
+        main()
