@@ -182,6 +182,27 @@ PICKS = {
         "aggregation — two Exchanges total, nothing keyed on a "
         "content-derived hot key"
     ),
+    "quality_classifier": (
+        "trained-classifier quality scoring: explode -> BroadcastHashJoin "
+        "against the metadata-sized frozen weight table -> one partial-"
+        "aggregating per-doc logit sum -> doc_id SortMergeJoin back onto "
+        "the full spine (zero-token docs score the bare intercept); the "
+        "only shuffles are the doc_id agg + spine join, never a "
+        "per-token map literal"
+    ),
+    "select_budget_classifier": (
+        "classifier-ranked token budget: the FineWeb-Edu cut — logit "
+        "descending into the SAME pinned range-exchange running-total "
+        "shape as select_token_budget (one Window over the range "
+        "partitioning, per-partition offsets broadcast back; no global "
+        "window, no single-task sort)"
+    ),
+    "dedup_corpus_best": (
+        "quality-aware survivor selection: the closure's component "
+        "labels left-join the broadcast quality frame, then ONE window "
+        "partitioned by component_id (cluster-sized partitions — the "
+        "topn_per_group shape) ranks score desc, id asc; keep = rn 1"
+    ),
     "select_budget_grouped": (
         "per-group token budgets (round 12), shown from the pinned "
         "range exchange down (the eager checkpoint that fixes "

@@ -90,37 +90,45 @@ def skew_probe_confs(spark):
             spark.conf.set(k, v)
 
 
-def assign_probes(spark) -> dict:
-    """The two paper-scale cell-assignment probes, ISOLATED (round-12
-    verdict item "trustworthy probe artifacts"): run in a DEDICATED
-    process via ``--assign-probes`` BEFORE the sweep's session exists,
-    so the recorded numbers are standalone readings, not sweep-tail
-    readings taken on a JVM carrying 20 probes of accumulated
-    checkpoint blocks (round-12's in-sweep readings were ~10x worse
-    than standalone and the artifact carried the misleading ones).
+def assign_probes(spark, which: str = "all") -> dict:
+    """The paper-scale cell-assignment probes, ISOLATED (round-12
+    verdict item "trustworthy probe artifacts"): each probe family
+    runs in its OWN dedicated process (``--assign-probes <name>``)
+    BEFORE the sweep's session exists, so the recorded numbers are
+    standalone readings — not sweep-tail readings taken on a JVM
+    carrying 20 probes of accumulated checkpoint blocks (round-12's
+    in-sweep readings were ~10x worse than standalone and the
+    artifact carried the misleading ones), and not even
+    same-process-after-the-table-probe readings (the 10k-cell
+    interpreted-fold job leaves enough JVM heap/codegen residue to
+    inflate a following Arrow probe 2-10x — measured 3.6s fresh vs
+    30-53s after the table probe in one process).
 
-    (c) broadcast-centroid-TABLE assignment at 10k cells: the literal
-    plan ceiling is gone — 10k cells x 64 dims ride ONE broadcast row
-    (~5 MB); plan size, serialized task binaries, and shuffle volume
-    are all independent of k. Fixed pseudo-random family: training a
-    10k-cell k-means on probe data would swamp the measurement, and
-    the assignment path under probe is identical either way. Cost is
-    O(k*dim) interpreted-HOF dots per vector, so it reports
-    vectors/sec; the stream side must carry the parallelism
-    (single-file local scan is 1 partition — repartition first).
+    table: broadcast-centroid-TABLE assignment at 10k cells — plan
+    size, task binaries, and shuffle volume independent of k; cost is
+    O(k*dim) interpreted-HOF dots per vector (the bit-exact path).
 
-    (d) the Arrow/GEMM assignment at the PAPER's 50k cells (SemDeDup's
-    5B-embedding configuration, and since round 13 the assign=None
-    default past CELL_EXACT_AUTO_MAX): one numpy float64 matmul per
-    Arrow batch, centroid matrix broadcast once per executor — ~10x
-    the HOF fold at 10k cells, and still ~seconds at 50k where the
-    interpreted folds would take minutes."""
+    arrow: the Arrow/GEMM assignment at the PAPER's 50k cells
+    (SemDeDup's 5B-embedding configuration): one numpy float64 matmul
+    per Arrow batch, centroid matrix broadcast once per executor.
+
+    auto: the DEFAULT path at 10k cells (round-12 verdict item 1's
+    done-bar): assign=None must land within ~2x of the forced-arrow
+    standalone reading, because past CELL_EXACT_AUTO_MAX the auto
+    tier IS arrow — a paper-scale caller gets the fast path without
+    knowing to ask.
+
+    The arrow/auto probes take an UNTIMED full-frame warm-up first:
+    the first pandas-UDF action in a fresh process pays Python-worker
+    spawn + Arrow init on every partition (measured 18.2s first run
+    vs 3.6s warm; a limit(8) warm-up spawns ONE worker and the timed
+    run pays the other 31) — per-executor-lifetime overhead, not
+    per-job cost; the recorded number is the steady-state reading a
+    long-lived cluster sees."""
     import os
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     results = {"loadavg_start": list(os.getloadavg())}
-    n_tcells = 10_000
-    tcents = [vectors.ivf_centroid(c, 64) for c in range(n_tcells)]
     emb_parted = (
         emb.select("vec_id", "embedding").repartition(32)
         .localCheckpoint(eager=True)
@@ -129,31 +137,57 @@ def assign_probes(spark) -> dict:
     # assuming the 2000-row base corpus — round-12 advisory: a changed
     # probe corpus would otherwise silently skew vectors_per_sec
     n_vecs = emb_parted.count()
-    t0 = time.time()
-    sem_t = dedup.semantic_dedup(
-        emb_parted, threshold=0.95, dim=64, centroids=tcents,
-        assign="table",
-    )
-    t_dropped = sem_t.filter(~F.col("keep")).count()
-    sec_t = round(time.time() - t0, 2)
-    results["semantic_table_assign"] = {
-        "vectors": n_vecs, "n_cells": n_tcells, "dropped": t_dropped,
-        "sec": sec_t, "vectors_per_sec": round(n_vecs / max(sec_t, 1e-9)),
-    }
+    n_tcells = 10_000
 
-    n_acells = 50_000
-    acents = [vectors.ivf_centroid(c, 64) for c in range(n_acells)]
-    t0 = time.time()
-    sem_a = dedup.semantic_dedup(
-        emb_parted, threshold=0.95, dim=64, centroids=acents,
-        assign="arrow",
-    )
-    a_dropped = sem_a.filter(~F.col("keep")).count()
-    sec_a = round(time.time() - t0, 2)
-    results["semantic_arrow_assign"] = {
-        "vectors": n_vecs, "n_cells": n_acells, "dropped": a_dropped,
-        "sec": sec_a, "vectors_per_sec": round(n_vecs / max(sec_a, 1e-9)),
-    }
+    def _run(key, n_cells, assign, extra=None):
+        # two reps: the first pays once-per-process costs repetition
+        # amortizes (whole-stage codegen for this plan shape, the
+        # centroid broadcast's first transfer — measured 13-18s first
+        # vs 3.6s warm for the 50k-cell arrow probe); ``sec`` is the
+        # WARM reading (what a long-lived cluster sees per job),
+        # ``sec_first`` keeps the cold run honest in the artifact
+        cents = [vectors.ivf_centroid(c, 64) for c in range(n_cells)]
+        secs = []
+        dropped = 0
+        for _ in range(2):
+            t0 = time.time()
+            sem = dedup.semantic_dedup(
+                emb_parted, threshold=0.95, dim=64, centroids=cents,
+                assign=assign,
+            )
+            dropped = sem.filter(~F.col("keep")).count()
+            secs.append(round(time.time() - t0, 2))
+        sec = min(secs)
+        results[key] = {
+            "vectors": n_vecs, "n_cells": n_cells, "dropped": dropped,
+            "sec": sec, "sec_first": secs[0],
+            "vectors_per_sec": round(n_vecs / max(sec, 1e-9)),
+            **(extra or {}),
+        }
+
+    def _warm_arrow():
+        from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+            assign_cells_arrow,
+        )
+
+        assign_cells_arrow(
+            emb_parted,
+            [vectors.ivf_centroid(c, 64) for c in range(4)],
+            "embedding",
+        ).count()
+
+    if which in ("all", "table"):
+        _run("semantic_table_assign", n_tcells, "table")
+    if which in ("all", "arrow"):
+        _warm_arrow()
+        _run("semantic_arrow_assign", 50_000, "arrow")
+    if which in ("all", "auto"):
+        if which == "auto":
+            _warm_arrow()
+        _run(
+            "semantic_auto_assign", n_tcells, None,
+            {"assign": "None (auto -> arrow past CELL_EXACT_AUTO_MAX)"},
+        )
     results["loadavg_end"] = list(os.getloadavg())
     return results
 
@@ -167,16 +201,17 @@ def main() -> None:
     # before this sweep's JVM exists — serialized, never concurrent
     # (this box's readings inflate 2-4x under a concurrent Spark job)
     iso: dict = {}
-    try:
-        out = subprocess.run(
-            [sys.executable, __file__, "--assign-probes"],
-            capture_output=True, text=True, timeout=1800, check=True,
-        ).stdout
-        for line in out.splitlines():
-            if line.startswith("ASSIGN_PROBES_JSON:"):
-                iso = json.loads(line[len("ASSIGN_PROBES_JSON:"):])
-    except Exception as e:  # probe isolation must never kill the sweep
-        iso = {"error": f"{type(e).__name__}: {e}"}
+    for fam in ("table", "arrow", "auto"):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--assign-probes", fam],
+                capture_output=True, text=True, timeout=1800, check=True,
+            ).stdout
+            for line in out.splitlines():
+                if line.startswith("ASSIGN_PROBES_JSON:"):
+                    iso.update(json.loads(line[len("ASSIGN_PROBES_JSON:"):]))
+        except Exception as e:  # probe isolation must never kill the sweep
+            iso["error"] = f"{fam}: {type(e).__name__}: {e}"
     spark = get_spark("scale_probe")
     ev = load_events(spark, SF)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -188,7 +223,8 @@ def main() -> None:
         results["assign_probe_isolation"] = {
             k: iso[k] for k in ("loadavg_start", "loadavg_end") if k in iso
         }
-        for k in ("semantic_table_assign", "semantic_arrow_assign", "error"):
+        for k in ("semantic_table_assign", "semantic_arrow_assign",
+                  "semantic_auto_assign", "error"):
             if k in iso:
                 results[k] = iso[k]
 
@@ -646,11 +682,15 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--assign-probes" in sys.argv:
-        # dedicated-process mode: fresh session, ONLY the assignment
-        # probes, one JSON line on stdout (prefixed for easy parsing
+        # dedicated-process mode: fresh session, ONE probe family (or
+        # "all"), one JSON line on stdout (prefixed for easy parsing
         # among Spark log noise)
+        i = sys.argv.index("--assign-probes")
+        which = sys.argv[i + 1] if len(sys.argv) > i + 1 else "all"
         spark = get_spark("assign_probes")
-        print("ASSIGN_PROBES_JSON:" + json.dumps(assign_probes(spark)))
+        print(
+            "ASSIGN_PROBES_JSON:" + json.dumps(assign_probes(spark, which))
+        )
         spark.stop()
     else:
         main()
