@@ -845,7 +845,11 @@ def semantic_dedup(
     on every input row; ``assign="literal"`` / ``assign="table"``
     forces a path (the parity test and the scale probe pin each
     explicitly; ``table`` has no ceiling and is the choice where the
-    SQL oracle must replay a big-cell-count assignment). PAST
+    SQL oracle must replay a big-cell-count assignment bit-exactly;
+    ``assign="two_level"`` is the opt-in coarse->fine exact-FOLD
+    route for big k + a SQL oracle — ~2*sqrt(k) dots per row, exact
+    within the winning coarse group, the IVF-style approximation
+    documented on ``assign_cells_two_level``). PAST
     ``CELL_EXACT_AUTO_MAX`` the auto path is ``assign="arrow"`` — the
     raw-throughput variant (round-12 verdict item 1: the interpreted
     k x dim fold is ~10x slower at 10k cells and compute-infeasible
@@ -882,10 +886,10 @@ def semantic_dedup(
 
     if centroids is not None:
         n_cells = len(centroids)
-    if assign not in (None, "literal", "table", "arrow"):
+    if assign not in (None, "literal", "table", "two_level", "arrow"):
         raise ValueError(
-            f"semantic_dedup: assign must be None, 'literal', 'table' "
-            f"or 'arrow', got {assign!r}"
+            f"semantic_dedup: assign must be None, 'literal', 'table', "
+            f"'two_level' or 'arrow', got {assign!r}"
         )
     if assign is None:
         assign = _auto_assign_path(n_cells)
@@ -910,7 +914,7 @@ def semantic_dedup(
             else [ivf_centroid(c, dim) for c in range(n_cells)]
         )
         assigned = assign_cells_arrow(spine, cents, "_v", out_col="_cell")
-    elif assign == "table":
+    elif assign in ("table", "two_level"):
         from ..session import ensure_parallelism
 
         cents = (
@@ -923,12 +927,25 @@ def semantic_dedup(
         # exists for (a single-file local scan is ONE partition and
         # would single-thread the whole assignment; at cluster scale
         # the input is already split and this is a no-op)
-        assigned = assign_cells_table(
-            ensure_parallelism(spine),
-            cents,
-            vec_col="_v",
-            out_col="_cell",
-        )
+        if assign == "two_level":
+            # opt-in coarse->fine exact-fold route (~2*sqrt(k) dots per
+            # row, SQL-replayable, IVF-style approximation at coarse
+            # boundaries — see assign_cells_two_level's caveat)
+            from .vectors import assign_cells_two_level
+
+            assigned = assign_cells_two_level(
+                ensure_parallelism(spine),
+                cents,
+                vec_col="_v",
+                out_col="_cell",
+            )
+        else:
+            assigned = assign_cells_table(
+                ensure_parallelism(spine),
+                cents,
+                vec_col="_v",
+                out_col="_cell",
+            )
     else:
         assigned = spine.withColumn(
             "_cell", ivf_cell("_v", dim, n_cells, centroids).cast("int")

@@ -181,6 +181,16 @@ def assign_probes(spark, which: str = "all") -> dict:
     if which in ("all", "arrow"):
         _warm_arrow()
         _run("semantic_arrow_assign", 50_000, "arrow")
+    if which in ("all", "two_level"):
+        # the coarse->fine exact-fold route at the paper's 50k cells:
+        # ~2*sqrt(k) interpreted dots per row instead of k (~100x less
+        # exact-fold work than the flat table path; SQL-replayable
+        # where the GEMM path is not — see assign_cells_two_level's
+        # approximation caveat)
+        _run(
+            "semantic_two_level_assign", 50_000, "two_level",
+            {"assign": "two_level (coarse->fine exact fold)"},
+        )
     if which in ("all", "auto"):
         if which == "auto":
             _warm_arrow()
@@ -201,7 +211,7 @@ def main() -> None:
     # before this sweep's JVM exists — serialized, never concurrent
     # (this box's readings inflate 2-4x under a concurrent Spark job)
     iso: dict = {}
-    for fam in ("table", "arrow", "auto"):
+    for fam in ("table", "arrow", "two_level", "auto"):
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--assign-probes", fam],
@@ -224,7 +234,8 @@ def main() -> None:
             k: iso[k] for k in ("loadavg_start", "loadavg_end") if k in iso
         }
         for k in ("semantic_table_assign", "semantic_arrow_assign",
-                  "semantic_auto_assign", "error"):
+                  "semantic_two_level_assign", "semantic_auto_assign",
+                  "error"):
             if k in iso:
                 results[k] = iso[k]
 
