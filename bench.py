@@ -100,6 +100,7 @@ HEADLINE = [
     "quality_classifier",
     "select_budget_classifier",
     "dedup_corpus_best",
+    "ccnet_buckets",
 ]
 
 RUNS = 3

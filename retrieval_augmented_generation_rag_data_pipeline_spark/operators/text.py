@@ -800,6 +800,67 @@ def lm_cross_entropy(
     )
 
 
+def lm_quality_buckets(
+    docs: DataFrame,
+    lm: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020
+    §4.3): per LANGUAGE, rank documents by reference-LM perplexity and
+    split at the perplexity TERCILES — "head" is the fluent third the
+    paper trains on, "tail" the noisiest. This is the paper's actual
+    mechanism (per-language thresholds, not a global cut: a hard
+    language's absolute perplexities would otherwise push its entire
+    corpus into "tail").
+
+    Returns one row per scoreable doc:
+    (doc_id, <group_col>, n_tokens, xent, bucket) with bucket in
+    ('head', 'middle', 'tail') — xent <= t1 -> head, <= t2 -> middle,
+    else tail, where t1/t2 are the group's interpolated 1/3 and 2/3
+    xent percentiles rounded once to 6dp (the agg_percentile parity
+    convention: Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the linear-interpolation definition, and comparing xent
+    against a 6dp-rounded shared threshold is boundary-deterministic
+    because the xent values themselves are bit-identical).
+
+    Plan (100 TB): NO global window and NO per-group single task — the
+    tercile thresholds are ONE exact-percentile aggregate per group (a
+    languages-sized frame), broadcast back onto the scored corpus as a
+    hash join; bucketing is then a scan-side CASE. Exact percentile
+    sorts within each group's aggregate — swap approx_percentile in
+    when a tolerance is acceptable (the agg_percentile note).
+    """
+    from .pinning import pin
+
+    scored = lm_cross_entropy(docs, lm, id_col, text_col).join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("_g"),
+        ),
+        "doc_id",
+    )
+    # both the threshold aggregate and the bucket join consume the
+    # scored frame — unpinned, the explode->vocab-join->sum pipeline
+    # would run twice
+    scored = pin(scored)
+    th = scored.groupBy("_g").agg(
+        F.round(F.expr(f"percentile(xent, {1/3!r})"), 6).alias("_t1"),
+        F.round(F.expr(f"percentile(xent, {2/3!r})"), 6).alias("_t2"),
+    )
+    return scored.join(F.broadcast(th), "_g").select(
+        "doc_id",
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "xent",
+        F.when(F.col("xent") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("xent") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def lm_cross_entropy_bigram(
     docs: DataFrame,
     lm: dict | None = None,

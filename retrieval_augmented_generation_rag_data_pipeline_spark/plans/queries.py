@@ -2864,6 +2864,60 @@ def select_budget_classifier(spark, sf):
     )
 
 
+def _ccnet_buckets_sql() -> str | None:
+    """Oracle for the CCNet head/middle/tail gate: the frozen unigram
+    xent CTE (same literals and artifact guard as _lm_perplexity_sql),
+    per-language interpolated xent terciles via quantile_cont (the
+    agg_percentile parity pairing with Spark's ``percentile``, rounded
+    once to 6dp), bucket by comparison."""
+    from ..operators.text import frozen_lm
+
+    try:
+        lm = frozen_lm()
+        rows = ",\n  ".join(
+            "('" + t.replace("'", "''") + f"', {lp!r})"
+            for t, lp in sorted(lm["logp"].items())
+        )
+        oov = float(lm["oov_logp"])
+        if not rows:
+            return None
+    except Exception:
+        return None
+    return f"""
+WITH vocab(term, lp) AS (VALUES
+  {rows}
+), t AS (SELECT doc_id, {O.tokens('text')} AS tk FROM documents),
+x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+s AS (SELECT x.doc_id, round(sum(coalesce(v.lp, {oov!r})), 6) AS ls,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM x LEFT JOIN vocab v USING (term)
+      GROUP BY x.doc_id),
+sc AS (SELECT s.doc_id, d.lang, s.n_tokens, -s.ls / s.n_tokens AS xent
+       FROM s JOIN documents d USING (doc_id)),
+th AS (SELECT lang,
+              round(quantile_cont(xent, {1/3!r}), 6) AS t1,
+              round(quantile_cont(xent, {2/3!r}), 6) AS t2
+       FROM sc GROUP BY lang)
+SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.xent,
+       CASE WHEN sc.xent <= th.t1 THEN 'head'
+            WHEN sc.xent <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN th USING (lang)
+"""
+
+
+@_q("ccnet_buckets", _ccnet_buckets_sql())
+def ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3 — the paper's actual corpus-partitioning mechanism): per
+    LANGUAGE, split documents at the frozen-LM cross-entropy terciles;
+    "head" is the fluent third CCNet trains on. Thresholds are one
+    exact-percentile aggregate per language broadcast back as a hash
+    join — no global window, no per-group single task
+    (operators/text.py lm_quality_buckets)."""
+    return text.lm_quality_buckets(_t(spark, sf, "documents"))
+
+
 @_q("lm_perplexity", _lm_perplexity_sql())
 def lm_perplexity(spark, sf):
     """Reference-LM quality scoring (round-11 verdict item 4): per-doc
@@ -4175,9 +4229,9 @@ def zorder_key(spark, sf):
 # ivf_cell guard also sits in the IVF index build consumed by
 # retrieval_eval_ivf / retrieval_eval_ivf_trained), re-validating
 # in-gate rather than riding r11/r12 evidence; then r11-evidenced
-# fill in CORRECTNESS_r11.json order. The TWENTY-SIX r11 entries
+# fill in CORRECTNESS_r11.json order. The TWENTY-SEVEN r11 entries
 # left over after this window:
-#   repetition_metrics, lm_perplexity, lm_perplexity_bigram,
+#   sample_stratified, repetition_metrics, lm_perplexity, lm_perplexity_bigram,
 #   select_token_budget, bm25_search, hybrid_rrf, join_interval,
 #   agg_mode, set_ops, null_funcs, explode_pos, str_distance,
 #   sample_exact_k, zorder_key, filter_notnull, filter_nonempty,
@@ -4219,6 +4273,7 @@ _PRIORITY_QUERIES = [
     "quality_classifier",
     "select_budget_classifier",
     "dedup_corpus_best",
+    "ccnet_buckets",
     # (3) implementation touched this round -- deliberate re-validation
     "dedup_semantic",
     "dedup_corpus",
@@ -4242,7 +4297,6 @@ _PRIORITY_QUERIES = [
     "unpivot_melt",
     "multimodal_features",
     "artifact_probe",
-    "sample_stratified",
 ]
 
 
