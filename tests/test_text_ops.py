@@ -305,3 +305,29 @@ def test_quality_classifier_agrees_with_teacher(spark):
         F.col("pred") == (F.col("quality") >= float(med))
     ).count()
     assert agree / n >= 0.95, f"student/teacher agreement {agree}/{n}"
+
+
+def test_lm_quality_buckets_degenerate_groups(spark):
+    """CCNet bucketing edge cases: a single-doc language has t1 = t2 =
+    its own xent, so it must land in 'head' (<=, not <); a two-doc
+    language splits head/middle (interpolated terciles sit between the
+    two values, the higher doc is <= t2); empty/whitespace docs emit no
+    row (unscoreable — the lm_cross_entropy contract)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lm_quality_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "solo"),
+            (2, "the the the the", "duo"),
+            (3, "zzz qqq vvv www", "duo"),
+            (4, "   ", "empty"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r for r in lm_quality_buckets(docs).collect()}
+    assert set(got) == {1, 2, 3}  # whitespace doc unscoreable
+    assert got[1].bucket == "head"  # single-doc group: xent == t1
+    duo = sorted([got[2], got[3]], key=lambda r: r.xent)
+    assert duo[0].bucket == "head" and duo[1].bucket in ("middle", "tail")
