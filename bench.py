@@ -101,6 +101,10 @@ HEADLINE = [
     "select_budget_classifier",
     "dedup_corpus_best",
     "ccnet_buckets",
+    "c4_line_filter",
+    "url_filter",
+    "domain_caps",
+    "mix_temperature",
 ]
 
 RUNS = 3

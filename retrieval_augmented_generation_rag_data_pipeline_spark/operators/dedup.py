@@ -553,11 +553,21 @@ def resolve_survivors(
     CLUSTER, not the corpus — cluster sizes are bounded by the dedup
     family's own skew hygiene (max_bucket_size / min_bands upstream),
     so no single task sees more than a cluster; this is the
-    topn_per_group shape (SURVEY L3), not a global window."""
+    topn_per_group shape (SURVEY L3), not a global window.
+
+    ``scores`` need not be unique per doc_id: duplicate score rows are
+    collapsed to the MAX score per doc before the join (a map-side-
+    combined aggregate on the scores side only — typically the small
+    side), so a doubled ledger row can never multiply cluster members
+    through the left join and break the exactly-one-keep contract."""
     from pyspark.sql import Window
 
-    sc = scores.select(
-        F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+    sc = (
+        scores.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+        )
+        .groupBy("doc_id")
+        .agg(F.max("_score").alias("_score"))
     )
     w = Window.partitionBy("component_id").orderBy(
         F.desc_nulls_last("_score"), F.asc("doc_id")

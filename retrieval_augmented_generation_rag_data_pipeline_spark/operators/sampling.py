@@ -473,3 +473,64 @@ def select_token_budget_grouped(
             "doc_id", group_col, "score", "n_tokens", "cum_tokens", "keep"
         )
     )
+
+
+def mix_temperature(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.3,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (Lample & Conneau 2019 §3.1 —
+    the standard multilingual/multi-corpus rebalancing): each source's
+    natural share p_i (docs, or a ``weight_col`` sum such as tokens) is
+    raised to ``alpha`` and renormalized, w_i = p_i^a / sum_j p_j^a.
+    alpha < 1 upsamples low-resource sources (the XLM paper's a=0.3
+    lifts rare languages without flattening the mix entirely); alpha=1
+    is the natural mix; alpha=0 is uniform. The output feeds
+    ``budgets_from_weights`` / ``mix_corpora`` rates directly.
+
+    Returns one row per source: (source, n, share, weight) with
+    n = the raw count/sum (exact integer), share = n / total (exact
+    integer ratio — bit-identical across engines), and weight the
+    renormalized temperature weight.
+
+    Cross-engine float discipline (the parity rules in
+    plans/queries.py): pow() is the ONLY transcendental — computed on
+    the exact share, then rounded to 6dp BEFORE the renormalizing sum,
+    and the sum (a |sources|-sized aggregate) is itself rounded to 6dp
+    before the final ratio, so partition-order float drift can never
+    reach the hash.
+
+    Scale shape: one map-side-combined aggregate to |sources| rows,
+    then two one-row stat frames broadcast back via crossJoin (the
+    bounded scalar-frame pattern used by the selection operators) —
+    the corpus is scanned ONCE and nothing per-doc ever shuffles."""
+    n = (
+        F.sum(F.col(weight_col)).cast("long")
+        if weight_col is not None
+        else F.count("*").cast("long")
+    )
+    from .pinning import pin
+
+    # the |sources|-sized aggregate is consumed THREE times (total, the
+    # scored frame, the renormalizing sum) — pinned so the corpus scan
+    # behind it runs exactly once
+    per = pin(df.groupBy(F.col(source_col).alias("source")).agg(n.alias("n")))
+    total = per.agg(F.sum("n").cast("long").alias("_total"))
+    p = per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n",
+        (F.col("n").cast("double") / F.col("_total")).alias("share"),
+        F.round(
+            F.pow(F.col("n").cast("double") / F.col("_total"), F.lit(float(alpha))),
+            6,
+        ).alias("_pw"),
+    )
+    tot_pw = p.agg(F.round(F.sum("_pw"), 6).alias("_tot_pw"))
+    return p.crossJoin(F.broadcast(tot_pw)).select(
+        "source",
+        "n",
+        "share",
+        F.round(F.col("_pw") / F.col("_tot_pw"), 6).alias("weight"),
+    )

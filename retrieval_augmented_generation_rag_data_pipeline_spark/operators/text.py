@@ -806,6 +806,9 @@ def lm_quality_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "lang",
+    percentile_mode: str = "exact",
+    accuracy: int = 10_000,
+    thresholds: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020
     §4.3): per LANGUAGE, rank documents by reference-LM perplexity and
@@ -826,14 +829,38 @@ def lm_quality_buckets(
     because the xent values themselves are bit-identical).
 
     Plan (100 TB): NO global window and NO per-group single task — the
-    tercile thresholds are ONE exact-percentile aggregate per group (a
-    languages-sized frame), broadcast back onto the scored corpus as a
-    hash join; bucketing is then a scan-side CASE. Exact percentile
-    sorts within each group's aggregate — swap approx_percentile in
-    when a tolerance is acceptable (the agg_percentile note).
+    tercile thresholds are ONE aggregate per group (a languages-sized
+    frame), broadcast back onto the scored corpus as a hash join;
+    bucketing is then a scan-side CASE. THREE threshold modes (round-13
+    verdict item 1 — exact percentile buffers every group value in one
+    aggregation buffer, a per-language memory funnel at corpus scale):
+
+    - ``percentile_mode="exact"`` (default, the oracle-parity form):
+      Spark ``percentile`` / DuckDB ``quantile_cont`` — group-sized
+      aggregation buffer, right up to the gate/report scales it's
+      meant for.
+    - ``percentile_mode="approx"``: ``approx_percentile`` — a
+      mergeable, partial-aggregable sketch whose state is O(accuracy)
+      PER TASK regardless of group size (guaranteed rank error <=
+      group_size/accuracy), the 100-TB route. Off the oracle path —
+      sketch internals aren't cross-engine replayable.
+    - ``thresholds={lang: (t1, t2)}``: FROZEN thresholds through the
+      artifact seam (the lm.json/quantizer.json pattern — CCNet itself
+      computes thresholds once per snapshot and applies them to every
+      shard): no threshold aggregate at all, the corpus is scanned
+      once and bucketed against broadcast literals. Compute once with
+      either mode, freeze, replay everywhere — bit-exact oracle
+      replayable. Groups absent from the dict drop out (the bucket
+      join is inner on the group key, same as a group absent from the
+      corpus in aggregate modes).
     """
     from .pinning import pin
 
+    if percentile_mode not in ("exact", "approx"):
+        raise ValueError(
+            f"percentile_mode must be 'exact' or 'approx', got "
+            f"{percentile_mode!r}"
+        )
     scored = lm_cross_entropy(docs, lm, id_col, text_col).join(
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -841,14 +868,31 @@ def lm_quality_buckets(
         ),
         "doc_id",
     )
-    # both the threshold aggregate and the bucket join consume the
-    # scored frame — unpinned, the explode->vocab-join->sum pipeline
-    # would run twice
-    scored = pin(scored)
-    th = scored.groupBy("_g").agg(
-        F.round(F.expr(f"percentile(xent, {1/3!r})"), 6).alias("_t1"),
-        F.round(F.expr(f"percentile(xent, {2/3!r})"), 6).alias("_t2"),
-    )
+    if thresholds is not None:
+        spark = docs.sparkSession
+        th = spark.createDataFrame(
+            [(g, float(t1), float(t2)) for g, (t1, t2) in sorted(thresholds.items())],
+            "_g string, _t1 double, _t2 double",
+        )
+    else:
+        # both the threshold aggregate and the bucket join consume the
+        # scored frame — unpinned, the explode->vocab-join->sum
+        # pipeline would run twice
+        scored = pin(scored)
+        pct = (
+            f"percentile(xent, {1/3!r})"
+            if percentile_mode == "exact"
+            else f"approx_percentile(xent, {1/3!r}, {int(accuracy)})"
+        )
+        pct2 = (
+            f"percentile(xent, {2/3!r})"
+            if percentile_mode == "exact"
+            else f"approx_percentile(xent, {2/3!r}, {int(accuracy)})"
+        )
+        th = scored.groupBy("_g").agg(
+            F.round(F.expr(pct), 6).alias("_t1"),
+            F.round(F.expr(pct2), 6).alias("_t2"),
+        )
     return scored.join(F.broadcast(th), "_g").select(
         "doc_id",
         F.col("_g").alias(group_col),
@@ -948,4 +992,106 @@ def lm_cross_entropy_bigram(
         "n_tokens",
         xent.alias("xent"),
         F.round(F.exp(xent), 6).alias("ppl"),
+    )
+
+
+# RE2-portable terminal-punctuation test: C4 keeps only lines ending in
+# a period, exclamation mark, question mark, or closing quote
+# (Raffel et al. 2020 §2.2).
+C4_TERMINAL_RE = '[.!?"]$'
+# Portable whitespace class — see normalize_text's note on \s disparity
+# between Java regex and RE2.
+_WS_CLASS = r"[ \t\x0B\f\r]+"
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the one
+    standard pre-dedup cleaning stage web pipelines apply BEFORE any
+    document-level quality scoring: split on newlines, keep only lines
+    that (1) end in terminal punctuation, (2) carry at least
+    ``min_words`` words, (3) don't mention "javascript" (the classic
+    scraped-boilerplate tell); reassemble the kept lines. Page-level
+    C4 rules ride along as flags: documents containing "lorem ipsum"
+    or a ``{`` (code tell) are marked drop, as are documents with
+    fewer than ``min_kept_lines`` surviving lines (the paper's
+    "at least 3 sentences" rule).
+
+    Returns one audit row per input document (nothing is filtered
+    away — the keep/drop decision is a column, like quality_filter's):
+    (doc_id, n_lines, n_kept, n_drop_punct, n_drop_short,
+    n_drop_marker, has_lorem_ipsum, has_brace, keep, text_clean).
+    Each dropped line is attributed to exactly ONE rule, first-failing
+    in the order punctuation -> length -> marker, so the three drop
+    counts + n_kept always sum to n_lines.
+
+    Scale shape: narrow per-row array work only — no shuffle, no UDF;
+    the split/trim pipeline is let-bound so the four per-rule array
+    passes share ONE evaluation of the trimmed-lines array (the
+    quality_filter pushdown lesson), and all outputs are fields of one
+    struct so a pushed ``keep`` predicate inlines exactly one split.
+    Fully SQL-expressible -> real DuckDB oracle (plans/queries.py
+    c4_line_filter)."""
+    t = F.col(text_col)
+
+    def p_punct(s: Column) -> Column:
+        return s.rlike(C4_TERMINAL_RE)
+
+    def p_words(s: Column) -> Column:
+        words = F.filter(F.split(s, _WS_CLASS), lambda w: w != F.lit(""))
+        return F.size(words) >= F.lit(int(min_words))
+
+    def p_marker(s: Column) -> Column:
+        return F.instr(F.lower(s), "javascript") == 0
+
+    def with_lines(ls: Column) -> Column:
+        kept = F.filter(ls, lambda s: p_punct(s) & p_words(s) & p_marker(s))
+        n_kept = F.size(kept)
+        has_lorem = F.instr(F.lower(t), "lorem ipsum") > 0
+        has_brace = F.instr(t, "{") > 0
+        keep = (
+            (n_kept >= F.lit(int(min_kept_lines))) & ~has_lorem & ~has_brace
+        )
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            n_kept.cast("long").alias("n_kept"),
+            F.size(F.filter(ls, lambda s: ~p_punct(s)))
+            .cast("long")
+            .alias("n_drop_punct"),
+            F.size(F.filter(ls, lambda s: p_punct(s) & ~p_words(s)))
+            .cast("long")
+            .alias("n_drop_short"),
+            F.size(
+                F.filter(ls, lambda s: p_punct(s) & p_words(s) & ~p_marker(s))
+            )
+            .cast("long")
+            .alias("n_drop_marker"),
+            has_lorem.alias("has_lorem_ipsum"),
+            has_brace.alias("has_brace"),
+            keep.alias("keep"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+
+    lines = F.transform(F.split(t, "\n"), lambda s: F.trim(s))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), let(lines, with_lines).alias("_m")
+    )
+    cols = [
+        "n_lines",
+        "n_kept",
+        "n_drop_punct",
+        "n_drop_short",
+        "n_drop_marker",
+        "has_lorem_ipsum",
+        "has_brace",
+        "keep",
+        "text_clean",
+    ]
+    return staged.select(
+        "doc_id", *[F.col(f"_m.{c}").alias(c) for c in cols]
     )

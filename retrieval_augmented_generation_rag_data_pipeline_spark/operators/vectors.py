@@ -540,13 +540,28 @@ def group_centroids(
             break
         coarse = new
     assign = np.argmax(cmat @ coarse.T, axis=1)
-    # an empty coarse group would strand its slot; reseat each empty
-    # group on the fine centroid farthest from its current coarse pick
-    for g in range(n_coarse):
-        if not (assign == g).any():
-            worst = int(np.argmin(np.max(cmat @ coarse.T, axis=1)))
-            coarse[g] = cmat[worst]
-            assign[worst] = g
+    # an empty coarse group would strand its slot (assign_cells_two_level's
+    # left join would hand every vector routed there a NULL cell); reseat
+    # each empty group on the worst-fit fine centroid, drawing DONORS only
+    # from groups that keep >=1 member after the move — a naive global
+    # argmin can steal the sole member of an already-filled group and
+    # re-empty it. Pigeonhole guarantees a >=2-member donor group exists
+    # while any group is empty (k >= n_coarse), so this converges in at
+    # most n_coarse reseats.
+    while True:
+        counts = np.bincount(assign, minlength=n_coarse)
+        empties = np.flatnonzero(counts == 0)
+        if empties.size == 0:
+            break
+        g = int(empties[0])
+        fit = np.max(cmat @ coarse.T, axis=1)
+        fit[counts[assign] < 2] = np.inf  # sole members can't be donors
+        worst = int(np.argmin(fit))
+        coarse[g] = cmat[worst]
+        assign[worst] = g
+    assert np.bincount(assign, minlength=n_coarse).min() > 0, (
+        "group_centroids: empty coarse group after reseat"
+    )
     out = (
         [list(map(float, c)) for c in coarse],
         [int(a) for a in assign],

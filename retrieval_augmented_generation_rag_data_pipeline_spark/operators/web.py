@@ -1,0 +1,116 @@
+"""URL/domain ingest hygiene (RefinedWeb / CCNet front-door filtering).
+
+Web-scale corpora arrive keyed by URL; the first two things every
+pipeline does with that key are (1) drop documents from blocklisted
+hosts/domains and (2) cap how many documents any single domain may
+contribute, so one template-heavy site cannot flood the training mix
+(RefinedWeb §3.1 "URL filtering", CCNet's per-domain accounting). The
+reference's analog is its suffix/ledger key filtering over S3 object
+keys (/root/reference/src/aws_bucket.py:176,180) — generalized here
+from object keys to web URLs.
+
+Everything is built-in-function only (JVM-side): host extraction is one
+RE2-portable regexp per row, the blocklist rides a broadcast anti-join,
+and the per-domain cap is a domain-partitioned WindowGroupLimit — the
+corpus itself never shuffles except for that capped window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+# RE2-portable (no backreferences / lookaround, runs identically under
+# Java regex and DuckDB's RE2): scheme, optional userinfo, then the
+# host = everything up to the first '/', '?', '#', or ':' (port).
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+# Registered-domain approximation: the last two dot-separated labels.
+# A public-suffix-list lookup is a broadcast join away for deployments
+# that need co.uk-style suffixes; the two-label rule is the
+# deterministic, engine-portable default.
+DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def extract_host(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Add lowercased ``host`` and registered-``domain`` columns parsed
+    from ``url_col``. URLs with no parseable host (relative paths,
+    garbage) get empty-string host/domain — kept visible rather than
+    nulled so audit counts can see them. Narrow, pushdown-friendly."""
+    host = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
+    return df.withColumn(host_col, host).withColumn(
+        domain_col, F.regexp_extract(F.col(host_col), DOMAIN_RE, 1)
+    )
+
+
+def url_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    block_col: str = "pattern",
+) -> DataFrame:
+    """Drop documents whose URL host OR registered domain appears in the
+    blocklist (RefinedWeb-style URL filtering). A blocklist entry
+    therefore blocks either one exact host (``ads.example.com``) or an
+    entire registered domain (``example.com`` blocks every subdomain).
+
+    Returns the kept ``docs`` rows with ``host`` and ``domain``
+    columns attached.
+
+    Scale shape: blocklists are list-sized (RefinedWeb's is ~4.6M
+    entries — megabytes), so both checks are BROADCAST left-anti
+    equi-joins; an OR-predicate join would degrade to a
+    BroadcastNestedLoopJoin, which is why the host and domain checks
+    are two separate equi anti-joins. The corpus side never shuffles.
+    Follows decontaminate's broadcast-side discipline
+    (operators/text.py)."""
+    b = F.broadcast(
+        blocklist.select(F.lower(F.col(block_col)).alias("_blk")).distinct()
+    )
+    withhost = extract_host(docs, url_col)
+    # two sequential equi anti-joins; unqualified F.col is unambiguous
+    # because "_blk" exists only on the (broadcast) right side
+    kept = withhost.join(b, F.col("host") == F.col("_blk"), "left_anti")
+    return kept.join(b, F.col("domain") == F.col("_blk"), "left_anti")
+
+
+def domain_caps(
+    docs: DataFrame,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-domain contribution cap: keep at most ``k`` documents per
+    registered domain, chosen by deterministic hash order (hash(seed:id)
+    ascending, id tie-break) so the kept subset is reproducible across
+    runs and engines and is an unbiased within-domain sample — the
+    anti-flooding rule that stops a single boilerplate-heavy site from
+    dominating the mix.
+
+    Returns the kept rows with ``host``/``domain`` attached.
+
+    Scale shape: ONE window partitioned by domain — parallelism scales
+    with domain cardinality (millions at web scale, so no hot task),
+    and Catalyst rewrites the rank+filter into WindowGroupLimit
+    (per-partition partial top-k BEFORE the shuffle, so at most k rows
+    per domain per input partition ever move). This is the
+    sample_group_k shape (operators/sampling.py
+    sample_exact_per_group), re-keyed on the extracted domain."""
+    h = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("domain").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        extract_host(docs, url_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

@@ -4193,6 +4193,241 @@ def zorder_key(spark, sf):
 
 
 # =====================================================================
+# C4 line-level cleaning (Raffel et al. 2020 §2.2)
+# =====================================================================
+
+# The synthetic documents are single-line word soup, so the gate first
+# "linifies" them deterministically IN SQL on both engines: words are
+# chunked 6 per line; line (doc_id+i)%13==0 is truncated to 2 words
+# (exercises the min-words rule), line (doc_id+i)%4==3 gets no terminal
+# punctuation (punct rule), line (doc_id+i)%17==0 ends ' javascript.'
+# (marker rule); docs doc_id%23==0 / doc_id%29==5 get a page-level
+# 'lorem ipsum' / '{' line appended (page flags). Same arithmetic, same
+# chunking, both dialects.
+_C4_LINED_SPARK = """
+concat(
+  CASE WHEN size(_w) = 0 THEN '' ELSE
+    array_join(transform(sequence(0, CAST(ceil(size(_w)/6.0) AS INT) - 1), i ->
+      concat(
+        array_join(slice(_w, i*6+1, CASE WHEN (doc_id + i) % 13 = 0 THEN 2 ELSE 6 END), ' '),
+        CASE WHEN (doc_id + i) % 4 = 3 THEN ''
+             WHEN (doc_id + i) % 17 = 0 THEN ' javascript.'
+             ELSE '.' END
+      )), chr(10))
+  END,
+  CASE WHEN doc_id % 23 = 0 THEN concat(chr(10), 'lorem ipsum dolor sit amet consectetur adipiscing elit.')
+       WHEN doc_id % 29 = 5 THEN concat(chr(10), 'var cfg = { a: 1 };')
+       ELSE '' END
+)
+"""
+
+_C4_PUNCT = "regexp_matches(s, '[.!?\"]$')"
+_C4_WORDS = (
+    r"len(list_filter(string_split_regex(s, '[ \t\x0B\f\r]+'),"
+    r" x -> x <> '')) >= 5"
+)
+_C4_MARKER_OK = "NOT contains(lower(s), 'javascript')"
+
+
+def _c4_line_filter_sql() -> str:
+    lined = (
+        "(CASE WHEN len(w) = 0 THEN '' ELSE\n"
+        "    array_to_string(list_transform(generate_series(0, CAST(ceil(len(w)/6.0) AS BIGINT) - 1), i ->\n"
+        "      array_to_string(w[i*6+1 : i*6 + (CASE WHEN (doc_id + i) % 13 = 0 THEN 2 ELSE 6 END)], ' ')\n"
+        "      || (CASE WHEN (doc_id + i) % 4 = 3 THEN ''\n"
+        "               WHEN (doc_id + i) % 17 = 0 THEN ' javascript.'\n"
+        "               ELSE '.' END)\n"
+        "    ), chr(10))\n"
+        "  END)\n"
+        "  || (CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'\n"
+        "           WHEN doc_id % 29 = 5 THEN chr(10) || 'var cfg = { a: 1 };'\n"
+        "           ELSE '' END)"
+    )
+    keep_line = f"{_C4_PUNCT} AND {_C4_WORDS} AND {_C4_MARKER_OK}"
+    return f"""
+WITH t AS (SELECT doc_id, {O.tokens('text')} AS w FROM documents),
+lt AS (SELECT doc_id, {lined} AS text FROM t),
+L AS (SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)), s -> trim(s)) AS ls
+      FROM lt),
+K AS (SELECT doc_id, text, ls,
+             list_filter(ls, s -> {keep_line}) AS kept
+      FROM L)
+SELECT doc_id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(len(list_filter(ls, s -> NOT {_C4_PUNCT})) AS BIGINT) AS n_drop_punct,
+  CAST(len(list_filter(ls, s -> {_C4_PUNCT} AND NOT ({_C4_WORDS}))) AS BIGINT) AS n_drop_short,
+  CAST(len(list_filter(ls, s -> {_C4_PUNCT} AND ({_C4_WORDS}) AND NOT ({_C4_MARKER_OK}))) AS BIGINT) AS n_drop_marker,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{{') AS has_brace,
+  (len(kept) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')) AS keep,
+  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+FROM K
+"""
+
+
+@_q("c4_line_filter", _c4_line_filter_sql())
+def c4_line_filter(spark, sf):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    standard pre-dedup web-cleaning stage): per-line terminal-
+    punctuation / min-words / 'javascript' rules with first-failing-
+    rule audit counts, page-level lorem-ipsum / brace / min-kept-lines
+    flags, kept lines reassembled. operators/text.py c4_line_filter;
+    the input is linified from the word-soup documents by a shared
+    deterministic SQL fragment (comment above)."""
+    from ..functions.hashing import tokens as _tk
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _tk(F.col("text")).alias("_w")
+    )
+    lined = docs.select(
+        "doc_id", F.expr(_C4_LINED_SPARK).alias("text")
+    )
+    return text.c4_line_filter(lined)
+
+
+# =====================================================================
+# URL/domain ingest hygiene (RefinedWeb-style)
+# =====================================================================
+
+# documents carry no URL column; the gate synthesizes one
+# deterministically from (source, doc_id) — 20 sources x 13 subdomain
+# slots x 3 registered domains — with the same expression in both
+# dialects.
+_URL_SPARK = (
+    "concat('https://', source, '.w', CAST(doc_id % 13 AS STRING), '.', "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'example.com' "
+    "WHEN 1 THEN 'test.org' ELSE 'sample.net' END, "
+    "'/d/', CAST(doc_id AS STRING))"
+)
+_URL_DUCK = (
+    "'https://' || source || '.w' || CAST(doc_id % 13 AS VARCHAR) || '.' || "
+    "(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'example.com' "
+    "WHEN 1 THEN 'test.org' ELSE 'sample.net' END) || "
+    "'/d/' || CAST(doc_id AS VARCHAR)"
+)
+# one exact-host block + one whole-registered-domain block
+_URL_BLOCKLIST = ["src1.w3.example.com", "test.org"]
+
+
+def _url_host_duck(url: str) -> str:
+    from ..operators.web import HOST_RE
+
+    return f"lower(regexp_extract({url}, '{HOST_RE}', 1))"
+
+
+def _url_filter_sql() -> str:
+    blocked = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, url, {_url_host_duck('url')} AS host FROM u),
+hd AS (SELECT doc_id, url, host,
+              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+       FROM h)
+SELECT doc_id, url, host, domain FROM hd
+WHERE host NOT IN ({blocked}) AND domain NOT IN ({blocked})
+"""
+
+
+@_q("url_filter", _url_filter_sql())
+def url_filter(spark, sf):
+    """RefinedWeb-style URL filtering: RE2-portable host extraction +
+    registered-domain derivation, then a broadcast blocklist applied as
+    TWO equi anti-joins (exact host, whole domain) so the corpus side
+    never shuffles and the join never degrades to a nested loop
+    (operators/web.py url_filter)."""
+    from ..operators import web
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_SPARK).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [(b,) for b in _URL_BLOCKLIST], "pattern string"
+    )
+    return web.url_filter(docs, blocklist)
+
+
+_DOMAIN_CAP_K = 40
+_DOMAIN_CAP_SEED = 7
+
+
+def _domain_caps_sql() -> str:
+    h = O.md5_long(
+        f"'{_DOMAIN_CAP_SEED}' || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, url, {_url_host_duck('url')} AS host FROM u),
+hd AS (SELECT doc_id, url, host,
+              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+       FROM h)
+SELECT doc_id, host, domain FROM (
+  SELECT doc_id, host, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY {h} ASC, doc_id ASC
+         ) AS rn
+  FROM hd)
+WHERE rn <= {_DOMAIN_CAP_K}
+"""
+
+
+@_q("domain_caps", _domain_caps_sql())
+def domain_caps(spark, sf):
+    """Per-domain contribution cap (anti-flooding): keep at most K docs
+    per registered domain by deterministic hash order — one
+    domain-partitioned window that Catalyst rewrites to
+    WindowGroupLimit (per-partition partial top-K before the shuffle);
+    parallelism scales with domain cardinality
+    (operators/web.py domain_caps)."""
+    from ..operators import web
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_SPARK).alias("url")
+    )
+    return web.domain_caps(
+        docs, _DOMAIN_CAP_K, seed=_DOMAIN_CAP_SEED
+    ).select("doc_id", "host", "domain")
+
+
+# =====================================================================
+# Temperature-scaled mixture weights (Lample & Conneau 2019 §3.1)
+# =====================================================================
+
+_MIX_TEMP_ALPHA = 0.3
+
+_MIX_TEMP_SQL = f"""
+WITH per AS (SELECT lang AS source, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per),
+p AS (SELECT source, n,
+             CAST(n AS DOUBLE) / total AS share,
+             round(pow(CAST(n AS DOUBLE) / total, {_MIX_TEMP_ALPHA!r}), 6) AS pw
+      FROM per CROSS JOIN t),
+s AS (SELECT round(sum(pw), 6) AS tot_pw FROM p)
+SELECT source, n, share, round(pw / tot_pw, 6) AS weight
+FROM p CROSS JOIN s
+"""
+
+
+@_q("mix_temperature", _MIX_TEMP_SQL)
+def mix_temperature(spark, sf):
+    """Temperature-scaled mixture weights (the XLM alpha=0.3 rebalance)
+    over the skewed `lang` column (en dominates 3:1): natural share
+    p_i^alpha renormalized — integer counts and the exact integer-ratio
+    share are bit-identical, pow() is the only transcendental and is
+    6dp-rounded before the renormalizing sum per the parity rules
+    (operators/sampling.py mix_temperature)."""
+    docs = _t(spark, sf, "documents").select(F.col("lang").alias("lang"))
+    return sampling.mix_temperature(
+        docs, source_col="lang", alpha=_MIX_TEMP_ALPHA
+    )
+
+
+# =====================================================================
 # Registry ordering (driver correctness-window rotation)
 # =====================================================================
 # The driver records correctness rows for the first 50 registry entries
@@ -4216,87 +4451,85 @@ def zorder_key(spark, sf):
 # the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
 # evidence-less entry sits outside the first 50 positions.
 #
-# STANDING ROTATION (round 13): the TWENTY-SEVEN entries whose latest
-# evidence is r10 (exactly at the cap — named by the round-12 verdict
-# and the previous rotation note) LEAD; then the THREE queries new
-# this round (quality_classifier / select_budget_classifier — the
-# frozen trained-classifier quality seam, round-12 verdict item 3 —
-# and dedup_corpus_best — quality-aware survivor selection, item 4),
-# which have no evidence yet; then FIVE queries whose implementation
-# was touched this round (semantic_dedup's assign=None tiering +
-# ivf_cell's NULL-cell guard touch dedup_semantic; the
-# survivor_scores seam touches dedup_corpus / prepare_corpus; the
-# ivf_cell guard also sits in the IVF index build consumed by
-# retrieval_eval_ivf / retrieval_eval_ivf_trained), re-validating
-# in-gate rather than riding r11/r12 evidence; then r11-evidenced
-# fill in CORRECTNESS_r11.json order. The TWENTY-SEVEN r11 entries
-# left over after this window:
-#   sample_stratified, repetition_metrics, lm_perplexity, lm_perplexity_bigram,
-#   select_token_budget, bm25_search, hybrid_rrf, join_interval,
-#   agg_mode, set_ops, null_funcs, explode_pos, str_distance,
-#   sample_exact_k, zorder_key, filter_notnull, filter_nonempty,
-#   dedup_embedding_capped, pack_sequences, pack_pieces,
-#   project_derived, scan_catalog, scan_documents,
-#   agg_conditional_count, agg_multi_counter, agg_by_year,
-#   agg_histogram
-# overflow the 50-entry window and MUST lead round 14's rotation.
+# STANDING ROTATION (round 14): the TWENTY-SEVEN entries whose latest
+# evidence is r11 (exactly at the cap — named by the round-13 verdict
+# and the previous rotation note) LEAD; then the FOUR queries new this
+# round (c4_line_filter — C4 line-level cleaning, round-13 verdict
+# item 2; url_filter + domain_caps — URL/domain ingest hygiene, item
+# 3; mix_temperature — temperature-scaled mixture weights, item 5),
+# which have no evidence yet; then TWO queries whose implementation
+# was touched this round (the percentile_mode/frozen-thresholds seam
+# touches lm_quality_buckets -> ccnet_buckets; the duplicate-score
+# guard in resolve_survivors touches dedup_corpus_best), re-validating
+# in-gate rather than riding r13 evidence; then r12-evidenced fill in
+# CORRECTNESS_r12.json order. The TWENTY-NINE r12 entries left over
+# after this window:
+#   limit_pushdown, sessionize_islands, window_tumbling,
+#   window_sliding, window_session, agg_rollup, agg_cube,
+#   argmin_nearest, select_budget_grouped, dedup_exact, dedup_spans,
+#   dedup_spans_strip, dedup_spans_strip_raw, window_running,
+#   format_dialogue, str_funcs, date_funcs, math_funcs, array_funcs,
+#   json_funcs, map_funcs, knn_topk, ann_lsh_buckets, ann_lsh_topk,
+#   decontaminate, normalize_text, dedup_chunks, dedup_incremental,
+#   filter_suffix
+# overflow the 50-entry window and MUST lead round 15's rotation.
 _PRIORITY_QUERIES = [
-    # (1) evidence exactly 2 rounds old (r10) -- must refresh this round
-    "filter_year",
-    "project_arith",
-    "sort_desc",
-    "topn_per_group",
-    "join_asof",
-    "retrieval_eval",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_mem",
-    "dedup_embedding_cosine",
-    "dedup_minhash",
-    "dedup_lsh_pairs",
-    "dedup_eval",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "lang_id",
-    "quality_score",
-    "quality_filter",
-    "token_count",
-    "pack_assembly",
-    "doc_fingerprint",
-    "chunk_documents",
-    "tfidf_top_terms",
-    "mix_report",
-    "sample_group_k",
-    "sample_weighted_k",
+    # (1) evidence exactly 2 rounds old (r11) -- must refresh this round
+    "sample_stratified",
+    "repetition_metrics",
+    "lm_perplexity",
+    "lm_perplexity_bigram",
+    "select_token_budget",
+    "bm25_search",
+    "hybrid_rrf",
+    "join_interval",
+    "agg_mode",
+    "set_ops",
+    "null_funcs",
+    "explode_pos",
+    "str_distance",
+    "sample_exact_k",
+    "zorder_key",
+    "filter_notnull",
+    "filter_nonempty",
+    "dedup_embedding_capped",
+    "pack_sequences",
+    "pack_pieces",
+    "project_derived",
+    "scan_catalog",
+    "scan_documents",
+    "agg_conditional_count",
+    "agg_multi_counter",
+    "agg_by_year",
+    "agg_histogram",
     # (2) no evidence yet (new this round)
-    "quality_classifier",
-    "select_budget_classifier",
-    "dedup_corpus_best",
-    "ccnet_buckets",
+    "c4_line_filter",
+    "url_filter",
+    "domain_caps",
+    "mix_temperature",
     # (3) implementation touched this round -- deliberate re-validation
-    "dedup_semantic",
-    "dedup_corpus",
-    "prepare_corpus",
-    "retrieval_eval_ivf",
-    "retrieval_eval_ivf_trained",
-    # (4) r11-evidenced fill, CORRECTNESS_r11.json order; the leftover
-    #     26-name overflow cohort that MUST lead round 14 is the
+    "ccnet_buckets",
+    "dedup_corpus_best",
+    # (4) r12-evidenced fill, CORRECTNESS_r12.json order; the leftover
+    #     29-name overflow cohort that MUST lead round 15 is the
     #     STANDING ROTATION block above
-    "pii_scrub",
-    "ngram_topk",
-    "corpus_stats",
-    "vocab_entropy",
-    "assign_split",
-    "mix_corpora",
-    "window_rank",
-    "window_lead_lag",
-    "window_first_last",
-    "agg_stats",
-    "agg_pivot",
-    "unpivot_melt",
-    "multimodal_features",
-    "artifact_probe",
+    "agg_mean",
+    "agg_max",
+    "agg_count",
+    "agg_concat",
+    "agg_tpch_q1",
+    "agg_percentile",
+    "agg_tpch_q6",
+    "top_revenue_orders",
+    "join_broadcast",
+    "semi_join",
+    "anti_join_ledger",
+    "join_salted",
+    "bloom_anti_join",
+    "join_positional",
+    "distinct_keys",
+    "union_globs",
+    "limit_n",
 ]
 
 

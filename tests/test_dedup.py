@@ -833,3 +833,34 @@ def test_semantic_dedup_auto_arrow_matches_forced_arrow(spark):
         ).collect()
     )
     assert auto == forced
+
+
+def test_resolve_survivors_duplicate_score_rows_cannot_multiply(spark):
+    """Round-13 ADVICE: a doubled ledger row in survivor_scores must not
+    multiply cluster members through the left join — scores collapse to
+    max-per-doc before joining, output stays one row per member and
+    exactly one keep per cluster. Also: the max of a (NULL, value) pair
+    is the value, and an all-NULL duplicate pair stays NULL."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        resolve_survivors,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)],
+        "doc_id long, component_id long",
+    )
+    scores = spark.createDataFrame(
+        [
+            (1, 0.2), (1, 0.2),          # exact duplicate row
+            (2, 0.1), (2, 0.9),          # conflicting rows -> max wins
+            (3, None), (3, 0.5),         # NULL + value -> value
+            (4, None), (4, None),        # all NULL stays NULL
+        ],
+        "doc_id long, score double",
+    )
+    rows = resolve_survivors(comp, scores).collect()
+    assert len(rows) == 4  # no multiplication
+    got = {r.doc_id: r.keep for r in rows}
+    # cluster 1: doc 2's max(0.1, 0.9)=0.9 beats doc 1's 0.2
+    # cluster 3: doc 3's 0.5 beats doc 4's NULL (NULLS LAST)
+    assert got == {1: False, 2: True, 3: True, 4: False}

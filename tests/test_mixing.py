@@ -418,3 +418,103 @@ def test_select_token_budget_grouped_null_group(spark):
     assert out[2].cum_tokens == 10 and out[2].keep is True
     assert out[3].cum_tokens == 20 and out[3].keep is False
     assert out[1].keep is True
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (round-14: Lample & Conneau 2019)
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark):
+    rows = (
+        [(i, "en", 10) for i in range(80)]
+        + [(100 + i, "fr", 20) for i in range(15)]
+        + [(200 + i, "de", 30) for i in range(5)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, lang string, toks int")
+
+
+def test_mix_temperature_matches_paper_formula(spark):
+    """w_i = p_i^a / sum p_j^a at a couple of alpha values, checked
+    against an independent numpy computation with the operator's 6dp
+    rounding discipline applied."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        mix_temperature,
+    )
+
+    counts = {"en": 80, "fr": 15, "de": 5}
+    total = sum(counts.values())
+    for alpha in (0.3, 0.7):
+        got = {
+            r.source: (r.n, r.share, r.weight)
+            for r in mix_temperature(
+                _skewed(spark), source_col="lang", alpha=alpha
+            ).collect()
+        }
+        pw = {g: round((c / total) ** alpha, 6) for g, c in counts.items()}
+        tot_pw = round(sum(pw.values()), 6)
+        for g, c in counts.items():
+            n, share, weight = got[g]
+            assert n == c
+            assert share == c / total
+            assert abs(weight - round(pw[g] / tot_pw, 6)) < 1e-9
+        # alpha < 1 flattens: the rare source gains share, the dominant loses
+        assert got["de"][2] > counts["de"] / total
+        assert got["en"][2] < counts["en"] / total
+
+
+def test_mix_temperature_alpha_one_is_natural_mix(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        mix_temperature,
+    )
+
+    got = {
+        r.source: (r.share, r.weight)
+        for r in mix_temperature(
+            _skewed(spark), source_col="lang", alpha=1.0
+        ).collect()
+    }
+    for share, weight in got.values():
+        assert abs(weight - round(share, 6)) <= 2e-6  # rounding slack only
+    assert abs(sum(w for _, w in got.values()) - 1.0) < 1e-5
+
+
+def test_mix_temperature_alpha_zero_is_uniform(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        mix_temperature,
+    )
+
+    got = [
+        r.weight
+        for r in mix_temperature(
+            _skewed(spark), source_col="lang", alpha=0.0
+        ).collect()
+    ]
+    assert all(abs(w - 1 / 3) < 1e-5 for w in got)
+
+
+def test_mix_temperature_weight_col_and_budget_composition(spark):
+    """Token-weighted shares, and the output feeding
+    budgets_from_weights end-to-end (the DoReMi-style recipe hop)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        budgets_from_weights,
+        mix_temperature,
+    )
+
+    got = {
+        r.source: r.n
+        for r in mix_temperature(
+            _skewed(spark), source_col="lang", alpha=0.5, weight_col="toks"
+        ).collect()
+    }
+    assert got == {"en": 800, "fr": 300, "de": 150}
+    weights = {
+        r.source: r.weight
+        for r in mix_temperature(
+            _skewed(spark), source_col="lang", alpha=0.5, weight_col="toks"
+        ).collect()
+    }
+    budgets = budgets_from_weights(1_000_000, weights)
+    assert sum(budgets.values()) == 1_000_000
+    # temperature lifted the rare source above its natural token share
+    assert budgets["de"] > 1_000_000 * 150 / 1250

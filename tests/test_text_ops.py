@@ -331,3 +331,191 @@ def test_lm_quality_buckets_degenerate_groups(spark):
     assert got[1].bucket == "head"  # single-doc group: xent == t1
     duo = sorted([got[2], got[3]], key=lambda r: r.xent)
     assert duo[0].bucket == "head" and duo[1].bucket in ("middle", "tail")
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (round-14: Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_filter_rules_and_audit_partition(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        c4_line_filter,
+    )
+
+    doc = "\n".join(
+        [
+            "this line has enough words and ends well.",   # kept
+            "no terminal punctuation here at all",         # drop: punct
+            "too short.",                                  # drop: short
+            "this line mentions javascript libraries too.",  # drop: marker
+            "  another good line with plenty of words.  ",  # kept (trimmed)
+            "does a question mark count as terminal?",     # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = c4_line_filter(df, min_kept_lines=3).collect()[0]
+    assert r.n_lines == 6
+    assert r.n_kept == 3
+    assert r.n_drop_punct == 1
+    assert r.n_drop_short == 1
+    assert r.n_drop_marker == 1
+    # every line attributed to exactly one bucket
+    assert r.n_kept + r.n_drop_punct + r.n_drop_short + r.n_drop_marker == r.n_lines
+    assert not r.has_lorem_ipsum and not r.has_brace
+    assert r.keep
+    assert r.text_clean.split("\n") == [
+        "this line has enough words and ends well.",
+        "another good line with plenty of words.",
+        "does a question mark count as terminal?",
+    ]
+
+
+def test_c4_line_filter_page_level_flags(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        c4_line_filter,
+    )
+
+    good = "a perfectly fine sentence with enough words here."
+    rows = [
+        (1, "\n".join([good] * 3)),                      # keep
+        (2, "\n".join([good] * 3) + "\nLorem Ipsum dolor sit."),  # lorem page
+        (3, "\n".join([good] * 3) + "\nvar x = { a: 1 };"),       # brace page
+        (4, "\n".join([good] * 2)),                      # < min_kept_lines
+        (5, ""),                                         # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert got[1].keep
+    assert got[2].has_lorem_ipsum and not got[2].keep
+    assert got[3].has_brace and not got[3].keep
+    assert not got[4].keep and got[4].n_kept == 2
+    assert not got[5].keep and got[5].n_lines == 1 and got[5].text_clean == ""
+
+
+def test_c4_line_filter_fixpoint(spark):
+    """Running the filter on its own cleaned output drops nothing —
+    every surviving line already passes every line rule."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        c4_line_filter,
+    )
+
+    rows = [
+        (i, "\n".join(
+            [
+                f"line number {i} zero has exactly seven words.",
+                "short one.",
+                "unterminated line with many words but no punctuation",
+                f"closing line {i} also carries plenty of words here.",
+            ]
+        ))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = c4_line_filter(df, min_kept_lines=1)
+    again = c4_line_filter(
+        once.select("doc_id", F.col("text_clean").alias("text")),
+        min_kept_lines=1,
+    )
+    for r in again.collect():
+        assert r.n_drop_punct == r.n_drop_short == r.n_drop_marker == 0
+        assert r.n_kept == r.n_lines
+    # and the text is unchanged by the second pass
+    a = {r.doc_id: r.text_clean for r in once.collect()}
+    b = {r.doc_id: r.text_clean for r in again.collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# CCNet threshold modes (round-14: scale-safe percentiles)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_docs(spark):
+    rows = []
+    # two languages with distinct vocab-quality spreads; per-doc-distinct
+    # noise counts so xent values are distinct (a tied mass straddling a
+    # tercile would legitimately flip as a block between exact and
+    # approx thresholds, which is boundary behavior, not disagreement)
+    for i in range(30):
+        noise = " ".join(["zzqx"] * i)
+        rows.append((i, f"the a of and to in is it {noise}", "en"))
+    for i in range(30, 48):
+        noise = " ".join(["qqq"] * (i - 30))
+        rows.append((i, f"le la de et les des {noise}", "fr"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_lm_quality_buckets_approx_mode_agrees(spark):
+    """approx_percentile thresholds land within a hair of exact ones on
+    gate-scale data — bucket labels agree for the overwhelming majority
+    (boundary docs may legitimately flip)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lm_quality_buckets,
+    )
+
+    docs = _bucket_docs(spark)
+    exact = {
+        r.doc_id: r.bucket
+        for r in lm_quality_buckets(docs, percentile_mode="exact").collect()
+    }
+    approx = {
+        r.doc_id: r.bucket
+        for r in lm_quality_buckets(docs, percentile_mode="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(exact[k] == approx[k] for k in exact)
+    assert agree >= 0.9 * len(exact)
+    # every language still produces all three buckets in both modes
+    assert set(exact.values()) == {"head", "middle", "tail"}
+
+
+def test_lm_quality_buckets_frozen_thresholds_replay_exact(spark):
+    """The frozen-thresholds seam (CCNet's compute-once-per-snapshot
+    rule): feeding back the exact-mode thresholds reproduces the
+    exact-mode output bit-for-bit, with NO threshold aggregate in the
+    plan — the 100-TB shape."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lm_cross_entropy,
+        lm_quality_buckets,
+    )
+
+    docs = _bucket_docs(spark)
+    exact = lm_quality_buckets(docs, percentile_mode="exact")
+    # recover the thresholds the exact mode used
+    scored = lm_cross_entropy(docs).join(
+        docs.select("doc_id", F.col("lang").alias("_g")), "doc_id"
+    )
+    th = {
+        r._g: (r._t1, r._t2)
+        for r in scored.groupBy("_g")
+        .agg(
+            F.round(F.expr(f"percentile(xent, {1/3!r})"), 6).alias("_t1"),
+            F.round(F.expr(f"percentile(xent, {2/3!r})"), 6).alias("_t2"),
+        )
+        .collect()
+    }
+    frozen = lm_quality_buckets(docs, thresholds=th)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, frozen.collect()))
+    assert a == b
+    # the frozen plan contains no percentile aggregate at all
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = frozen._jdf.queryExecution().explainString(mode)
+    assert "percentile" not in plan.lower()
+
+
+def test_lm_quality_buckets_rejects_bad_mode(spark):
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lm_quality_buckets,
+    )
+
+    with pytest.raises(ValueError, match="percentile_mode"):
+        lm_quality_buckets(_bucket_docs(spark), percentile_mode="median")

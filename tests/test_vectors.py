@@ -582,3 +582,44 @@ def test_semantic_dedup_two_level_drops_planted_dups(spark):
         assert out[r.vec_id].keep
         assert not out[r.vec_id + 100000].keep
         assert out[r.vec_id + 100000].dup_of == r.vec_id
+
+
+def test_group_centroids_reseat_never_leaves_empty_groups():
+    """Round-13 ADVICE (medium): the empty-group reseat used a global
+    argmin that could steal the SOLE member of an already-filled group,
+    re-emptying it — downstream, assign_cells_two_level's left join
+    would then silently hand valid vectors a NULL cell. Degenerate
+    centroid tables (many identical centroids -> argmax piles everything
+    into one group) force multiple reseats; every coarse group must end
+    non-empty and every fine centroid must keep a valid group."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        group_centroids,
+    )
+
+    # all-identical: worst case, argmax ties everything to one group
+    same = [[1.0, 0.0, 0.0]] * 6
+    coarse, assign = group_centroids(same, n_coarse=3, seed=1)
+    assert len(coarse) == 3
+    assert set(assign) == {0, 1, 2} or all(
+        any(a == g for a in assign) for g in range(3)
+    )
+    assert len(assign) == 6 and all(0 <= a < 3 for a in assign)
+
+    # two tight natural clusters, many coarse slots: reseats must fill
+    # every slot without orphaning the tight clusters' sole donors
+    import math
+
+    tight = [[1.0, e, 0.0] for e in (0.0, 1e-9, 2e-9)] + [
+        [0.0, 1.0, e] for e in (0.0, 1e-9, 2e-9)
+    ]
+    coarse2, assign2 = group_centroids(tight, n_coarse=6, seed=3)
+    counts = [assign2.count(g) for g in range(6)]
+    assert min(counts) >= 1
+    assert len(assign2) == 6
+
+    # n_coarse == k on duplicated rows
+    dup = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]]
+    coarse3, assign3 = group_centroids(dup, n_coarse=4, seed=5)
+    counts3 = [assign3.count(g) for g in range(4)]
+    assert min(counts3) >= 1
+    assert not any(math.isnan(x) for c in coarse3 for x in c)

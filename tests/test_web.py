@@ -1,0 +1,114 @@
+"""URL/domain ingest hygiene (operators/web.py): host extraction edge
+cases, blocklist anti-join semantics (exact host vs whole registered
+domain), per-domain cap exactness + determinism, and the plan shapes
+(broadcast anti-joins, WindowGroupLimit)."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import (  # noqa: E402
+    domain_caps,
+    extract_host,
+    url_filter,
+)
+
+
+def _plan(spark, df) -> str:
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _docs(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+
+
+def test_extract_host_edges(spark):
+    urls = [
+        "https://www.Example.COM/path?q=1",       # case folded
+        "http://user:pw@ads.example.com:8080/x",  # userinfo + port stripped
+        "ftp://a.b.co.uk/file",                   # 2-label domain approx
+        "https://localhost/",                     # single label -> no domain
+        "not a url at all",                       # no host
+        "https://example.org",                    # bare host, no path
+    ]
+    rows = {
+        r.doc_id: (r.host, r.domain)
+        for r in extract_host(_docs(spark, urls)).collect()
+    }
+    assert rows[0] == ("www.example.com", "example.com")
+    assert rows[1] == ("ads.example.com", "example.com")
+    # documented 2-label approximation: co.uk-style public suffixes
+    # need the PSL broadcast join mentioned in the module docstring
+    assert rows[2] == ("a.b.co.uk", "co.uk")
+    assert rows[3] == ("localhost", "")
+    assert rows[4] == ("", "")
+    assert rows[5] == ("example.org", "example.org")
+
+
+def test_url_filter_blocks_host_and_whole_domain(spark):
+    urls = [
+        "https://ads.example.com/x",    # blocked: exact host
+        "https://www.example.com/x",    # kept: host not listed, domain not listed
+        "https://a.spam.net/x",         # blocked: registered domain spam.net
+        "https://spam.net/x",           # blocked: host == domain entry
+        "https://clean.org/x",          # kept
+    ]
+    block = spark.createDataFrame(
+        [("ads.example.com",), ("SPAM.net",)], "pattern string"
+    )  # blocklist case-folded too
+    kept = sorted(
+        r.doc_id for r in url_filter(_docs(spark, urls), block).collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_url_filter_plan_broadcasts_and_never_nested_loops(spark):
+    urls = [f"https://h{i}.d{i % 3}.com/x" for i in range(20)]
+    block = spark.createDataFrame([("d0.com",)], "pattern string")
+    plan = _plan(spark, url_filter(_docs(spark, urls), block))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # host + domain anti-joins (tree section; detail sections repeat them)
+    assert plan.count("BroadcastHashJoin LeftAnti") == 2
+
+
+def test_domain_caps_exact_k_and_deterministic(spark):
+    # 3 domains x 10 docs each; cap at 4
+    urls = [
+        f"https://sub{i}.dom{d}.net/p/{i}" for d in range(3) for i in range(10)
+    ]
+    capped1 = domain_caps(_docs(spark, urls), 4, seed=3)
+    rows1 = sorted((r.domain, r.doc_id) for r in capped1.collect())
+    counts = {}
+    for dom, _ in rows1:
+        counts[dom] = counts.get(dom, 0) + 1
+    assert counts == {"dom0.net": 4, "dom1.net": 4, "dom2.net": 4}
+    # deterministic: same seed -> identical kept set
+    rows2 = sorted(
+        (r.domain, r.doc_id)
+        for r in domain_caps(_docs(spark, urls), 4, seed=3).collect()
+    )
+    assert rows1 == rows2
+    # different seed -> (almost surely) different kept set
+    rows3 = sorted(
+        (r.domain, r.doc_id)
+        for r in domain_caps(_docs(spark, urls), 4, seed=4).collect()
+    )
+    assert rows1 != rows3
+    # under-full domains keep everything
+    few = domain_caps(_docs(spark, urls[:2]), 4, seed=3)
+    assert few.count() == 2
+
+
+def test_domain_caps_plan_uses_window_group_limit(spark):
+    urls = [f"https://s{i}.d{i % 2}.org/x" for i in range(8)]
+    plan = _plan(spark, domain_caps(_docs(spark, urls), 2))
+    assert "WindowGroupLimit" in plan

@@ -215,6 +215,44 @@ PICKS = {
         "global window, no per-group single task, no collect of data "
         "rows"
     ),
+    "ccnet_buckets": (
+        "CCNet per-language xent terciles (round 13; shown pins "
+        "disabled — at runtime the scored frame is pinned once for "
+        "its two consumers): explode -> broadcast vocab join -> one "
+        "per-doc sum, a languages-sized percentile aggregate, "
+        "thresholds broadcast back as a hash join, bucket = scan-side "
+        "CASE; round 14 adds approx-sketch and frozen-threshold modes "
+        "for the per-language exact-percentile buffer (the documented "
+        "100-TB caveat — see ccnet_buckets in PROBES_r14)"
+    ),
+    "c4_line_filter": (
+        "C4 line-level cleaning: a single narrow Project — the "
+        "split/trim/per-rule array pipeline is one let-bound "
+        "expression, so the plan is scan -> project with NO shuffle, "
+        "NO UDF, and the audit counts share one evaluation of the "
+        "lines array"
+    ),
+    "url_filter": (
+        "URL blocklist filtering: host/domain extraction narrow, then "
+        "exactly two BroadcastHashJoin LeftAnti against the distinct "
+        "blocklist (exact host + whole registered domain as separate "
+        "equi joins — an OR predicate would degrade to a "
+        "BroadcastNestedLoopJoin); the corpus never shuffles"
+    ),
+    "domain_caps": (
+        "per-domain cap: ONE window partitioned by domain, rewritten "
+        "by Catalyst to WindowGroupLimit — partial per-partition top-K "
+        "runs BEFORE the exchange, so at most K rows per domain per "
+        "input partition shuffle; parallelism scales with domain "
+        "cardinality"
+    ),
+    "mix_temperature": (
+        "temperature mixture weights: one map-side-combined aggregate "
+        "to |sources| rows (pinned — three consumers), then one-row "
+        "total frames ride back as broadcast nest-loop joins over "
+        "metadata-sized frames; the corpus is scanned once and "
+        "nothing per-doc shuffles"
+    ),
 }
 
 HEADER = """# EXPLAIN — physical plans of the flagship queries
@@ -286,6 +324,33 @@ def main() -> None:
         "partitions — `PartitionFilters` carries the static IN plus "
         "Spark's dynamic pruning*\n\n"
         f"```\n{tree}\n```\n\nScan details:\n```\n{scans}\n```\n"
+    )
+
+    # two-level cell assignment: also not a registry query (opt-in
+    # assign="two_level" inside semantic_dedup), but its plan shape —
+    # one BroadcastNestedLoopJoin against the ONE-ROW coarse table,
+    # then one BroadcastHashJoin on the winning coarse id, plan size
+    # independent of k — is the point of the route (round-13 verdict
+    # asked for this pick)
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        assign_cells_two_level,
+    )
+
+    cents = [[1.0 if i == (j % 16) else 0.0 for i in range(64)] for j in range(64)]
+    df = assign_cells_two_level(
+        emb.select("vec_id", "embedding"), cents, "embedding"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    tree = tree_of(plan).rstrip()
+    out.append(
+        "## assign_cells_two_level (coarse->fine exact-fold assignment)\n\n"
+        "*~2*sqrt(k) interpreted dots per row instead of k: one "
+        "BroadcastNestedLoopJoin against the one-row coarse-centroid "
+        "table picks the coarse group, one BroadcastHashJoin on the "
+        "winning coarse id scores only that group's fine centroids; "
+        "NULL vectors ride a left join to a NULL cell; plan size "
+        "independent of k*\n\n"
+        f"```\n{tree}\n```\n"
     )
 
     repo = pathlib.Path(__file__).resolve().parent.parent

@@ -691,8 +691,54 @@ def main() -> None:
     print(json.dumps({"scale_multiplier": n, "probes": results}))
 
 
+def ccnet_probe(spark, n: int = 100) -> dict:
+    """Round-14 (verdict item 4): CCNet tercile bucketing at Nx docs
+    with ONE language owning the whole corpus — the exact-percentile
+    per-group memory funnel at its worst (every xent value of the
+    group lands in a single aggregation buffer whose size grows with
+    the corpus; at a billion docs that is gigabytes in one task).
+    percentile_mode="approx" swaps in approx_percentile, whose
+    aggregation state is a mergeable quantile sketch bounded by
+    O(accuracy) PER TASK regardless of group size — the only
+    group-size-dependent state in the exact plan becomes
+    corpus-size-INdependent, which is the structural guarantee (the
+    wall-clock rows below are the same-shape confirmation; the
+    behavioral agreement of the two modes is pinned by
+    tests/test_text_ops.py::test_lm_quality_buckets_approx_mode_agrees,
+    and the frozen-thresholds artifact seam removes the aggregate
+    entirely). approx runs FIRST in the fresh process so its reading
+    carries no JVM residue from the exact run."""
+    import os
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lm_quality_buckets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    big = replicate(docs, n, ["doc_id"]).withColumn("lang", F.lit("xx"))
+    out: dict = {
+        "docs": 5000 * n,
+        "languages": 1,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+    }
+    for mode in ("approx", "exact"):
+        t0 = time.time()
+        cnt = lm_quality_buckets(big, percentile_mode=mode).count()
+        out[mode + "_sec"] = round(time.time() - t0, 2)
+        assert cnt == 5000 * n, (mode, cnt)
+    return out
+
+
 if __name__ == "__main__":
-    if "--assign-probes" in sys.argv:
+    if "--ccnet-probe" in sys.argv:
+        i = sys.argv.index("--ccnet-probe")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 100
+        spark = get_spark("ccnet_probe")
+        print("CCNET_PROBE_JSON:" + json.dumps({"ccnet_buckets": ccnet_probe(spark, n)}))
+        spark.stop()
+    elif "--assign-probes" in sys.argv:
         # dedicated-process mode: fresh session, ONE probe family (or
         # "all"), one JSON line on stdout (prefixed for easy parsing
         # among Spark log noise)
