@@ -105,6 +105,8 @@ HEADLINE = [
     "url_filter",
     "domain_caps",
     "mix_temperature",
+    "url_dedup",
+    "ann_ivfpq_rerank",
 ]
 
 RUNS = 3

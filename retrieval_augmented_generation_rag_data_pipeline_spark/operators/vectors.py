@@ -1297,3 +1297,64 @@ def ann_lsh_topk(
         (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
     )
     return _topk_per_query(scored, corpus_id, k, "sim")
+
+
+def ann_ivfpq_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    codebooks: list[list[list[float]]],
+    refine: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVFPQ shortlist + EXACT rerank — the FAISS IndexRefineFlat
+    recipe (Jégou et al. 2011 §V "re-ranking with source coding"; FAISS
+    pairs IndexIVFPQ with a refine stage the same way): ADC's m-lookup
+    scores are quantized approximations, so the standard quality step
+    keeps an oversized shortlist of ``k * refine`` candidates per query
+    from the cheap path, reads TRUE vectors for only those candidates,
+    and reranks by exact inner product. Recall approaches the exact
+    search's while the full corpus is still touched only through
+    m-byte codes (tests pin shortlist containment and the recall gain
+    over raw ADC).
+
+    Scale shape: the shortlist is queries x (k*refine) rows — metadata-
+    sized — so fetching true vectors is ONE BroadcastHashJoin of the
+    shortlist against the corpus (the corpus never shuffles and only
+    shortlisted rows ever surface their float vectors); query vectors
+    ride a second broadcast; the final per-query top-k reuses the
+    shared WindowGroupLimit tail. Exact scores use the same sequential
+    zip_with/aggregate fold as ``knn_topk``, so the whole path is
+    DuckDB-oracle-replayable (gate ``ann_ivfpq_rerank``).
+    """
+    shortlist = ann_ivfpq_topk_mem(
+        queries,
+        corpus,
+        k=int(k) * int(refine),
+        dim=dim,
+        codebooks=codebooks,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        centroids=centroids,
+    ).select("query_id", corpus_id)
+    cand = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("_cv")
+    ).join(F.broadcast(shortlist), corpus_id)
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        corpus_id,
+        dot(F.col("_qv"), F.col("_cv")).alias("score"),
+    )
+    return _topk_per_query(scored, corpus_id, k, "score")

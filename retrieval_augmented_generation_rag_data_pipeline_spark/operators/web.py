@@ -17,7 +17,7 @@ corpus itself never shuffles except for that capped window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
@@ -113,4 +113,66 @@ def domain_caps(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= int(k))
         .drop("_rn")
+    )
+
+
+# Scheme + optional userinfo + authority (host[:port]) — the
+# case-insensitive part of a URL per RFC 3986 §6.2.2.1; everything
+# after it (path/query) is case-sensitive and kept verbatim.
+PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*)"
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """RFC-3986-style URL canonicalization ahead of URL-level dedup:
+    drop the fragment (``#...`` never reaches the server, so two URLs
+    differing only there are the same resource) and lowercase the
+    scheme+authority prefix (case-insensitive per §6.2.2.1), keeping
+    path and query byte-verbatim (case-SENSITIVE on real servers).
+    Strings with no scheme://host prefix pass through fragment-stripped
+    but otherwise untouched. Narrow per-row string work; both regexes
+    RE2-portable, so the DuckDB oracle replays it exactly."""
+    from ..functions.binding import let
+
+    def norm(u: Column) -> Column:
+        def with_nofrag(nf: Column) -> Column:
+            def with_prefix(pre: Column) -> Column:
+                rest = F.substring(nf, F.length(pre) + F.lit(1), F.length(nf))
+                return F.concat(F.lower(pre), rest)
+
+            return let(F.regexp_extract(nf, PREFIX_RE, 1), with_prefix)
+
+        return let(F.regexp_replace(u, "#.*", ""), with_nofrag)
+
+    return df.withColumn(out_col, norm(F.col(url_col)))
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup (CCNet §3.1 dedups by URL before any
+    content pass — re-crawls and mirrors of the same page share a
+    canonical URL long before their bytes are compared): canonicalize,
+    then keep the lowest-id document per canonical URL.
+
+    Returns one row per input doc: (doc_id, url_norm, canonical_id,
+    keep) — the ``dedup_exact`` contract keyed on the URL instead of
+    the content digest, so it composes with ``dedup_corpus``'s ledger
+    the same way.
+
+    Scale shape: groupBy(url_norm).min(id) + an equi-join back —
+    deliberately the dedup_exact shape, NOT a per-URL window, so a hot
+    canonical URL (a front page crawled millions of times) lands in a
+    map-side-combined aggregate and an AQE-splittable join, never one
+    window task."""
+    withn = canonicalize_url(docs, url_col)
+    canon = withn.groupBy("url_norm").agg(
+        F.min(F.col(id_col)).alias("canonical_id")
+    )
+    return withn.join(canon, "url_norm").select(
+        F.col(id_col),
+        "url_norm",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
     )

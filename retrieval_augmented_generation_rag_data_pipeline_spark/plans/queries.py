@@ -1774,11 +1774,17 @@ def _ann_ivfpq_sql(
     m: int = 8,
     ksub: int = 16,
     k: int = 5,
+    refine: int | None = None,
 ) -> str:
     """In-memory IndexIVFPQ oracle: the IVF cell-assignment/probe CTEs
     (_ann_ivf_sql) composed with the PQ encode/ADC CTEs (_ann_pq_sql) —
     candidates restricted to query-probed cells, scored by the ordered
-    subspace fold (bit-identical to Spark's aggregate(sequence(...)))."""
+    subspace fold (bit-identical to Spark's aggregate(sequence(...))).
+
+    With ``refine`` set, the ADC ranking becomes a k*refine SHORTLIST
+    and the final ranking is an EXACT inner-product rerank of only the
+    shortlisted (query, candidate) pairs — the ann_ivfpq_rerank gate's
+    replay of the IndexRefineFlat recipe."""
     from ..operators.vectors import default_pq_codebooks, ivf_centroid
 
     dsub = dim // m
@@ -1796,6 +1802,26 @@ def _ann_ivfpq_sql(
     pq_values = ",\n  ".join(pq_rows)
     sub_e = f"list_slice(e.embedding, c.j*{dsub}+1, c.j*{dsub}+{dsub})"
     sub_q = f"list_slice(cd.qv, e.j*{dsub}+1, e.j*{dsub}+{dsub})"
+    if refine is None:
+        tail = f"""
+SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""
+    else:
+        # exact inner-product rerank of the k*refine ADC shortlist --
+        # the same sequential fold as O.dot / Spark's dot()
+        tail = f""",
+shortlist AS (SELECT query_id, vec_id FROM r WHERE rank <= {k * refine}),
+ex AS (
+  SELECT sl.query_id, sl.vec_id, {O.dot('qe.embedding', 'ce.embedding')} AS score
+  FROM shortlist sl
+  JOIN embeddings ce ON ce.vec_id = sl.vec_id
+  JOIN embeddings qe ON qe.vec_id = sl.query_id
+), rr AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM ex)
+SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= {k}"""
     return f"""
 WITH ivfcent(cid, cv) AS (VALUES
   {ivf_values}
@@ -1837,9 +1863,7 @@ cand AS (
 ), r AS (
   SELECT query_id, vec_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
-  FROM s)
-SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
-FROM r WHERE rank <= {k}
+  FROM s){tail}
 """
 
 
@@ -4394,6 +4418,93 @@ def domain_caps(spark, sf):
 
 
 # =====================================================================
+# URL-level exact dedup (CCNet's pre-content URL pass)
+# =====================================================================
+
+# Synthetic dup-heavy URLs: mixed-case scheme+host on even ids, a
+# per-doc fragment (both erased by canonicalization), path = doc_id%97
+# so ~5 docs at sf0.01 share each canonical URL.
+_URLD_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.COM' "
+    "ELSE 'https://www.example.com' END, "
+    "'/Page/', CAST(doc_id % 97 AS STRING), '?q=Mixed', "
+    "'#sec', CAST(doc_id AS STRING))"
+)
+_URLD_DUCK = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.COM' "
+    "ELSE 'https://www.example.com' END) || "
+    "'/Page/' || CAST(doc_id % 97 AS VARCHAR) || '?q=Mixed' || "
+    "'#sec' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_dedup_sql() -> str:
+    from ..operators.web import PREFIX_RE
+
+    pre = f"regexp_extract(nf, '{PREFIX_RE}', 1)"
+    return f"""
+WITH u AS (SELECT doc_id, {_URLD_DUCK} AS url FROM documents),
+nf0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+n AS (SELECT doc_id,
+             lower({pre}) || substring(nf, length({pre}) + 1) AS url_norm
+      FROM nf0),
+c AS (SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM n GROUP BY url_norm)
+SELECT n.doc_id, n.url_norm, c.canonical_id,
+       n.doc_id = c.canonical_id AS keep
+FROM n JOIN c USING (url_norm)
+"""
+
+
+@_q("url_dedup", _url_dedup_sql())
+def url_dedup(spark, sf):
+    """URL-level exact dedup (CCNet's first dedup pass — by canonical
+    URL, before any content is compared): RFC-3986 canonicalization
+    (fragment dropped, scheme+authority lowercased, path/query
+    verbatim), then lowest-id survivor per canonical URL via the
+    dedup_exact groupBy+join shape — never a per-URL window
+    (operators/web.py canonicalize_url, url_dedup)."""
+    from ..operators import web
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URLD_SPARK).alias("url")
+    )
+    return web.url_dedup(docs)
+
+
+# =====================================================================
+# IVFPQ shortlist + exact rerank (FAISS IndexRefineFlat recipe)
+# =====================================================================
+
+
+@_q("ann_ivfpq_rerank", _ann_ivfpq_sql(refine=4))
+def ann_ivfpq_rerank(spark, sf):
+    """IVFPQ/ADC shortlist (k*4 candidates through m-byte codes) +
+    exact inner-product rerank of only the shortlist — the standard
+    recall-restoring refine stage (Jégou et al. 2011 §V; FAISS
+    IndexRefineFlat). True vectors are read through ONE broadcast hash
+    join of the metadata-sized shortlist against the corpus
+    (operators/vectors.py ann_ivfpq_rerank)."""
+    from ..operators.vectors import ann_ivfpq_rerank as _rerank
+    from ..operators.vectors import default_pq_codebooks
+
+    emb = _t(spark, sf, "embeddings")
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _rerank(
+        q, emb, k=5, dim=64, codebooks=books, refine=4, n_cells=8, nprobe=2
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# =====================================================================
 # Temperature-scaled mixture weights (Lample & Conneau 2019 §3.1)
 # =====================================================================
 
@@ -4456,13 +4567,16 @@ def mix_temperature(spark, sf):
 # and the previous rotation note) LEAD; then the FOUR queries new this
 # round (c4_line_filter — C4 line-level cleaning, round-13 verdict
 # item 2; url_filter + domain_caps — URL/domain ingest hygiene, item
-# 3; mix_temperature — temperature-scaled mixture weights, item 5),
-# which have no evidence yet; then TWO queries whose implementation
+# 3; mix_temperature — temperature-scaled mixture weights, item 5;
+# plus two beyond the prescription: url_dedup — CCNet's canonical-URL
+# pre-content dedup pass — and ann_ivfpq_rerank — the IndexRefineFlat
+# shortlist+exact-rerank recipe), all with no evidence yet; then TWO
+# queries whose implementation
 # was touched this round (the percentile_mode/frozen-thresholds seam
 # touches lm_quality_buckets -> ccnet_buckets; the duplicate-score
 # guard in resolve_survivors touches dedup_corpus_best), re-validating
 # in-gate rather than riding r13 evidence; then r12-evidenced fill in
-# CORRECTNESS_r12.json order. The TWENTY-NINE r12 entries left over
+# CORRECTNESS_r12.json order. The THIRTY-ONE r12 entries left over
 # after this window:
 #   limit_pushdown, sessionize_islands, window_tumbling,
 #   window_sliding, window_session, agg_rollup, agg_cube,
@@ -4471,7 +4585,7 @@ def mix_temperature(spark, sf):
 #   format_dialogue, str_funcs, date_funcs, math_funcs, array_funcs,
 #   json_funcs, map_funcs, knn_topk, ann_lsh_buckets, ann_lsh_topk,
 #   decontaminate, normalize_text, dedup_chunks, dedup_incremental,
-#   filter_suffix
+#   filter_suffix, union_globs, limit_n
 # overflow the 50-entry window and MUST lead round 15's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r11) -- must refresh this round
@@ -4507,6 +4621,8 @@ _PRIORITY_QUERIES = [
     "url_filter",
     "domain_caps",
     "mix_temperature",
+    "url_dedup",
+    "ann_ivfpq_rerank",
     # (3) implementation touched this round -- deliberate re-validation
     "ccnet_buckets",
     "dedup_corpus_best",
@@ -4528,8 +4644,6 @@ _PRIORITY_QUERIES = [
     "bloom_anti_join",
     "join_positional",
     "distinct_keys",
-    "union_globs",
-    "limit_n",
 ]
 
 

@@ -623,3 +623,71 @@ def test_group_centroids_reseat_never_leaves_empty_groups():
     counts3 = [assign3.count(g) for g in range(4)]
     assert min(counts3) >= 1
     assert not any(math.isnan(x) for c in coarse3 for x in c)
+
+
+def test_ann_ivfpq_rerank_exact_scores_and_recall_gain(spark):
+    """IndexRefineFlat semantics: (1) rerank output is a subset of the
+    ADC shortlist with EXACT inner-product scores (bit-equal to
+    knn_topk's dot on the same pairs); (2) recall@k vs exact search is
+    at least the raw ADC path's — the refine stage can reorder within
+    the shortlist, never invent candidates outside it."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivfpq_rerank,
+        ann_ivfpq_topk_mem,
+        default_pq_codebooks,
+        knn_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    rer = ann_ivfpq_rerank(
+        q, emb, k=k, dim=64, codebooks=books, refine=4, n_cells=8, nprobe=2
+    ).collect()
+    short = ann_ivfpq_topk_mem(
+        q, emb, k=k * 4, dim=64, codebooks=books, n_cells=8, nprobe=2
+    ).collect()
+    adc = ann_ivfpq_topk_mem(
+        q, emb, k=k, dim=64, codebooks=books, n_cells=8, nprobe=2
+    ).collect()
+    exact = knn_topk(q, emb, k=k, metric="dot").collect()
+
+    short_set = {(r.query_id, r.vec_id) for r in short}
+    assert all((r.query_id, r.vec_id) in short_set for r in rer)
+
+    # exact scores: compare against the brute-force dot for the same pairs
+    exact_all = {
+        (r.query_id, r.vec_id): r.sim
+        for r in knn_topk(q, emb, k=emb.count(), metric="dot").collect()
+    }
+    for r in rer:
+        assert r.score == exact_all[(r.query_id, r.vec_id)]
+
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(rows):
+        hit = sum(1 for r in rows if r.vec_id in truth[r.query_id])
+        return hit / sum(len(v) for v in truth.values())
+
+    assert recall(rer) >= recall(adc)
+
+    # the refine stage's defining property: per query, the reranked
+    # top-k is EXACTLY the exact-dot top-k restricted to the shortlist
+    # (same score-desc, id-asc tie-break) — refine repairs every ADC
+    # ordering error inside the shortlist and can do nothing outside it
+    short_by_q: dict = {}
+    for r in short:
+        short_by_q.setdefault(r.query_id, []).append(r.vec_id)
+    rer_by_q: dict = {}
+    for r in sorted(rer, key=lambda r: (r.query_id, r.rank)):
+        rer_by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, cands in short_by_q.items():
+        want = sorted(cands, key=lambda v: (-exact_all[(qid, v)], v))[:k]
+        assert rer_by_q[qid] == want

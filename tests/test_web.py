@@ -112,3 +112,45 @@ def test_domain_caps_plan_uses_window_group_limit(spark):
     urls = [f"https://s{i}.d{i % 2}.org/x" for i in range(8)]
     plan = _plan(spark, domain_caps(_docs(spark, urls), 2))
     assert "WindowGroupLimit" in plan
+
+
+def test_canonicalize_url_edges(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import (
+        canonicalize_url,
+    )
+
+    urls = [
+        "HTTPS://User@WWW.Example.COM:8080/CaseSensitive/Path?Q=Mixed#Frag",
+        "https://www.example.com/CaseSensitive/Path?Q=Mixed#other",
+        "https://www.example.com/CaseSensitive/Path?Q=Mixed",
+        "no scheme here #frag",
+    ]
+    got = {
+        r.doc_id: r.url_norm
+        for r in canonicalize_url(_docs(spark, urls)).collect()
+    }
+    # scheme+userinfo+authority lowercased, path/query VERBATIM, fragment gone
+    assert got[0] == "https://user@www.example.com:8080/CaseSensitive/Path?Q=Mixed"
+    # 1 and 2 collapse (fragment is the only difference)
+    assert got[1] == got[2] == "https://www.example.com/CaseSensitive/Path?Q=Mixed"
+    # schemeless strings only lose the fragment
+    assert got[3] == "no scheme here "
+
+
+def test_url_dedup_keeps_lowest_id_per_canonical_url(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import (
+        url_dedup,
+    )
+
+    urls = [
+        "https://a.com/x#1",          # 0 — canonical for a.com/x
+        "HTTPS://A.COM/x#2",          # 1 — dup of 0 (case + fragment)
+        "https://a.com/x?v=1",        # 2 — DIFFERENT (query differs)
+        "https://b.com/y",            # 3 — alone
+        "https://a.com/X",            # 4 — DIFFERENT (path case-sensitive)
+    ]
+    rows = {r.doc_id: r for r in url_dedup(_docs(spark, urls)).collect()}
+    assert len(rows) == 5  # one audit row per input
+    assert rows[0].keep and rows[0].canonical_id == 0
+    assert not rows[1].keep and rows[1].canonical_id == 0
+    assert rows[2].keep and rows[3].keep and rows[4].keep

@@ -199,7 +199,9 @@ PICKS = {
     ),
     "dedup_corpus_best": (
         "quality-aware survivor selection: the closure's component "
-        "labels left-join the broadcast quality frame, then ONE window "
+        "labels left-join the broadcast quality frame (scores collapsed "
+        "to max-per-doc first, so a duplicated ledger row can't "
+        "multiply members — round-14 guard), then ONE window "
         "partitioned by component_id (cluster-sized partitions — the "
         "topn_per_group shape) ranks score desc, id asc; keep = rn 1"
     ),
@@ -252,6 +254,21 @@ PICKS = {
         "total frames ride back as broadcast nest-loop joins over "
         "metadata-sized frames; the corpus is scanned once and "
         "nothing per-doc shuffles"
+    ),
+    "url_dedup": (
+        "URL-level exact dedup: canonicalization is narrow let-bound "
+        "string work; survivor selection is the dedup_exact shape — "
+        "map-side-combined groupBy(url_norm).min(id) + one equi "
+        "join-back, never a per-URL window, so a hot canonical URL "
+        "cannot weld one task"
+    ),
+    "ann_ivfpq_rerank": (
+        "IVFPQ shortlist + exact rerank (IndexRefineFlat): the ADC "
+        "path's cell-join + WindowGroupLimit produces a k*refine "
+        "shortlist, true vectors surface through ONE BroadcastHashJoin "
+        "of that metadata-sized shortlist against the corpus (the "
+        "corpus itself never shuffles), exact dots rerank via the "
+        "shared per-query WindowGroupLimit tail"
     ),
 }
 
