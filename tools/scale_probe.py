@@ -723,11 +723,19 @@ def ccnet_probe(spark, n: int = 100) -> dict:
         "languages": 1,
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
     }
+    # two reps per mode, warm + first split out (the assign-probe
+    # convention): rep 1 of the first mode also pays whole-pipeline
+    # codegen + page-cache warmup, which would otherwise be misread as
+    # the mode's own cost
     for mode in ("approx", "exact"):
-        t0 = time.time()
-        cnt = lm_quality_buckets(big, percentile_mode=mode).count()
-        out[mode + "_sec"] = round(time.time() - t0, 2)
-        assert cnt == 5000 * n, (mode, cnt)
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            cnt = lm_quality_buckets(big, percentile_mode=mode).count()
+            reps.append(round(time.time() - t0, 2))
+            assert cnt == 5000 * n, (mode, cnt)
+        out[mode + "_sec"] = reps[1]
+        out[mode + "_sec_first"] = reps[0]
     return out
 
 
