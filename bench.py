@@ -107,6 +107,7 @@ HEADLINE = [
     "mix_temperature",
     "url_dedup",
     "ann_ivfpq_rerank",
+    "html_clean",
 ]
 
 RUNS = 3

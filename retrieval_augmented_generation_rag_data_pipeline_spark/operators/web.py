@@ -176,3 +176,66 @@ def url_dedup(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("keep"),
     )
+
+
+# RE2-portable markup patterns (inline (?is) flags and non-greedy .*?
+# are supported identically by Java regex and RE2; no backreferences).
+SCRIPT_STYLE_RE = r"(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>"
+BLOCK_BREAK_RE = r"(?i)<br[^>]*>|</(?:p|div|li|h[1-6]|tr)>"
+TAG_RE = r"<[^>]*>"
+ENTITY_RE = r"&(?:amp|lt|gt|quot|nbsp|#39);"
+# decode order matters: &amp; LAST, so '&amp;lt;' decodes to the
+# literal '&lt;' (single-pass HTML semantics), not '<'
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_clean(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Markup stripping — the extraction stage every web pipeline runs
+    BEFORE any line/quality rule (trafilatura/jusText's job; this is
+    the deterministic regex tier for pre-extracted or lightly tagged
+    text): drop <script>/<style> blocks wholesale (their contents are
+    code, not prose), turn block-level closers and <br> into newlines
+    (so ``c4_line_filter`` sees real line structure), strip remaining
+    tags, decode the six ubiquitous entities (&amp; last — single-pass
+    HTML semantics), collapse horizontal whitespace, and tidy newline
+    runs.
+
+    Returns one row per doc: (doc_id, n_tags, n_entities, text_clean)
+    — the tag/entity counts are measured on the INPUT, so a document
+    that was already clean shows 0/0 and passes through byte-stable
+    (fixpoint-tested).
+
+    Scale shape: narrow per-row regexp/replace chain, no shuffle, no
+    UDF; every regex is RE2-portable so the DuckDB oracle replays the
+    pipeline verbatim (gate ``html_clean``)."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, SCRIPT_STYLE_RE, " ")
+    cleaned = F.regexp_replace(cleaned, BLOCK_BREAK_RE, "\n")
+    cleaned = F.regexp_replace(cleaned, TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.regexp_replace(cleaned, r"[ \t\x0B\f\r]+", " ")
+    # btrim (not trim): block closers at document end leave a trailing
+    # newline that a space-only trim would keep
+    cleaned = F.btrim(
+        F.regexp_replace(cleaned, r" ?(\n ?)+", "\n"), F.lit(" \n")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(TAG_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tags"),
+        F.size(F.regexp_extract_all(t, F.lit(ENTITY_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_entities"),
+        cleaned.alias("text_clean"),
+    )

@@ -4418,6 +4418,102 @@ def domain_caps(spark, sf):
 
 
 # =====================================================================
+# HTML markup stripping (the pre-C4 extraction stage)
+# =====================================================================
+
+# Deterministic HTML-ish synth from the word-soup documents: title +
+# h1 + paragraph with entities + div with <br>, a <script> on
+# doc_id%3==0 and a <style> on doc_id%5==0 — same construction, both
+# dialects.
+_HTML_SPARK = """
+concat(
+ '<html><head><title>', array_join(slice(_w, 1, 4), ' '), '</title>',
+ CASE WHEN doc_id % 3 = 0 THEN '<script type="text/javascript">var x = 1 < 2;</script>' ELSE '' END,
+ CASE WHEN doc_id % 5 = 0 THEN '<style>.a{color:red}</style>' ELSE '' END,
+ '</head><body><h1>', array_join(slice(_w, 5, 6), ' '), '</h1>',
+ '<p>', array_join(slice(_w, 11, 8), ' '), ' &amp; ', array_join(slice(_w, 19, 8), ' '), '</p>',
+ '<div>', array_join(slice(_w, 27, 6), ' '), '<br>', array_join(slice(_w, 33, 6), ' '), ' &lt;raw&gt;&nbsp;tail</div>',
+ '</body></html>')
+"""
+
+
+def _html_clean_sql() -> str:
+    from ..operators.web import (
+        BLOCK_BREAK_RE,
+        ENTITY_RE,
+        SCRIPT_STYLE_RE,
+        TAG_RE,
+    )
+
+    # DuckDB array_to_string([]) is NULL (not '') and || propagates
+    # NULL, so every slice-join is coalesced; Spark's array_join([]) is
+    # already ''.
+    def j(a: int, n: int) -> str:
+        return f"coalesce(array_to_string(w[{a}:{a + n - 1}], ' '), '')"
+
+    html = (
+        "'<html><head><title>' || " + j(1, 4) + " || '</title>'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN"
+        " '<script type=\"text/javascript\">var x = 1 < 2;</script>'"
+        " ELSE '' END)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN '<style>.a{color:red}</style>'"
+        " ELSE '' END)"
+        " || '</head><body><h1>' || " + j(5, 6) + " || '</h1>'"
+        " || '<p>' || " + j(11, 8) + " || ' &amp; ' || " + j(19, 8) + " || '</p>'"
+        " || '<div>' || " + j(27, 6) + " || '<br>' || " + j(33, 6)
+        + " || ' &lt;raw&gt;&nbsp;tail</div>'"
+        " || '</body></html>'"
+    )
+    return f"""
+WITH t0 AS (SELECT doc_id, {O.tokens('text')} AS w FROM documents),
+h AS (SELECT doc_id, {html} AS html FROM t0),
+c1 AS (SELECT doc_id, html,
+              regexp_replace(html, '{SCRIPT_STYLE_RE}', ' ', 'g') AS s
+       FROM h),
+c2 AS (SELECT doc_id, html,
+              regexp_replace(s, '{BLOCK_BREAK_RE}', chr(10), 'g') AS s
+       FROM c1),
+c3 AS (SELECT doc_id, html, regexp_replace(s, '{TAG_RE}', ' ', 'g') AS s
+       FROM c2),
+c4 AS (SELECT doc_id, html,
+              replace(replace(replace(replace(replace(replace(s,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS s
+       FROM c3),
+c5 AS (SELECT doc_id, html,
+              regexp_replace(s, '[ \t\x0B\f\r]+', ' ', 'g') AS s FROM c4),
+c6 AS (SELECT doc_id, html,
+              trim(regexp_replace(s, ' ?(\n ?)+', chr(10), 'g'),
+                   ' ' || chr(10)) AS s
+       FROM c5)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(html, '{TAG_RE}')) AS BIGINT) AS n_tags,
+  CAST(len(regexp_extract_all(html, '{ENTITY_RE}')) AS BIGINT) AS n_entities,
+  s AS text_clean
+FROM c6
+"""
+
+
+@_q("html_clean", _html_clean_sql())
+def html_clean(spark, sf):
+    """HTML markup stripping (the extraction stage before C4-style line
+    cleaning in every web pipeline): <script>/<style> blocks dropped
+    wholesale, block-level closers and <br> become newlines (real line
+    structure for c4_line_filter downstream), remaining tags stripped,
+    the six ubiquitous entities decoded (&amp; last — single-pass),
+    whitespace tidied; tag/entity audit counts measured on the input.
+    Narrow regex chain, no shuffle (operators/web.py html_clean)."""
+    from ..functions.hashing import tokens as _tk
+    from ..operators import web
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _tk(F.col("text")).alias("_w")
+    )
+    html = docs.select("doc_id", F.expr(_HTML_SPARK).alias("text"))
+    return web.html_clean(html)
+
+
+# =====================================================================
 # URL-level exact dedup (CCNet's pre-content URL pass)
 # =====================================================================
 
@@ -4568,15 +4664,16 @@ def mix_temperature(spark, sf):
 # round (c4_line_filter — C4 line-level cleaning, round-13 verdict
 # item 2; url_filter + domain_caps — URL/domain ingest hygiene, item
 # 3; mix_temperature — temperature-scaled mixture weights, item 5;
-# plus two beyond the prescription: url_dedup — CCNet's canonical-URL
-# pre-content dedup pass — and ann_ivfpq_rerank — the IndexRefineFlat
-# shortlist+exact-rerank recipe), all with no evidence yet; then TWO
-# queries whose implementation
+# plus three beyond the prescription: url_dedup — CCNet's
+# canonical-URL pre-content dedup pass; ann_ivfpq_rerank — the
+# IndexRefineFlat shortlist+exact-rerank recipe; html_clean — the
+# pre-C4 markup-stripping extraction stage), all with no evidence yet;
+# then TWO queries whose implementation
 # was touched this round (the percentile_mode/frozen-thresholds seam
 # touches lm_quality_buckets -> ccnet_buckets; the duplicate-score
 # guard in resolve_survivors touches dedup_corpus_best), re-validating
 # in-gate rather than riding r13 evidence; then r12-evidenced fill in
-# CORRECTNESS_r12.json order. The THIRTY-ONE r12 entries left over
+# CORRECTNESS_r12.json order. The THIRTY-TWO r12 entries left over
 # after this window:
 #   limit_pushdown, sessionize_islands, window_tumbling,
 #   window_sliding, window_session, agg_rollup, agg_cube,
@@ -4585,7 +4682,7 @@ def mix_temperature(spark, sf):
 #   format_dialogue, str_funcs, date_funcs, math_funcs, array_funcs,
 #   json_funcs, map_funcs, knn_topk, ann_lsh_buckets, ann_lsh_topk,
 #   decontaminate, normalize_text, dedup_chunks, dedup_incremental,
-#   filter_suffix, union_globs, limit_n
+#   filter_suffix, union_globs, limit_n, distinct_keys
 # overflow the 50-entry window and MUST lead round 15's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r11) -- must refresh this round
@@ -4623,6 +4720,7 @@ _PRIORITY_QUERIES = [
     "mix_temperature",
     "url_dedup",
     "ann_ivfpq_rerank",
+    "html_clean",
     # (3) implementation touched this round -- deliberate re-validation
     "ccnet_buckets",
     "dedup_corpus_best",
@@ -4643,7 +4741,6 @@ _PRIORITY_QUERIES = [
     "join_salted",
     "bloom_anti_join",
     "join_positional",
-    "distinct_keys",
 ]
 
 

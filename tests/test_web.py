@@ -154,3 +154,87 @@ def test_url_dedup_keeps_lowest_id_per_canonical_url(spark):
     assert rows[0].keep and rows[0].canonical_id == 0
     assert not rows[1].keep and rows[1].canonical_id == 0
     assert rows[2].keep and rows[3].keep and rows[4].keep
+
+
+def test_html_clean_strips_decodes_and_structures(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import (
+        html_clean,
+    )
+
+    html = (
+        '<html><head><title>My Title</title>'
+        '<script type="text/javascript">var x = 1 < 2; alert("hi");</script>'
+        "<style>.a{color:red}</style></head>"
+        "<body><h1>Heading Words</h1>"
+        "<p>first para &amp; more</p>"
+        "<div>above<br>below &lt;kept&gt;&nbsp;tail</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    r = html_clean(df).collect()[0]
+    # script/style contents gone entirely
+    assert "alert" not in r.text_clean and "color" not in r.text_clean
+    # block closers and <br> became line breaks
+    assert r.text_clean.split("\n") == [
+        "My Title Heading Words",
+        "first para & more",
+        "above",
+        "below <kept> tail",
+    ]
+    assert r.n_tags > 0 and r.n_entities == 4  # amp, lt, gt, nbsp
+
+
+def test_html_clean_single_pass_entity_decode_and_fixpoint(spark):
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import (
+        html_clean,
+    )
+
+    rows = [
+        # &amp;lt; must decode to the LITERAL '&lt;', not '<'
+        (1, "<p>escaped: &amp;lt; stays text</p>"),
+        # already-clean prose is a fixpoint (0 tags, 0 entities, byte-stable)
+        (2, "plain prose line one\nplain prose line two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in html_clean(df).collect()}
+    assert got[1].text_clean == "escaped: &lt; stays text"
+    assert got[2].n_tags == 0 and got[2].n_entities == 0
+    assert got[2].text_clean == "plain prose line one\nplain prose line two"
+    # running the cleaner on its own clean output changes nothing more
+    # for tag-free text (entities produced by decoding are data now —
+    # the single-pass contract — so only doc 2 is asserted byte-stable)
+    again = html_clean(
+        html_clean(df).select("doc_id", F.col("text_clean").alias("text"))
+    )
+    got2 = {r.doc_id: r.text_clean for r in again.collect()}
+    assert got2[2] == got[2].text_clean
+
+
+def test_html_clean_feeds_c4_line_filter(spark):
+    """The composed front door: html_clean's newline structure is what
+    c4_line_filter consumes — block-level text becomes real lines."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        c4_line_filter,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import (
+        html_clean,
+    )
+
+    html = (
+        "<body><p>this paragraph carries enough words to pass the rule.</p>"
+        "<p>short one.</p>"
+        "<p>another full sentence with plenty of words to keep here.</p></body>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    cleaned = html_clean(df).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    r = c4_line_filter(cleaned, min_kept_lines=2).collect()[0]
+    assert r.n_lines == 3
+    assert r.n_kept == 2      # the two long sentences
+    assert r.n_drop_short == 1
+    assert r.keep

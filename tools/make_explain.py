@@ -262,6 +262,11 @@ PICKS = {
         "join-back, never a per-URL window, so a hot canonical URL "
         "cannot weld one task"
     ),
+    "html_clean": (
+        "HTML markup stripping: one narrow per-row regex/replace chain "
+        "— scan -> project, no shuffle, no UDF; the audit counts and "
+        "the cleaning pipeline share the scan"
+    ),
     "ann_ivfpq_rerank": (
         "IVFPQ shortlist + exact rerank (IndexRefineFlat): the ADC "
         "path's cell-join + WindowGroupLimit produces a k*refine "
