@@ -108,6 +108,8 @@ HEADLINE = [
     "url_dedup",
     "ann_ivfpq_rerank",
     "html_clean",
+    "join_tpch_q5",
+    "split_by_host",
 ]
 
 RUNS = 3

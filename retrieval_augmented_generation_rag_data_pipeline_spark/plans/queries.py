@@ -394,6 +394,85 @@ def top_revenue_orders(spark, sf):
     )
 
 
+@_q(
+    "join_tpch_q5",
+    """SELECT n_name,
+              round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
+                AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name ASC""",
+)
+def join_tpch_q5(spark, sf):
+    """TPC-H Q5 (local supplier volume): the canonical SIX-table star
+    join with a cross-dimension equality (c_nationkey = s_nationkey)
+    that no single join chain can express — the widest relational
+    shape in the registry, exercising Catalyst join planning end to
+    end.
+
+    Scale shape: the region->nation dim chain collapses to a <=25-row
+    broadcast applied TWICE before any fact shuffle — supplier is
+    pruned to the ASIA fifth inline, customer is semi-joined down to
+    ASIA customers (sound because c_nationkey = s_nationkey forces the
+    customer's nation into ASIA too) — so the big joins
+    (lineitem><orders on l_orderkey, ><customer on o_custkey,
+    ><supplier on the COMPOUND key (l_suppkey, c_nationkey)) all run
+    over pre-pruned inputs. The compound condition is a 2-column
+    equi-join, never a nested loop. No broadcast hints on the
+    SF-scaled tables: at SF10k supplier is ~100M rows, AQE picks the
+    strategy per actual size. Final agg shuffles only |nations| cells."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    c = c.join(
+        F.broadcast(n.select("n_nationkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+        "semi",
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 # =====================================================================
 # §2.3 joins
 # =====================================================================
@@ -4417,6 +4496,50 @@ def domain_caps(spark, sf):
     ).select("doc_id", "host", "domain")
 
 
+def _split_by_host_sql() -> str:
+    # same md5 bucket rule as _SPLIT_SQL, keyed by HOST instead of doc_id
+    hash_arg = f"'{_SPLIT_SEED}' || ':' || host"
+    bucket = f"({O.md5_long(hash_arg)}) % {sampling.RESOLUTION}"
+    q80 = sampling.quantize(0.8)
+    q90 = sampling.quantize(0.8) + sampling.quantize(0.1)
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, {_url_host_duck('url')} AS host FROM u)
+SELECT doc_id, host,
+       CASE WHEN {bucket} < {q80} THEN 'train'
+            WHEN {bucket} < {q90} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+@_q("split_by_host", _split_by_host_sql())
+def split_by_host(spark, sf):
+    """Leakage-safe holdout assignment: the split label is a pure
+    function of the GROUP key (here the URL host) rather than the row
+    id, so every page from a site — including its near-duplicates,
+    boilerplate and mirrored paths — lands in the SAME split. This is
+    the standard guard against train/test contamination through
+    within-site duplication (the group-k-fold rule applied to corpus
+    holdouts); `assign_split` keyed by doc_id cannot provide it. At
+    production scale the key would be the registered domain or a dedup
+    component id — any column works, the operator is the same
+    `assign_split` with a different key.
+
+    Scale shape: host extraction + md5 bucket are narrow per-row
+    projections on the corpus scan — no shuffle, no group
+    materialization; group-consistency comes from hash determinism,
+    not from a groupBy."""
+    from ..operators import web
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_SPARK).alias("url")
+    )
+    parts = web.extract_host(docs).select("doc_id", "host")
+    out = sampling.assign_split(parts, "host", _SPLITS, seed=_SPLIT_SEED)
+    return out.select("doc_id", "host", "split")
+
+
 # =====================================================================
 # HTML markup stripping (the pre-C4 extraction stage)
 # =====================================================================
@@ -4660,20 +4783,22 @@ def mix_temperature(spark, sf):
 #
 # STANDING ROTATION (round 14): the TWENTY-SEVEN entries whose latest
 # evidence is r11 (exactly at the cap — named by the round-13 verdict
-# and the previous rotation note) LEAD; then the FOUR queries new this
-# round (c4_line_filter — C4 line-level cleaning, round-13 verdict
-# item 2; url_filter + domain_caps — URL/domain ingest hygiene, item
-# 3; mix_temperature — temperature-scaled mixture weights, item 5;
-# plus three beyond the prescription: url_dedup — CCNet's
-# canonical-URL pre-content dedup pass; ann_ivfpq_rerank — the
+# and the previous rotation note) LEAD; then the NINE queries new this
+# round (four prescribed by the round-13 verdict: c4_line_filter — C4
+# line-level cleaning, item 2; url_filter + domain_caps — URL/domain
+# ingest hygiene, item 3; mix_temperature — temperature-scaled mixture
+# weights, item 5; plus five beyond the prescription: url_dedup —
+# CCNet's canonical-URL pre-content dedup pass; ann_ivfpq_rerank — the
 # IndexRefineFlat shortlist+exact-rerank recipe; html_clean — the
-# pre-C4 markup-stripping extraction stage), all with no evidence yet;
+# pre-C4 markup-stripping extraction stage; join_tpch_q5 — the
+# six-table local-supplier-volume star join; split_by_host — the
+# leakage-safe group-keyed holdout), all with no evidence yet;
 # then TWO queries whose implementation
 # was touched this round (the percentile_mode/frozen-thresholds seam
 # touches lm_quality_buckets -> ccnet_buckets; the duplicate-score
 # guard in resolve_survivors touches dedup_corpus_best), re-validating
 # in-gate rather than riding r13 evidence; then r12-evidenced fill in
-# CORRECTNESS_r12.json order. The THIRTY-TWO r12 entries left over
+# CORRECTNESS_r12.json order. The THIRTY-FOUR r12 entries left over
 # after this window:
 #   limit_pushdown, sessionize_islands, window_tumbling,
 #   window_sliding, window_session, agg_rollup, agg_cube,
@@ -4682,7 +4807,8 @@ def mix_temperature(spark, sf):
 #   format_dialogue, str_funcs, date_funcs, math_funcs, array_funcs,
 #   json_funcs, map_funcs, knn_topk, ann_lsh_buckets, ann_lsh_topk,
 #   decontaminate, normalize_text, dedup_chunks, dedup_incremental,
-#   filter_suffix, union_globs, limit_n, distinct_keys
+#   filter_suffix, union_globs, limit_n, distinct_keys,
+#   bloom_anti_join, join_positional
 # overflow the 50-entry window and MUST lead round 15's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r11) -- must refresh this round
@@ -4721,11 +4847,13 @@ _PRIORITY_QUERIES = [
     "url_dedup",
     "ann_ivfpq_rerank",
     "html_clean",
+    "join_tpch_q5",
+    "split_by_host",
     # (3) implementation touched this round -- deliberate re-validation
     "ccnet_buckets",
     "dedup_corpus_best",
     # (4) r12-evidenced fill, CORRECTNESS_r12.json order; the leftover
-    #     29-name overflow cohort that MUST lead round 15 is the
+    #     34-name overflow cohort that MUST lead round 15 is the
     #     STANDING ROTATION block above
     "agg_mean",
     "agg_max",
@@ -4739,8 +4867,6 @@ _PRIORITY_QUERIES = [
     "semi_join",
     "anti_join_ledger",
     "join_salted",
-    "bloom_anti_join",
-    "join_positional",
 ]
 
 

@@ -518,3 +518,34 @@ def test_mix_temperature_weight_col_and_budget_composition(spark):
     assert sum(budgets.values()) == 1_000_000
     # temperature lifted the rare source above its natural token share
     assert budgets["de"] > 1_000_000 * 150 / 1250
+
+
+def test_group_keyed_split_is_leakage_free_and_stable(spark):
+    """split_by_host's contract: keying assign_split by a GROUP column
+    gives every member of a group the same split (no train/test
+    leakage through within-group duplicates), stays stable when the
+    group gains members, and agrees with the doc-id form's thresholds."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import assign_split
+
+    rows = [(i, f"site{i % 37}.example.com") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "host"])
+    out = assign_split(df, "host", seed=3).select("doc_id", "host", "split")
+    per_host = (
+        out.groupBy("host")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_host)  # leakage-free
+    # adding new members to a group never reassigns the group
+    bigger = spark.createDataFrame(
+        rows + [(i + 10_000, f"site{i % 37}.example.com") for i in range(200)],
+        ["doc_id", "host"],
+    )
+    a = {r.host: r.split for r in assign_split(df, "host", seed=3)
+         .select("host", "split").distinct().collect()}
+    b = {r.host: r.split for r in assign_split(bigger, "host", seed=3)
+         .select("host", "split").distinct().collect()}
+    assert a == b
+    # the label is a pure row-local function: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

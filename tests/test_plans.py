@@ -56,6 +56,21 @@ def test_top_revenue_broadcasts_filtered_dim(spark):
     assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan
 
 
+def test_tpch_q5_broadcast_prunes_before_fact_joins(spark):
+    """The six-table star join must never degrade to a nested loop, and
+    the two dim prunes (supplier inline, customer SEMI) must ride the
+    <=25-row nation broadcast — the shape that holds at SF10k where
+    supplier/customer scale with the facts."""
+    plan = plan_of(spark, "join_tpch_q5")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # customer pruned via broadcast semi join on the nation keys
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the compound (l_suppkey, c_nationkey) condition stays an equi-join
+    # (any join node, never a filter over a cross product)
+    assert "Join" in plan
+
+
 def test_semi_and_anti_joins_stay_joins(spark):
     for name in ("semi_join", "anti_join_ledger"):
         plan = plan_of(spark, name)

@@ -275,6 +275,21 @@ PICKS = {
         "corpus itself never shuffles), exact dots rerank via the "
         "shared per-query WindowGroupLimit tail"
     ),
+    "join_tpch_q5": (
+        "TPC-H Q5, the six-table star join: the region->nation dim "
+        "chain collapses to a <=25-row broadcast applied twice — "
+        "supplier pruned inline, customer pruned through a broadcast "
+        "SEMI join (sound because c_nationkey = s_nationkey) — before "
+        "any fact shuffle; the compound (l_suppkey, c_nationkey) "
+        "condition stays a 2-column equi-join (never a nested loop), "
+        "and the final agg shuffles only |nations| cells"
+    ),
+    "split_by_host": (
+        "leakage-safe holdout: the split label is a pure hash of the "
+        "GROUP key (URL host), so group-consistency costs NO shuffle "
+        "and no group materialization — host extraction + md5 bucket "
+        "are narrow projections on the corpus scan"
+    ),
 }
 
 HEADER = """# EXPLAIN — physical plans of the flagship queries
