@@ -110,6 +110,7 @@ HEADLINE = [
     "html_clean",
     "join_tpch_q5",
     "split_by_host",
+    "window_time_range",
 ]
 
 RUNS = 3

@@ -162,3 +162,40 @@ def running_agg(
     else:
         run = fn(agg_col).over(w)
     return df.withColumn(f"running_{how}", run)
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    ts_col: str,
+    agg_col: str,
+    seconds: int,
+) -> DataFrame:
+    """Trailing time-range frame aggregation: for every row, the count
+    and sum of ``agg_col`` over rows of the same partition whose
+    timestamp lies in [ts - seconds, ts] — RANGE frame semantics, so
+    all rows sharing a timestamp share one frame and the result is
+    deterministic under ties (a ROWS frame would depend on tie order).
+    The rate/volume-in-trailing-window primitive (events per user in
+    the last hour) that sessionization and rate-limiting audits read.
+
+    The ordering key is the timestamp truncated to whole epoch seconds
+    (``cast long``), so engines agree bit-exactly on frame boundaries.
+
+    Scale shape: ONE window partitioned by the entity key —
+    parallelism scales with partition cardinality, and Spark evaluates
+    a bounded range frame with a sliding two-pointer pass per
+    partition (no self-join, no extra shuffle beyond the partitionBy).
+    Adds (w_count, w_sum); ``w_count`` counts non-null ``agg_col``."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-int(seconds), 0)
+    )
+    # one select, not chained withColumns: both expressions share ONE
+    # Window node (and one sort) instead of two stacked window passes
+    return df.select(
+        "*",
+        F.count(agg_col).over(w).cast("long").alias("w_count"),
+        F.sum(agg_col).over(w).alias("w_sum"),
+    )

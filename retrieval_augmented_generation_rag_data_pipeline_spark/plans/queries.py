@@ -949,6 +949,36 @@ def window_running(spark, sf):
 
 
 @_q(
+    "window_time_range",
+    """SELECT event_id,
+              CAST(count(value) OVER w AS BIGINT) AS n_1h,
+              round(sum(value) OVER w, 6) AS sum_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+)
+def window_time_range(spark, sf):
+    """Trailing TIME-RANGE frame (RANGE BETWEEN 3600 PRECEDING): per
+    user, the event count and value sum over the trailing hour at every
+    event — the rate-in-trailing-window primitive no ROWS frame can
+    express (frame size varies per row; ties on the same second share
+    one frame, so the result is order-deterministic). Ordering key is
+    epoch seconds via cast-long on BOTH engines so frame boundaries are
+    bit-identical; the trailing sum folds in engine order, hence the
+    6dp round. One user-partitioned window, two-pointer per-partition
+    evaluation — the window_running scale shape with a bounded frame
+    (operators/windows.py trailing_range_agg)."""
+    ev = _t(spark, sf, "events")
+    out = windows.trailing_range_agg(ev, ["user_id"], "ts", "value", 3600)
+    return out.select(
+        "event_id",
+        F.col("w_count").alias("n_1h"),
+        F.round("w_sum", 6).alias("sum_1h"),
+    )
+
+
+@_q(
     "format_dialogue",
     f"""WITH aligned AS ({_ASOF_SQL})
         SELECT printf('[%.2f-%.2f] %s: %s',
@@ -4783,7 +4813,7 @@ def mix_temperature(spark, sf):
 #
 # STANDING ROTATION (round 14): the TWENTY-SEVEN entries whose latest
 # evidence is r11 (exactly at the cap — named by the round-13 verdict
-# and the previous rotation note) LEAD; then the NINE queries new this
+# and the previous rotation note) LEAD; then the TEN queries new this
 # round (four prescribed by the round-13 verdict: c4_line_filter — C4
 # line-level cleaning, item 2; url_filter + domain_caps — URL/domain
 # ingest hygiene, item 3; mix_temperature — temperature-scaled mixture
@@ -4792,13 +4822,14 @@ def mix_temperature(spark, sf):
 # IndexRefineFlat shortlist+exact-rerank recipe; html_clean — the
 # pre-C4 markup-stripping extraction stage; join_tpch_q5 — the
 # six-table local-supplier-volume star join; split_by_host — the
-# leakage-safe group-keyed holdout), all with no evidence yet;
+# leakage-safe group-keyed holdout; window_time_range — the trailing
+# time-RANGE frame), all with no evidence yet;
 # then TWO queries whose implementation
 # was touched this round (the percentile_mode/frozen-thresholds seam
 # touches lm_quality_buckets -> ccnet_buckets; the duplicate-score
 # guard in resolve_survivors touches dedup_corpus_best), re-validating
 # in-gate rather than riding r13 evidence; then r12-evidenced fill in
-# CORRECTNESS_r12.json order. The THIRTY-FOUR r12 entries left over
+# CORRECTNESS_r12.json order. The THIRTY-FIVE r12 entries left over
 # after this window:
 #   limit_pushdown, sessionize_islands, window_tumbling,
 #   window_sliding, window_session, agg_rollup, agg_cube,
@@ -4808,7 +4839,7 @@ def mix_temperature(spark, sf):
 #   json_funcs, map_funcs, knn_topk, ann_lsh_buckets, ann_lsh_topk,
 #   decontaminate, normalize_text, dedup_chunks, dedup_incremental,
 #   filter_suffix, union_globs, limit_n, distinct_keys,
-#   bloom_anti_join, join_positional
+#   bloom_anti_join, join_positional, join_salted
 # overflow the 50-entry window and MUST lead round 15's rotation.
 _PRIORITY_QUERIES = [
     # (1) evidence exactly 2 rounds old (r11) -- must refresh this round
@@ -4849,11 +4880,12 @@ _PRIORITY_QUERIES = [
     "html_clean",
     "join_tpch_q5",
     "split_by_host",
+    "window_time_range",
     # (3) implementation touched this round -- deliberate re-validation
     "ccnet_buckets",
     "dedup_corpus_best",
     # (4) r12-evidenced fill, CORRECTNESS_r12.json order; the leftover
-    #     34-name overflow cohort that MUST lead round 15 is the
+    #     35-name overflow cohort that MUST lead round 15 is the
     #     STANDING ROTATION block above
     "agg_mean",
     "agg_max",
@@ -4866,7 +4898,6 @@ _PRIORITY_QUERIES = [
     "join_broadcast",
     "semi_join",
     "anti_join_ledger",
-    "join_salted",
 ]
 
 

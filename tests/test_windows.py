@@ -97,3 +97,41 @@ def test_session_windows_custom_aggregations(spark):
     assert len(rows) == 2
     assert rows[0].max_value == 7.0 and rows[1].max_value == 1.0
     assert rows[0].first_ts == rows[0].session_start
+
+
+def test_trailing_range_agg_frames_and_tie_semantics(spark):
+    """RANGE frame contract: the frame is [ts-3600s, ts]; rows sharing
+    a truncated second share ONE frame (both see each other) — the
+    order-deterministic behavior a ROWS frame cannot give; and the
+    window costs one partitionBy Exchange, no join."""
+    import datetime as dt
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import trailing_range_agg
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 11:00:00, 11:59:00, 12:00:00, 13:30:00
+        (1, 1, base - dt.timedelta(hours=1), 10.0),
+        (2, 1, base - dt.timedelta(minutes=1), 20.0),
+        (3, 1, base, 30.0),
+        (4, 1, base + dt.timedelta(minutes=90), 40.0),
+        # user 2: two events in the SAME second -> shared frame
+        (5, 2, base, 1.0),
+        (6, 2, base + dt.timedelta(microseconds=500), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {
+        r.event_id: (r.w_count, r.w_sum)
+        for r in trailing_range_agg(df, ["user_id"], "ts", "value", 3600).collect()
+    }
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 30.0)  # 11:00 is within [10:59, 11:59]
+    assert out[3] == (3, 60.0)  # exactly -3600s is INCLUSIVE
+    assert out[4] == (1, 40.0)  # everything else aged out
+    assert out[5] == (2, 3.0) and out[6] == (2, 3.0)  # tied second shares a frame
+    plan = (
+        trailing_range_agg(df, ["user_id"], "ts", "value", 3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # createDataFrame parallelize + partitionBy

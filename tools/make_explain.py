@@ -290,6 +290,12 @@ PICKS = {
         "and no group materialization — host extraction + md5 bucket "
         "are narrow projections on the corpus scan"
     ),
+    "window_time_range": (
+        "trailing time-RANGE frame: one user-partitioned window with a "
+        "bounded RANGE frame evaluated by a per-partition two-pointer "
+        "pass — no self-join, no extra Exchange beyond the partitionBy; "
+        "the frame key is epoch seconds so engines agree bit-exactly"
+    ),
 }
 
 HEADER = """# EXPLAIN — physical plans of the flagship queries

@@ -13,6 +13,8 @@ depends on data shape, printing one JSON line per probe:
                    duplicated by construction — worst case)
   knn_corpus       exact kNN, 8 queries x N*2k corpus vectors
   sessionize       islands over N*100k events
+  window_time_range (dedicated: --range-window-probe N) trailing
+                   RANGE frame at N*100k events + one-hot-user worst case
   span_skew        10% of docs share a planted 40-token boilerplate
                    prefix — per-task row distribution of the span_hits
                    join must stay flat (no universal-hash hot task)
@@ -739,8 +741,58 @@ def ccnet_probe(spark, n: int = 100) -> dict:
     return out
 
 
+def range_window_probe(spark, n: int = 10) -> dict:
+    """Round-14 addendum: trailing_range_agg (window_time_range) at Nx
+    events. Two shapes: (1) replicated id-shifted copies — user count
+    grows linearly, per-partition work constant, the realistic
+    corpus-growth case; (2) every event funneled onto ONE user — the
+    documented worst case for ANY per-entity window (one partition =
+    one task), which must still be LINEAR in partition size because
+    Spark evaluates a bounded RANGE frame with an incremental
+    two-pointer pass, never re-summing the frame per row. Warm + first
+    split out per the assign-probe convention."""
+    import os
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import (
+        trailing_range_agg,
+    )
+
+    # load_events, not a raw read: events.parquet is TIMESTAMP(NANOS),
+    # which Spark 4.1 surfaces as TIMESTAMP_NTZ (not long-castable);
+    # the loader gives the stable TIMESTAMP (ltz) schema the operator
+    # (and the registry gate) order by
+    ev = load_events(spark, SF).select("user_id", "event_id", "ts", "value")
+    big = replicate(ev, n, ["user_id", "event_id"])
+    out: dict = {
+        "events": 100_000 * n,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+    }
+    reps = []
+    for _ in range(2):
+        t0 = time.time()
+        cnt = trailing_range_agg(big, ["user_id"], "ts", "value", 3600).count()
+        reps.append(round(time.time() - t0, 2))
+        assert cnt == 100_000 * n, cnt
+    out["sec"], out["sec_first"] = reps[1], reps[0]
+    hot = big.withColumn("user_id", F.lit(0))
+    t0 = time.time()
+    cnt = trailing_range_agg(hot, ["user_id"], "ts", "value", 3600).count()
+    out["hot_user_sec"] = round(time.time() - t0, 2)
+    assert cnt == 100_000 * n, cnt
+    return out
+
+
 if __name__ == "__main__":
-    if "--ccnet-probe" in sys.argv:
+    if "--range-window-probe" in sys.argv:
+        i = sys.argv.index("--range-window-probe")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 10
+        spark = get_spark("range_window_probe")
+        print(
+            "RANGE_WINDOW_PROBE_JSON:"
+            + json.dumps({"window_time_range": range_window_probe(spark, n)})
+        )
+        spark.stop()
+    elif "--ccnet-probe" in sys.argv:
         i = sys.argv.index("--ccnet-probe")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 100
         spark = get_spark("ccnet_probe")
