@@ -506,8 +506,12 @@ def mix_temperature(
     then two one-row stat frames broadcast back via crossJoin (the
     bounded scalar-frame pattern used by the selection operators) —
     the corpus is scanned ONCE and nothing per-doc ever shuffles."""
+    # round-to-nearest, never truncate: a fractional weight column
+    # (length-normalized tokens, sub-token weights) summed to 10.9
+    # must count 11, not 10 — a bare cast("long") truncates toward
+    # zero and systematically understates fractional sources
     n = (
-        F.sum(F.col(weight_col)).cast("long")
+        F.round(F.sum(F.col(weight_col)), 0).cast("long")
         if weight_col is not None
         else F.count("*").cast("long")
     )

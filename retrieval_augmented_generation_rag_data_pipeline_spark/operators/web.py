@@ -24,8 +24,10 @@ from ..functions.hashing import md5_long
 
 # RE2-portable (no backreferences / lookaround, runs identically under
 # Java regex and DuckDB's RE2): scheme, optional userinfo, then the
-# host = everything up to the first '/', '?', '#', or ':' (port).
-HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+# host = a bracketed IPv6 literal ([::1] — the ':' inside the brackets
+# is not a port separator) or everything up to the first '/', '?',
+# '#', or ':' (port).
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^/?#\]]*\]|[^/?#:]+)"
 
 # Registered-domain approximation: the last two dot-separated labels.
 # A public-suffix-list lookup is a broadcast join away for deployments
@@ -43,8 +45,15 @@ def extract_host(
     """Add lowercased ``host`` and registered-``domain`` columns parsed
     from ``url_col``. URLs with no parseable host (relative paths,
     garbage) get empty-string host/domain — kept visible rather than
-    nulled so audit counts can see them. Narrow, pushdown-friendly."""
-    host = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
+    nulled so audit counts can see them. Trailing dots are stripped
+    (``example.com.`` is the DNS fully-qualified form of the SAME
+    host — without the strip a trailing-dot URL would bypass every
+    host/domain blocklist entry). Narrow, pushdown-friendly."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)),
+        r"\.+$",
+        "",
+    )
     return df.withColumn(host_col, host).withColumn(
         domain_col, F.regexp_extract(F.col(host_col), DOMAIN_RE, 1)
     )
@@ -97,17 +106,38 @@ def domain_caps(
 
     Returns the kept rows with ``host``/``domain`` attached.
 
-    Scale shape: ONE window partitioned by domain — parallelism scales
-    with domain cardinality (millions at web scale, so no hot task),
-    and Catalyst rewrites the rank+filter into WindowGroupLimit
+    The cap key degrades gracefully: registered domain when one
+    parses, else the bare host (single-label intranet names like
+    ``localhost`` cap per-host instead of pooling), else — for URLs
+    with no parseable host at all — a per-doc unique key, so garbage
+    URLs pass through UNCAPPED rather than being lumped into one ''
+    pseudo-domain where (a) unrelated documents would cap each other
+    out and (b) a single window partition would weld a garbage-heavy
+    crawl onto one hot task.
+
+    Scale shape: ONE window partitioned by the cap key — parallelism
+    scales with key cardinality (millions at web scale, so no hot
+    task even for the garbage tier, whose keys are per-doc), and
+    Catalyst rewrites the rank+filter into WindowGroupLimit
     (per-partition partial top-k BEFORE the shuffle, so at most k rows
-    per domain per input partition ever move). This is the
+    per key per input partition ever move). This is the
     sample_group_k shape (operators/sampling.py
     sample_exact_per_group), re-keyed on the extracted domain."""
     h = md5_long(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy("domain").orderBy(h.asc(), F.col(id_col).asc())
+    # \x00 prefix keeps the per-doc fallback keys out of the host/
+    # domain value space (no real host contains a NUL)
+    cap_key = (
+        F.when(F.col("domain") != "", F.col("domain"))
+        .when(F.col("host") != "", F.col("host"))
+        .otherwise(
+            F.concat_ws(
+                ":", F.lit("\x00uncapped"), F.col(id_col).cast("string")
+            )
+        )
+    )
+    w = Window.partitionBy(cap_key).orderBy(h.asc(), F.col(id_col).asc())
     return (
         extract_host(docs, url_col)
         .withColumn("_rn", F.row_number().over(w))
@@ -116,10 +146,14 @@ def domain_caps(
     )
 
 
-# Scheme + optional userinfo + authority (host[:port]) — the
-# case-insensitive part of a URL per RFC 3986 §6.2.2.1; everything
-# after it (path/query) is case-sensitive and kept verbatim.
+# Scheme + optional userinfo + authority (host[:port]) — the full
+# prefix ahead of the case-sensitive path/query. Per RFC 3986
+# §6.2.2.1 only the SCHEME and HOST inside it are case-insensitive;
+# userinfo is case-sensitive and must survive verbatim, so the
+# canonicalizer splits the prefix with the two sub-regexes below.
 PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*)"
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://)"
+USERINFO_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)"
 
 
 def canonicalize_url(
@@ -128,18 +162,36 @@ def canonicalize_url(
     """RFC-3986-style URL canonicalization ahead of URL-level dedup:
     drop the fragment (``#...`` never reaches the server, so two URLs
     differing only there are the same resource) and lowercase the
-    scheme+authority prefix (case-insensitive per §6.2.2.1), keeping
-    path and query byte-verbatim (case-SENSITIVE on real servers).
-    Strings with no scheme://host prefix pass through fragment-stripped
-    but otherwise untouched. Narrow per-row string work; both regexes
+    scheme and host[:port] (case-insensitive per §6.2.2.1), keeping
+    userinfo, path and query byte-verbatim (all case-SENSITIVE —
+    ``UserA@`` and ``usera@`` are different identities on real
+    servers, so lowercasing them would merge distinct URLs). Strings
+    with no scheme://host prefix pass through fragment-stripped but
+    otherwise untouched. Narrow per-row string work; all regexes
     RE2-portable, so the DuckDB oracle replays it exactly."""
     from ..functions.binding import let
 
     def norm(u: Column) -> Column:
         def with_nofrag(nf: Column) -> Column:
             def with_prefix(pre: Column) -> Column:
-                rest = F.substring(nf, F.length(pre) + F.lit(1), F.length(nf))
-                return F.concat(F.lower(pre), rest)
+                def with_scheme(scheme: Column) -> Column:
+                    def with_user(user: Column) -> Column:
+                        head = F.length(scheme) + F.length(user)
+                        hostport = F.substring(
+                            nf, head + F.lit(1), F.length(pre) - head
+                        )
+                        rest = F.substring(
+                            nf, F.length(pre) + F.lit(1), F.length(nf)
+                        )
+                        return F.concat(
+                            F.lower(scheme), user, F.lower(hostport), rest
+                        )
+
+                    return let(
+                        F.regexp_extract(nf, USERINFO_RE, 1), with_user
+                    )
+
+                return let(F.regexp_extract(nf, SCHEME_RE, 1), with_scheme)
 
             return let(F.regexp_extract(nf, PREFIX_RE, 1), with_prefix)
 
@@ -161,16 +213,28 @@ def url_dedup(
     the content digest, so it composes with ``dedup_corpus``'s ledger
     the same way.
 
-    Scale shape: groupBy(url_norm).min(id) + an equi-join back —
+    Scale shape: groupBy(key).min(id) + an equi-join back —
     deliberately the dedup_exact shape, NOT a per-URL window, so a hot
     canonical URL (a front page crawled millions of times) lands in a
     map-side-combined aggregate and an AQE-splittable join, never one
-    window task."""
-    withn = canonicalize_url(docs, url_col)
-    canon = withn.groupBy("url_norm").agg(
+    window task.
+
+    A NULL url is not "equal" to other NULL urls — each such doc is
+    its own singleton cluster (keep=true, canonical_id=itself) via a
+    per-doc fallback key, instead of vanishing through the
+    null-rejecting equi-join (which would break the one-audit-row-
+    per-input-doc contract)."""
+    withn = canonicalize_url(docs, url_col).withColumn(
+        "_ukey",
+        F.coalesce(
+            F.col("url_norm"),
+            F.concat_ws(":", F.lit("\x00nourl"), F.col(id_col).cast("string")),
+        ),
+    )
+    canon = withn.groupBy("_ukey").agg(
         F.min(F.col(id_col)).alias("canonical_id")
     )
-    return withn.join(canon, "url_norm").select(
+    return withn.join(canon, "_ukey").select(
         F.col(id_col),
         "url_norm",
         "canonical_id",

@@ -4447,9 +4447,21 @@ _URL_BLOCKLIST = ["src1.w3.example.com", "test.org"]
 
 
 def _url_host_duck(url: str) -> str:
+    # mirrors web.extract_host exactly: HOST_RE extraction, lowercase,
+    # trailing-dot strip — interpolated from the operator's own
+    # constants so the oracle can never drift from the Spark rule
     from ..operators.web import HOST_RE
 
-    return f"lower(regexp_extract({url}, '{HOST_RE}', 1))"
+    return (
+        "regexp_replace("
+        f"lower(regexp_extract({url}, '{HOST_RE}', 1)), '\\.+$', '')"
+    )
+
+
+def _url_domain_duck(host: str) -> str:
+    from ..operators.web import DOMAIN_RE
+
+    return f"regexp_extract({host}, '{DOMAIN_RE}', 1)"
 
 
 def _url_filter_sql() -> str:
@@ -4458,7 +4470,7 @@ def _url_filter_sql() -> str:
 WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
 h AS (SELECT doc_id, url, {_url_host_duck('url')} AS host FROM u),
 hd AS (SELECT doc_id, url, host,
-              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+              {_url_domain_duck('host')} AS domain
        FROM h)
 SELECT doc_id, url, host, domain FROM hd
 WHERE host NOT IN ({blocked}) AND domain NOT IN ({blocked})
@@ -4495,12 +4507,15 @@ def _domain_caps_sql() -> str:
 WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
 h AS (SELECT doc_id, url, {_url_host_duck('url')} AS host FROM u),
 hd AS (SELECT doc_id, url, host,
-              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+              {_url_domain_duck('host')} AS domain
        FROM h)
 SELECT doc_id, host, domain FROM (
   SELECT doc_id, host, domain,
          row_number() OVER (
-           PARTITION BY domain
+           PARTITION BY CASE WHEN domain <> '' THEN domain
+                             WHEN host <> '' THEN host
+                             ELSE chr(0) || 'uncapped' || ':' ||
+                                  CAST(doc_id AS VARCHAR) END
            ORDER BY {h} ASC, doc_id ASC
          ) AS rn
   FROM hd)
@@ -4688,20 +4703,36 @@ _URLD_DUCK = (
 
 
 def _url_dedup_sql() -> str:
-    from ..operators.web import PREFIX_RE
+    # mirrors web.canonicalize_url exactly (fragment drop; scheme and
+    # host[:port] lowered; userinfo/path/query verbatim) and
+    # web.url_dedup's NULL-url singleton key, interpolating the
+    # operator's own regexes so the two dialects cannot drift
+    from ..operators.web import PREFIX_RE, SCHEME_RE, USERINFO_RE
 
-    pre = f"regexp_extract(nf, '{PREFIX_RE}', 1)"
     return f"""
 WITH u AS (SELECT doc_id, {_URLD_DUCK} AS url FROM documents),
 nf0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+parts AS (SELECT doc_id, nf,
+                 regexp_extract(nf, '{PREFIX_RE}', 1) AS pre,
+                 regexp_extract(nf, '{SCHEME_RE}', 1) AS scheme,
+                 regexp_extract(nf, '{USERINFO_RE}', 1) AS ui
+          FROM nf0),
 n AS (SELECT doc_id,
-             lower({pre}) || substring(nf, length({pre}) + 1) AS url_norm
-      FROM nf0),
-c AS (SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS canonical_id
-      FROM n GROUP BY url_norm)
-SELECT n.doc_id, n.url_norm, c.canonical_id,
-       n.doc_id = c.canonical_id AS keep
-FROM n JOIN c USING (url_norm)
+             lower(scheme) || ui ||
+             lower(substring(nf, length(scheme) + length(ui) + 1,
+                             length(pre) - length(scheme) - length(ui))) ||
+             substring(nf, length(pre) + 1) AS url_norm
+      FROM parts),
+k AS (SELECT doc_id, url_norm,
+             coalesce(url_norm,
+                      chr(0) || 'nourl' || ':' || CAST(doc_id AS VARCHAR))
+               AS ukey
+      FROM n),
+c AS (SELECT ukey, CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM k GROUP BY ukey)
+SELECT k.doc_id, k.url_norm, c.canonical_id,
+       k.doc_id = c.canonical_id AS keep
+FROM k JOIN c USING (ukey)
 """
 
 

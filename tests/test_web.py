@@ -129,8 +129,10 @@ def test_canonicalize_url_edges(spark):
         r.doc_id: r.url_norm
         for r in canonicalize_url(_docs(spark, urls)).collect()
     }
-    # scheme+userinfo+authority lowercased, path/query VERBATIM, fragment gone
-    assert got[0] == "https://user@www.example.com:8080/CaseSensitive/Path?Q=Mixed"
+    # scheme+host:port lowercased; userinfo (case-sensitive per RFC
+    # 3986 — only scheme and host are case-insensitive), path and
+    # query VERBATIM; fragment gone
+    assert got[0] == "https://User@www.example.com:8080/CaseSensitive/Path?Q=Mixed"
     # 1 and 2 collapse (fragment is the only difference)
     assert got[1] == got[2] == "https://www.example.com/CaseSensitive/Path?Q=Mixed"
     # schemeless strings only lose the fragment
@@ -238,3 +240,68 @@ def test_html_clean_feeds_c4_line_filter(spark):
     assert r.n_kept == 2      # the two long sentences
     assert r.n_drop_short == 1
     assert r.keep
+
+
+def test_extract_host_trailing_dot_and_ipv6(spark):
+    """Round-14 hardening: the FQDN trailing-dot form must normalize to
+    the same host (else it bypasses every blocklist entry), and a
+    bracketed IPv6 authority must not be truncated at its first ':'."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import url_filter
+
+    urls = [
+        "https://ads.example.com./x",        # trailing dot = same host
+        "https://Example.COM../y",           # even doubled
+        "https://[2001:db8::1]:8080/x",      # bracketed IPv6 + port
+        "https://[2001:db8::1]/y",           # bracketed IPv6, no port
+    ]
+    rows = {
+        r.doc_id: (r.host, r.domain)
+        for r in extract_host(_docs(spark, urls)).collect()
+    }
+    assert rows[0] == ("ads.example.com", "example.com")
+    assert rows[1] == ("example.com", "example.com")
+    assert rows[2] == ("[2001:db8::1]", "")
+    assert rows[3] == ("[2001:db8::1]", "")
+    # and the blocklist now actually catches both forms
+    block = spark.createDataFrame(
+        [("example.com",), ("[2001:db8::1]",)], "pattern string"
+    )
+    kept = url_filter(_docs(spark, urls), block).count()
+    assert kept == 0
+
+
+def test_url_dedup_null_url_rows_survive_as_singletons(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import url_dedup
+
+    df = spark.createDataFrame(
+        [(0, "https://a.com/x"), (1, None), (2, None), (3, "https://a.com/x#f")],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert len(rows) == 4  # one audit row per input, NULLs included
+    # each NULL-url doc is its own singleton cluster, never merged
+    assert rows[1].keep and rows[1].canonical_id == 1
+    assert rows[2].keep and rows[2].canonical_id == 2
+    assert rows[0].keep and not rows[3].keep and rows[3].canonical_id == 0
+
+
+def test_domain_caps_empty_domain_tiers(spark):
+    """Cap-key degradation: single-label hosts cap PER HOST (two
+    intranet hosts never cap against each other), and unparseable
+    URLs pass through uncapped instead of pooling into one ''
+    pseudo-domain."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import domain_caps
+
+    urls = (
+        [f"https://alpha/{i}" for i in range(4)]       # single-label host A
+        + [f"https://beta/{i}" for i in range(4)]      # single-label host B
+        + [f"garbage-{i}" for i in range(5)]           # no host at all
+        + [f"https://x.example.com/{i}" for i in range(4)]  # real domain
+    )
+    out = domain_caps(_docs(spark, urls), 2)
+    by_host = {
+        h: c for h, c in out.groupBy("host").count().collect()
+    }
+    assert by_host["alpha"] == 2 and by_host["beta"] == 2  # per-host caps
+    assert by_host[""] == 5                                # uncapped passthrough
+    assert by_host["x.example.com"] == 2

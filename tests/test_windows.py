@@ -135,3 +135,45 @@ def test_trailing_range_agg_frames_and_tie_semantics(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # createDataFrame parallelize + partitionBy
+
+
+def test_trailing_range_agg_matches_bruteforce_property(spark):
+    """Differential property: for random (user, second-offset, value)
+    event sets — duplicate seconds included — the operator's
+    (w_count, w_sum) must equal the brute-force definition: all rows
+    of the same user with ts_sec in [ts_sec - W, ts_sec]."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.windows import trailing_range_agg
+
+    base = dt.datetime(2024, 6, 1)
+    event_strategy = st.tuples(
+        st.integers(min_value=0, max_value=2),      # user
+        st.integers(min_value=0, max_value=50),     # second offset
+        st.integers(min_value=-5, max_value=5),     # value
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(event_strategy, min_size=1, max_size=25), st.sampled_from([0, 1, 10]))
+    def check(events, window_s):
+        rows = [
+            (i, u, base + dt.timedelta(seconds=s), float(v))
+            for i, (u, s, v) in enumerate(events)
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+        got = {
+            r.event_id: (r.w_count, r.w_sum)
+            for r in trailing_range_agg(df, ["user_id"], "ts", "value", window_s).collect()
+        }
+        for i, (u, s, v) in enumerate(events):
+            frame = [
+                float(v2)
+                for (u2, s2, v2) in events
+                if u2 == u and s - window_s <= s2 <= s
+            ]
+            assert got[i] == (len(frame), sum(frame)), (i, events, window_s)
+
+    check()
