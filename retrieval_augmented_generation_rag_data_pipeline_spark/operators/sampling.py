@@ -69,6 +69,11 @@ def assign_split(
     """
     if splits is None:
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits:
+        raise ValueError(
+            "assign_split: splits must name at least one label "
+            "(pass None for the 0.9/0.05/0.05 default)"
+        )
     bucket = md5_long(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     ) % RESOLUTION
@@ -100,16 +105,17 @@ def mix_corpora(
     which rows the others keep, and reruns are byte-identical.
     Per-source narrow filters + union — no shuffle anywhere.
     """
+    if not corpora:
+        raise ValueError("mix_corpora: corpora must name at least one source")
+    from .relational import union_sources
+
     parts = []
     for name, (df, rate) in sorted(corpora.items()):
         kept = df.filter(
             _keep_expr(F.lit(name), F.col(id_col), rate, seed)
         ).withColumn("source_name", F.lit(name))
         parts.append(kept)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return union_sources(parts)
 
 
 def sample_stratified(
@@ -131,8 +137,12 @@ def sample_stratified(
     if isinstance(fraction, dict):
         threshold = F.lit(0).cast("long")
         for value, fr in sorted(fraction.items()):
+            # native-typed comparison, NOT cast("string") == str(value):
+            # Spark renders booleans as 'true'/'false' (str(True) is
+            # 'True') and doubles as '0.0' (str(0) is '0'), so a string
+            # compare silently drops every row of a non-string stratum
             threshold = F.when(
-                stratum.cast("string") == str(value), F.lit(quantize(fr)).cast("long")
+                stratum == F.lit(value), F.lit(quantize(fr)).cast("long")
             ).otherwise(threshold)
         bucket = md5_long(
             F.concat_ws(
@@ -312,8 +322,15 @@ def select_token_budget(
         F.col(score_col).alias("score"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
     ).withColumn(
+        # NULLS LAST: a NULL score coalesces to +inf on the rank key, so
+        # unscored docs sort AFTER every scored doc (Spark's bare asc is
+        # NULLS FIRST, which would let unvetted docs consume the budget
+        # ahead of the best-scored ones); same rule as resolve_survivors
         "_ord",
-        F.col("score") if ascending else -F.col("score"),
+        F.coalesce(
+            F.col("score") if ascending else -F.col("score"),
+            F.lit(float("inf")),
+        ),
     )
     parted, off = range_parted_offsets(
         base, ["_ord", "doc_id"], num_parts, weight_col="n_tokens"
@@ -439,8 +456,12 @@ def select_token_budget_grouped(
         F.col(score_col).alias("score"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
     ).withColumn(
+        # NULLS LAST via +inf coalesce — see select_token_budget
         "_ord",
-        F.col("score") if ascending else -F.col("score"),
+        F.coalesce(
+            F.col("score") if ascending else -F.col("score"),
+            F.lit(float("inf")),
+        ),
     )
     parted, off = range_parted_offsets_grouped(
         base,
@@ -521,6 +542,22 @@ def mix_temperature(
     # scored frame, the renormalizing sum) — pinned so the corpus scan
     # behind it runs exactly once
     per = pin(df.groupBy(F.col(source_col).alias("source")).agg(n.alias("n")))
+    # per is already materialized (pin), so these two metadata-sized
+    # reads are cheap — they turn spec errors into a clear driver-side
+    # ValueError instead of NaN weights (ONE negative sum poisons every
+    # source's weight through the renormalizing sum: pow(neg, 0.3) is
+    # NaN and NaN propagates through sum) or a mid-job ANSI
+    # divide-by-zero (all-zero total in the share ratio)
+    if per.filter(F.col("n") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "mix_temperature: a source has a negative weight sum — "
+            "weights must be non-negative"
+        )
+    if per.filter(F.col("n") > 0).limit(1).count() == 0:
+        raise ValueError(
+            "mix_temperature: no source has a positive weight sum "
+            "(empty input or all-zero weights)"
+        )
     total = per.agg(F.sum("n").cast("long").alias("_total"))
     p = per.crossJoin(F.broadcast(total)).select(
         "source",

@@ -549,3 +549,65 @@ def test_group_keyed_split_is_leakage_free_and_stable(spark):
     # the label is a pure row-local function: no shuffle in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sample_stratified_non_string_strata(spark):
+    """Native-typed strata comparison: boolean and numeric stratum
+    columns must match their dict keys (a cast-to-string compare sees
+    'true' vs str(True)='True' and silently drops everything)."""
+    bdf = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(100)], ["k", "flag"]
+    )
+    got = sample_stratified(bdf, "flag", "k", {True: 1.0}).collect()
+    assert len(got) == 50 and all(r.flag for r in got)
+    ndf = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(90)], ["k", "grp"]
+    )
+    assert sample_stratified(ndf, "grp", "k", {0: 1.0, 1: 1.0}).count() == 60
+
+
+def test_select_token_budget_null_scores_rank_last(spark):
+    """NULLS LAST: unscored docs must never consume the budget ahead of
+    scored ones (Spark's bare ascending sort is NULLS FIRST)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import select_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, 0.9, 10), (2, None, 10), (3, 0.8, 10)],
+        "doc_id long, score double, n_tokens long",
+    )
+    rows = {r.doc_id: r for r in select_token_budget(docs, 20, "score").collect()}
+    assert rows[1].keep and rows[3].keep      # the two scored docs fit
+    assert not rows[2].keep                   # the unscored doc ranks last
+    # ascending (lower-is-better) mode: NULL still last
+    rows = {
+        r.doc_id: r
+        for r in select_token_budget(docs, 20, "score", ascending=True).collect()
+    }
+    assert rows[3].keep and rows[1].keep and not rows[2].keep
+
+
+def test_sampling_degenerate_spec_guards(spark):
+    """Empty specs raise a named ValueError instead of a bare
+    IndexError; negative/zero mixture weights raise instead of
+    emitting NaN weights."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        mix_corpora,
+        mix_temperature,
+    )
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="assign_split"):
+        assign_split(df, "k", splits={})
+    with pytest.raises(ValueError, match="mix_corpora"):
+        mix_corpora({}, "k")
+    neg = spark.createDataFrame(
+        [("a", -5.0), ("b", 10.0)], ["lang", "toks"]
+    )
+    with pytest.raises(ValueError, match="negative"):
+        mix_temperature(neg, source_col="lang", weight_col="toks")
+    zero = spark.createDataFrame([("a", 0.0)], ["lang", "toks"])
+    with pytest.raises(ValueError, match="positive"):
+        mix_temperature(zero, source_col="lang", weight_col="toks")
