@@ -117,7 +117,11 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     caller filters on pred_lang (filter pushdown inlines the alias)."""
 
     def with_tokens(toks):
-        n = F.size(toks)
+        # greatest(n, 1): an empty doc has n = 0 and the bare ratio dies
+        # with DIVIDE_BY_ZERO under Spark 4's default ANSI mode; guarded,
+        # every language scores 0.0 and the tie-break picks the lexico-
+        # graphically first code — same as the oracle's guarded form
+        n = F.greatest(F.size(toks), F.lit(1))
         scores = []
         for code, words in sorted(LANG_PROFILES.items()):
             stop = F.array(*[F.lit(w) for w in words])
@@ -165,10 +169,18 @@ def _quality_signals(t, toks):
         n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
     ) / F.greatest(n_chars, F.lit(1.0))
     stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
-    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n_tok
+    # greatest(n_tok, 1): an empty/whitespace-only doc has n_tok = 0 and
+    # a bare /n_tok dies with DIVIDE_BY_ZERO under Spark 4's default
+    # ANSI mode (killing prepare_corpus on one blank doc); the guarded
+    # form gives 0-ratios, same as the punct denominator above and the
+    # oracle's greatest(len(tk), 1)
+    n_tok_safe = F.greatest(n_tok, F.lit(1.0))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n_tok_safe
+    )
     mean_wlen = F.aggregate(
         toks, F.lit(0.0), lambda s, x: s + F.length(x).cast("double")
-    ) / n_tok
+    ) / n_tok_safe
     score = (
         F.least(n_tok / 64.0, F.lit(1.0)) * 0.4
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
@@ -234,17 +246,22 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Rolling-shingle-hash document fingerprint: min and max shingle hash
     (a 1-permutation MinHash sketch — stable under reordering-free edits).
-    Shingle hashes and the whole-doc digest are let-bound so a pushed
-    filter on either fingerprint hashes once, not per reference."""
+    The shingle-hash array is let-bound so a pushed filter on either
+    fingerprint hashes once, not per reference; the whole-doc fallback
+    digest is inlined so coalesce short-circuits it (see comment)."""
 
     def with_hashes(h):
-        def with_whole(whole):
-            return F.struct(
-                F.coalesce(F.array_min(h), whole).alias("fp_min"),
-                F.coalesce(F.array_max(h), whole).alias("fp_max"),
-            )
-
-        return let(md5_long(F.trim(F.col(text_col))), with_whole)
+        # the whole-doc md5 fallback is deliberately NOT let-bound:
+        # let() evaluates its binding unconditionally per row, which
+        # would compute a full-text hash for EVERY document; inlined,
+        # coalesce short-circuits and only the rare < k-token docs
+        # (where array_min(h) is NULL) ever pay it — at most twice,
+        # and only for those rows
+        whole = md5_long(F.trim(F.col(text_col)))
+        return F.struct(
+            F.coalesce(F.array_min(h), whole).alias("fp_min"),
+            F.coalesce(F.array_max(h), whole).alias("fp_max"),
+        )
 
     staged = df.select(
         F.col(id_col).alias("doc_id"),
@@ -257,6 +274,18 @@ def doc_fingerprint(
         F.col("_m.fp_min").alias("fp_min"),
         F.col("_m.fp_max").alias("fp_max"),
     )
+
+
+def _dup_frac(arr):
+    """Duplicate fraction of an n-gram array, 6dp-rounded; empty -> 0.0.
+    ONE definition shared by repetition_metrics (reports it) and
+    quality_filter (gates on it) so a rounding or empty-array tweak can
+    never desynchronize the reported metric from the gate."""
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        F.round((n - F.size(F.array_distinct(arr))) / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
 
 
 def repetition_metrics(
@@ -274,22 +303,13 @@ def repetition_metrics(
     that further.
     """
 
-    def dup_frac(arr):
-        n = F.size(arr)
-        return F.when(
-            n > 0,
-            F.round(
-                (n - F.size(F.array_distinct(arr))) / n.cast("double"), 6
-            ),
-        ).otherwise(F.lit(0.0))
-
     def with_tokens(tk):
         def with_bigrams(t2):
             def with_trigrams(t3):
                 return F.struct(
-                    dup_frac(tk).alias("dup_unigram_frac"),
-                    dup_frac(t2).alias("dup_bigram_frac"),
-                    dup_frac(t3).alias("dup_trigram_frac"),
+                    _dup_frac(tk).alias("dup_unigram_frac"),
+                    _dup_frac(t2).alias("dup_bigram_frac"),
+                    _dup_frac(t3).alias("dup_trigram_frac"),
                 )
 
             return let(word_shingles(tk, 3), with_trigrams)
@@ -418,13 +438,7 @@ def quality_filter(
             quality = F.round(score, 6)
 
             def with_trigrams(tri):
-                n3 = F.size(tri)
-                dup3 = F.when(
-                    n3 > 0,
-                    F.round(
-                        (n3 - F.size(F.array_distinct(tri))) / n3.cast("double"), 6
-                    ),
-                ).otherwise(F.lit(0.0))
+                dup3 = _dup_frac(tri)
                 too_short = n_tokens < F.lit(min_tokens)
                 low_q = quality < F.lit(min_quality)
                 rep = dup3 > F.lit(max_dup_trigram)
@@ -486,8 +500,13 @@ def vocab_entropy(
             return F.struct(
                 F.size(toks).cast("long").alias("n_tokens"),
                 F.size(uniq).cast("long").alias("n_distinct"),
+                # NULL text -> NULL entropy (size(NULL) > 0 is NULL and
+                # would fall into the 0.0 branch, stamping a concrete
+                # "maximally repetitive" score on an unmeasurable doc
+                # next to NULL counts); 0.0 stays the EMPTY-doc value
                 F.when(F.size(toks) > 0, F.round(h, 6))
-                .otherwise(0.0)
+                .when(toks.isNotNull(), F.lit(0.0))
+                .otherwise(F.lit(None).cast("double"))
                 .alias("entropy"),
             )
 
@@ -584,27 +603,42 @@ def pii_scrub(
     original, IPs on the email-scrubbed text, phones on the IP-scrubbed
     text), so counts equal actual replacements: an IP-shaped substring
     inside an email (user@1.2.3.4) is consumed by <EMAIL> and is not
-    double-counted as an IP. Each stage lives in its own projection and
-    is referenced twice downstream, which keeps CollapseProject from
-    inlining (and re-evaluating) the regex chain.
+    double-counted as an IP. The stage chain is LET-BOUND
+    (functions.binding.let), not staged projections: filter pushdown
+    substitutes projection aliases into pushed predicates (the exact
+    hazard let() exists for — see quality_filter), so a caller
+    filtering on n_phones or clean_text would otherwise re-run the
+    whole regex chain inside the pushed Filter.
     """
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t0"))
-        .select(
-            "doc_id", "_t0",
-            F.regexp_replace("_t0", PII_EMAIL, "<EMAIL>").alias("_t1"),
-        )
-        .select(
-            "doc_id", "_t0", "_t1",
-            F.regexp_replace("_t1", PII_IPV4, "<IP>").alias("_t2"),
-        )
-        .select(
-            "doc_id",
-            F.regexp_replace("_t2", PII_PHONE, "<PHONE>").alias("clean_text"),
-            F.size(F.regexp_extract_all("_t0", F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
-            F.size(F.regexp_extract_all("_t1", F.lit(PII_IPV4), 0)).cast("long").alias("n_ips"),
-            F.size(F.regexp_extract_all("_t2", F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
-        )
+    t0 = F.col(text_col)
+
+    def with_t1(t1):
+        def with_t2(t2):
+            return F.struct(
+                F.regexp_replace(t2, PII_PHONE, "<PHONE>").alias("clean_text"),
+                F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), 0))
+                .cast("long")
+                .alias("n_emails"),
+                F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), 0))
+                .cast("long")
+                .alias("n_ips"),
+                F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0))
+                .cast("long")
+                .alias("n_phones"),
+            )
+
+        return let(F.regexp_replace(t1, PII_IPV4, "<IP>"), with_t2)
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        let(F.regexp_replace(t0, PII_EMAIL, "<EMAIL>"), with_t1).alias("_m"),
+    )
+    return staged.select(
+        "doc_id",
+        *[
+            F.col(f"_m.{c}").alias(c)
+            for c in ("clean_text", "n_emails", "n_ips", "n_phones")
+        ],
     )
 
 
@@ -612,6 +646,27 @@ _FROZEN_LM_CACHE: dict[str, dict] = {}
 
 
 _FROZEN_CLF_CACHE: dict[str, dict] = {}
+
+
+def _load_frozen(path: str | None, default_name: str, cache: dict) -> dict:
+    """Shared resolve-default-path / cache / json-load seam for the
+    frozen artifacts (lm.json, quality_clf.json) — one copy so a cache
+    or validation change can never apply to one loader and not the
+    other."""
+    import json as _json
+    import pathlib as _pathlib
+
+    if path is None:
+        path = str(
+            _pathlib.Path(__file__).resolve().parents[2]
+            / "artifacts"
+            / default_name
+        )
+    cached = cache.get(path)
+    if cached is None:
+        cached = _json.loads(_pathlib.Path(path).read_text())
+        cache[path] = cached
+    return cached
 
 
 def frozen_classifier(path: str | None = None) -> dict:
@@ -623,20 +678,7 @@ def frozen_classifier(path: str | None = None) -> dict:
     trained offline on the seeded reference corpus, applied to any
     corpus at any sf, weight literals replayed verbatim by the DuckDB
     oracle. Loaded once per process (tiny, cached)."""
-    import json as _json
-    import pathlib as _pathlib
-
-    if path is None:
-        path = str(
-            _pathlib.Path(__file__).resolve().parents[2]
-            / "artifacts"
-            / "quality_clf.json"
-        )
-    cached = _FROZEN_CLF_CACHE.get(path)
-    if cached is None:
-        cached = _json.loads(_pathlib.Path(path).read_text())
-        _FROZEN_CLF_CACHE[path] = cached
-    return cached
+    return _load_frozen(path, "quality_clf.json", _FROZEN_CLF_CACHE)
 
 
 def quality_classifier(
@@ -715,20 +757,7 @@ def frozen_lm(path: str | None = None) -> dict:
     trained offline on the seeded reference corpus, applied to any
     corpus at any sf, and its log-prob literals are replayed verbatim
     by the DuckDB oracle. Loaded once per process (tiny, cached)."""
-    import json as _json
-    import pathlib as _pathlib
-
-    if path is None:
-        path = str(
-            _pathlib.Path(__file__).resolve().parents[2]
-            / "artifacts"
-            / "lm.json"
-        )
-    cached = _FROZEN_LM_CACHE.get(path)
-    if cached is None:
-        cached = _json.loads(_pathlib.Path(path).read_text())
-        _FROZEN_LM_CACHE[path] = cached
-    return cached
+    return _load_frozen(path, "lm.json", _FROZEN_LM_CACHE)
 
 
 def lm_cross_entropy(
@@ -893,15 +922,26 @@ def lm_quality_buckets(
             F.round(F.expr(pct), 6).alias("_t1"),
             F.round(F.expr(pct2), 6).alias("_t2"),
         )
-    return scored.join(F.broadcast(th), "_g").select(
-        "doc_id",
-        F.col("_g").alias(group_col),
-        "n_tokens",
-        "xent",
-        F.when(F.col("xent") <= F.col("_t1"), F.lit("head"))
-        .when(F.col("xent") <= F.col("_t2"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
+    # null-safe equi-join (<=>): a NULL group (e.g. docs a language-ID
+    # pass failed on) forms its own threshold group in the aggregate
+    # modes, and a plain inner join on "_g" would silently drop every
+    # such doc (NULL never equals NULL) — violating the one-row-per-
+    # scoreable-doc contract. Still a broadcast HASH join. In the
+    # frozen-thresholds mode NULL groups drop like any group absent
+    # from the dict (documented).
+    th = th.withColumnRenamed("_g", "_gt")
+    return (
+        scored.join(F.broadcast(th), scored["_g"].eqNullSafe(th["_gt"]))
+        .select(
+            "doc_id",
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            "xent",
+            F.when(F.col("xent") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("xent") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
     )
 
 
@@ -946,7 +986,6 @@ def lm_cross_entropy_bigram(
     )
     oov = float(lm["oov_logp"])
     tk = tokens(F.col(text_col))
-    from ..functions.binding import let
 
     # arrays_zip pads to the LONGER input, and the shifted side is
     # [NULL] (length 1) for an empty token array — unguarded, an
@@ -1077,7 +1116,13 @@ def c4_line_filter(
             F.array_join(kept, "\n").alias("text_clean"),
         )
 
-    lines = F.transform(F.split(t, "\n"), lambda s: F.trim(s))
+    # split on \r?\n, not \n: a CRLF document would otherwise keep a
+    # stray \r on every line — Java's rlike '$' matches BEFORE a final
+    # \r (line-terminator semantics) while RE2/DuckDB's '$' does not,
+    # so the terminal-punctuation rule would diverge between the two
+    # engines, and text_clean would carry \r bytes (F.trim strips
+    # spaces only)
+    lines = F.transform(F.split(t, "\r?\n"), lambda s: F.trim(s))
     staged = df.select(
         F.col(id_col).alias("doc_id"), let(lines, with_lines).alias("_m")
     )

@@ -2462,7 +2462,7 @@ def _lang_sql() -> str:
         lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
         selects.append(
             f"SELECT doc_id, '{code}' AS code, "
-            f"len(list_filter(tk, t2 -> list_contains({lit}, t2))) / CAST(len(tk) AS DOUBLE) AS score "
+            f"len(list_filter(tk, t2 -> list_contains({lit}, t2))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS score "
             f"FROM toks"
         )
     union = "\nUNION ALL\n".join(selects)
@@ -2492,9 +2492,9 @@ m AS (SELECT doc_id,
            - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
         len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
-          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS stop_ratio,
         CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
-          / CAST(len(tk) AS DOUBLE) AS mean_wlen
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_wlen
       FROM t)
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
@@ -2584,9 +2584,9 @@ qm AS (SELECT doc_id,
            - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
         len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
-          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS stop_ratio,
         CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
-          / CAST(len(tk) AS DOUBLE) AS mean_wlen
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_wlen
       FROM qt),
 q AS (SELECT doc_id,
        round(least(n_tok/64.0, 1.0)*0.4 + least(stop_ratio*4.0, 1.0)*0.3
@@ -2631,9 +2631,9 @@ m AS (SELECT doc_id,
            - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
         len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
-          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS stop_ratio,
         CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
-          / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_wlen,
         {_QF_TRI} AS tri
       FROM t),
 s AS (SELECT doc_id,
@@ -3819,9 +3819,9 @@ qm AS (SELECT doc_id,
            - CAST(length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE))
           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
         len(list_filter(tk, t2 -> list_contains({_EN_STOPS}, t2)))
-          / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS stop_ratio,
         CAST(list_sum(list_transform(tk, t2 -> length(t2))) AS DOUBLE)
-          / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+          / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_wlen,
         {_QF_TRI} AS tri
       FROM qt),
 qs AS (SELECT doc_id,
@@ -4381,7 +4381,8 @@ def _c4_line_filter_sql() -> str:
 WITH t AS (SELECT doc_id, {O.tokens('text')} AS w FROM documents),
 lt AS (SELECT doc_id, {lined} AS text FROM t),
 L AS (SELECT doc_id, text,
-             list_transform(string_split(text, chr(10)), s -> trim(s)) AS ls
+             list_transform(string_split_regex(text, '\r?' || chr(10)),
+                            s -> trim(s)) AS ls
       FROM lt),
 K AS (SELECT doc_id, text, ls,
              list_filter(ls, s -> {keep_line}) AS kept

@@ -519,3 +519,87 @@ def test_lm_quality_buckets_rejects_bad_mode(spark):
 
     with pytest.raises(ValueError, match="percentile_mode"):
         lm_quality_buckets(_bucket_docs(spark), percentile_mode="median")
+
+
+def test_empty_and_blank_docs_survive_quality_and_langid(spark):
+    """ANSI-mode regression: empty/whitespace-only docs used to kill
+    quality_score / quality_filter / lang_id (and through them
+    prepare_corpus) with DIVIDE_BY_ZERO; guarded, they score 0-ratios
+    deterministically on both engines."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lang_id,
+        quality_filter,
+        quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "the cat sat on the mat of the hat")],
+        "doc_id long, text string",
+    )
+    qs = {r.doc_id: r for r in quality_score(df).collect()}
+    assert qs[0].n_tokens == 0 and qs[0].stopword_ratio == 0.0
+    assert qs[1].n_tokens == 0 and qs[1].mean_word_len == 0.0
+    assert qs[2].n_tokens == 9
+    qf = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert not qf[0].keep and qf[0].is_too_short  # blank docs drop cleanly
+    li = {r.doc_id: r for r in lang_id(df).collect()}
+    assert li[0].lang_score == 0.0
+    assert li[0].pred_lang == sorted(
+        __import__(
+            "retrieval_augmented_generation_rag_data_pipeline_spark.operators.text", fromlist=["LANG_PROFILES"]
+        ).LANG_PROFILES
+    )[0]  # all-zero scores -> lexicographically first code
+    assert li[2].pred_lang == "en"
+
+
+def test_c4_line_filter_handles_crlf(spark):
+    """CRLF documents: lines split on \\r?\\n so the terminal-punct
+    rule sees the real line (Java's $ matches before a trailing \\r,
+    RE2's does not — the \\r must never reach the rule), and
+    text_clean carries no \\r bytes."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import c4_line_filter
+
+    body = (
+        "this line ends with proper punctuation right here.\r\n"
+        "so does this one with enough words to keep around.\r\n"
+        "and a third full sentence to clear the minimum too.\r\n"
+        "short.\r\n"
+    )
+    df = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    r = c4_line_filter(df).collect()[0]
+    assert r.n_kept == 3 and r.n_drop_short == 1
+    assert "\r" not in r.text_clean
+    assert r.keep
+
+
+def test_lm_quality_buckets_null_group_rows_survive(spark):
+    """A NULL group (failed language-ID) must form its own bucket
+    group, not vanish through a null-rejecting equi-join."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import lm_quality_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the cat sat on the mat " * (1 + i % 3), None if i % 2 else "en")
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = lm_quality_buckets(docs)
+    assert out.count() == 8  # one row per scoreable doc, NULLs included
+    got = {r.doc_id: r.lang for r in out.collect()}
+    assert got[1] is None and got[0] == "en"
+
+
+def test_vocab_entropy_null_text_row_is_consistent(spark):
+    """NULL text -> NULL entropy next to NULL counts (0.0 stays the
+    EMPTY-doc value; an unmeasurable doc must not read as maximally
+    repetitive)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import vocab_entropy
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a b a b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in vocab_entropy(df).collect()}
+    assert rows[0].entropy is None and rows[0].n_tokens is None
+    assert rows[1].entropy == 0.0 and rows[1].n_tokens == 0
+    assert rows[2].entropy is not None and rows[2].entropy > 0
