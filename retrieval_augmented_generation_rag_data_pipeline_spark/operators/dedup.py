@@ -242,10 +242,16 @@ def ngram_jaccard_pairs(
         shingled.select("doc_id", F.explode("_sh").alias("shingle"))
         .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
     )
-    sizes = inv.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     if df_cap is not None:
         hot = inv.groupBy("_h").count().filter(F.col("count") > df_cap).select("_h")
         inv = inv.join(F.broadcast(hot), "_h", "left_anti")
+    # sizes AFTER the cap: with df_cap the similarity is the jaccard of
+    # the CAPPED shingle space (both |A∩B| and |A|,|B| exclude hot
+    # shingles), a self-consistent value — sizes from the uncapped index
+    # against a capped intersection would score two identical
+    # boilerplate-heavy docs far below 1.0, defeating the exact
+    # template-dup case df_cap exists for
+    sizes = inv.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -560,8 +566,6 @@ def resolve_survivors(
     combined aggregate on the scores side only — typically the small
     side), so a doubled ledger row can never multiply cluster members
     through the left join and break the exactly-one-keep contract."""
-    from pyspark.sql import Window
-
     sc = (
         scores.select(
             F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
@@ -610,7 +614,7 @@ def dedup_corpus(
          (``connected_components``), so A~B, B~C collapse even when
          A,C never collide directly;
       4. survivor selection: by default keep the lowest doc_id per
-         component; pass ``survivor_scores`` (a (doc_id, score) frame,
+         component; pass ``survivor_scores`` (an (id_col, score) frame,
          score column named by ``survivor_score_col``) to keep the
          HIGHEST-scoring member instead, ties to the lowest doc_id
          (``resolve_survivors`` — the best copy survives, the policy
@@ -653,9 +657,13 @@ def dedup_corpus(
         ),
     )
     if survivor_scores is not None:
+        # scores are keyed by the CALLER'S id column (id_col), same as
+        # df — forwarded so a custom id never forces the scores frame
+        # to be renamed to the literal "doc_id"
         return resolve_survivors(
             comp.select("doc_id", "component_id"),
             survivor_scores,
+            id_col=id_col,
             score_col=survivor_score_col,
         )
     # min-id rule without a second pass: the component label IS the
@@ -925,8 +933,6 @@ def semantic_dedup(
         )
         assigned = assign_cells_arrow(spine, cents, "_v", out_col="_cell")
     elif assign in ("table", "two_level"):
-        from ..session import ensure_parallelism
-
         cents = (
             centroids
             if centroids is not None
@@ -987,9 +993,13 @@ def semantic_dedup(
     ).select(
         F.col("a.vec_id").alias("_ia"),
         F.col("b.vec_id").alias("_ib"),
-        (
-            dot(F.col("a._v"), F.col("b._v"))
-            / (F.col("a._n") * F.col("b._n"))
+        # try_divide: a zero vector has _n = 0 and a bare division kills
+        # the job with ANSI DIVIDE_BY_ZERO; NULL cosine fails the
+        # threshold when() below, so zero vectors dedup nothing — the
+        # oracle's nullif(na*nb, 0) semantics
+        F.try_divide(
+            dot(F.col("a._v"), F.col("b._v")),
+            F.col("a._n") * F.col("b._n"),
         ).alias("_cs"),
     )
     dropped = (
@@ -1028,8 +1038,12 @@ def chunk_dedup(
     chunk's FIRST occurrence (ordered by (doc_id, chunk_idx)), and
     rebuild every document from its surviving chunks.
 
-    Returns (doc_id, text_dedup, n_chunks_kept, n_chunks_orig); a doc
-    whose every chunk already appeared elsewhere keeps an empty string.
+    Returns (doc_id, text_dedup, n_chunks_kept, n_chunks_orig) — ONE
+    row per input doc: a doc whose every chunk already appeared
+    elsewhere keeps an empty string, and a doc that produced no chunks
+    at all (empty / whitespace-only / NULL text) comes back as
+    ('', 0, 0) through a left join onto the input doc spine rather
+    than silently vanishing from the reassembled corpus.
 
     Scale: the winner per digest comes from `groupBy(digest).min(struct)`
     — partial aggregation combines map-side, so a boilerplate chunk
@@ -1056,7 +1070,7 @@ def chunk_dedup(
     kept_struct = F.when(
         F.col("_keep"), F.struct("chunk_idx", "chunk_text")
     )  # NULL for dropped chunks -> collect_list skips them
-    return (
+    rebuilt = (
         flagged.groupBy("doc_id")
         .agg(
             F.array_join(
@@ -1069,6 +1083,21 @@ def chunk_dedup(
             F.sum(F.col("_keep").cast("long")).alias("n_chunks_kept"),
             F.count("*").cast("long").alias("n_chunks_orig"),
         )
+    )
+    # left join onto the input spine: a chunkless doc (empty /
+    # whitespace / NULL text) emits zero chunk rows and would otherwise
+    # vanish from the output entirely — the one-row-per-input-doc
+    # contract a corpus rebuild depends on
+    spine = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return spine.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_chunks_kept"), F.lit(0).cast("long")).alias(
+            "n_chunks_kept"
+        ),
+        F.coalesce(F.col("n_chunks_orig"), F.lit(0).cast("long")).alias(
+            "n_chunks_orig"
+        ),
     )
 
 

@@ -65,8 +65,13 @@ def asof_align(
     (reference src/transcription.py:206-218).
 
     Null chunk end times are dropped first (reference :200 builds
-    end_timestamps over non-null ends only).
+    end_timestamps over non-null ends only); null SEGMENT end times are
+    dropped symmetrically — unfiltered, a NULL spk_end resolves through
+    the nulls-first/nulls-last window fills to the file's SMALLEST
+    chunk end, silently stealing a chunk from the next segment and
+    shifting every later segment's text by one.
     """
+    segments = segments.filter(F.col("spk_end").isNotNull())
     wc = Window.partitionBy(file_col).orderBy(chunk_order)
     c = (
         chunks.filter(F.col("t_end").isNotNull())
@@ -330,7 +335,22 @@ def salted_join(
             f"{salt}x (dim side is replicated per salt); use one of "
             f"{sorted(_SALT_SAFE_HOW)} or an AQE skew join instead"
         )
-    f = facts.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    # deterministic salt — pmod(xxhash64(row)), NOT rand(): rand()
+    # re-evaluates over a nondeterministically-ordered input when a
+    # stage recomputes after a shuffle-fetch failure (the
+    # indeterminate-stage class), re-dealing salts so the retried join
+    # can double-count or lose rows; a full-row hash deals identically
+    # on every attempt (exact-duplicate rows share a salt — harmless
+    # unless a hot key is also exactly duplicated, which no row-level
+    # salt could split anyway). Map columns aren't hashable — excluded.
+    hashable = [c for c, t in facts.dtypes if not t.startswith("map<")]
+    f = facts.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in (hashable or [key])]),
+            F.lit(int(salt)),
+        ).cast("int"),
+    )
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
@@ -545,6 +565,23 @@ def hot_salted_count_join(
     )
 
 
+def _resolve_num_parts(df: DataFrame, num_parts: int | None) -> int:
+    """Shared partition-count resolution for the range-parted offset
+    helpers: explicit override, else spark.sql.shuffle.partitions —
+    which can be non-numeric ('auto' under AQE auto-optimized shuffle
+    on some platforms) — else the input's own parallelism, else the
+    cluster default. One copy so the twins cannot drift."""
+    if num_parts:
+        return num_parts
+    spark = df.sparkSession
+    conf = spark.conf.get("spark.sql.shuffle.partitions", "")
+    return (
+        int(conf)
+        if conf.isdigit()
+        else (df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism)
+    )
+
+
 def range_parted_offsets(
     df: DataFrame,
     order_cols: list,
@@ -585,24 +622,15 @@ def range_parted_offsets(
     are needed downstream.
 
     When ``weight_col`` is set, the stats job also validates it:
-    negative or NULL weights raise (either would silently corrupt every
-    downstream offset — NULLs are skipped by sum() so successors shift
-    as if the row weighed 0 while the row itself gets NULL
-    coordinates).
+    negative, NULL, or NON-INTEGRAL weights raise (negatives/NULLs
+    would silently corrupt every downstream offset — NULLs are skipped
+    by sum() so successors shift as if the row weighed 0 while the row
+    itself gets NULL coordinates; fractional weights would truncate
+    differently on the literal-map vs broadcast-offsets path, making
+    offsets depend on the partition count).
     """
     spark = df.sparkSession
-    if num_parts:
-        n = num_parts
-    else:
-        # the conf can be non-numeric ('auto' under AQE auto-optimized
-        # shuffle on some platforms) — fall back to the input's own
-        # parallelism, then the cluster default
-        conf = spark.conf.get("spark.sql.shuffle.partitions", "")
-        n = (
-            int(conf)
-            if conf.isdigit()
-            else (df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism)
-        )
+    n = _resolve_num_parts(df, num_parts)
     parted = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_part", F.spark_partition_id())
@@ -619,6 +647,9 @@ def range_parted_offsets(
                 F.sum(weight_col).alias("_w"),
                 F.min(weight_col).alias("_m"),
                 (F.count("*") - F.count(weight_col)).alias("_nulls"),
+                F.sum(
+                    (F.col(weight_col) != F.floor(weight_col)).cast("int")
+                ).alias("_frac"),
             )
             .collect()
         )
@@ -634,6 +665,15 @@ def range_parted_offsets(
                 f"range_parted_offsets: NULL values in {weight_col!r} "
                 f"(partitions {sorted(nulls)[:5]}); coalesce them to 0 "
                 "explicitly if that is the intended weight"
+            )
+        frac = [r["_part"] for r in stats if r["_frac"]]
+        if frac:
+            raise ValueError(
+                f"range_parted_offsets: non-integral values in "
+                f"{weight_col!r} (partitions {sorted(frac)[:5]}); prefix "
+                "offsets are integer counts and fractional weights would "
+                "silently truncate — round or cast the weight column "
+                "explicitly"
             )
     sums = {r["_part"]: (r["_w"] or 0) for r in stats}
     offsets: dict[int, int] = {}
@@ -698,15 +738,7 @@ def range_parted_offsets_grouped(
     treat NULL as a value).
     """
     spark = df.sparkSession
-    if num_parts:
-        n = num_parts
-    else:
-        conf = spark.conf.get("spark.sql.shuffle.partitions", "")
-        n = (
-            int(conf)
-            if conf.isdigit()
-            else (df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism)
-        )
+    n = _resolve_num_parts(df, num_parts)
     parted = (
         df.repartitionByRange(n, *group_cols, *order_cols)
         .withColumn("_part", F.spark_partition_id())
@@ -725,6 +757,9 @@ def range_parted_offsets_grouped(
                 F.sum(weight_col).alias("_w"),
                 F.min(weight_col).alias("_m"),
                 (F.count("*") - F.count(weight_col)).alias("_nulls"),
+                F.sum(
+                    (F.col(weight_col) != F.floor(weight_col)).cast("int")
+                ).alias("_frac"),
             )
             .collect()
         )
@@ -742,6 +777,15 @@ def range_parted_offsets_grouped(
                 f"{weight_col!r} (partitions {sorted(nulls)[:5]}); "
                 "coalesce them to 0 explicitly if that is the intended "
                 "weight"
+            )
+        frac = [r["_part"] for r in stats if r["_frac"]]
+        if frac:
+            raise ValueError(
+                f"range_parted_offsets_grouped: non-integral values in "
+                f"{weight_col!r} (partitions {sorted(frac)[:5]}); prefix "
+                "offsets are integer counts and fractional weights would "
+                "silently truncate — round or cast the weight column "
+                "explicitly"
             )
     # per-group running offsets in partition order
     acc: dict[tuple, int] = {}

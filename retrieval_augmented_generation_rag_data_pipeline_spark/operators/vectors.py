@@ -86,7 +86,11 @@ def l2_normalize(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide, not /: an all-zero vector has norm 0 and a bare
+    # division aborts the job with DIVIDE_BY_ZERO under Spark 4's
+    # default ANSI mode; NULL-on-zero matches the DuckDB oracle's
+    # nullif(norm*norm, 0) — a zero vector is similar to nothing
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _topk_per_query(scored, corpus_id: str, k: int, score_col: str = "sim"):
@@ -132,7 +136,11 @@ def knn_topk(
         # same arrays, so the factored sim is bit-identical.
         q = q.withColumn("_qn", l2_norm(F.col("_qv")))
         c = c.withColumn("_cn", l2_norm(F.col("_cv")))
-        sim = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        # try_divide: a zero vector (norm 0) must score NULL (ranked
+        # last), not abort the job with ANSI DIVIDE_BY_ZERO
+        sim = F.try_divide(
+            dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+        )
     else:
         sim = dot(F.col("_qv"), F.col("_cv"))
     scored = c.join(F.broadcast(q)).select(

@@ -3296,13 +3296,19 @@ x AS (SELECT doc_id, chunk_idx,
 d AS (SELECT doc_id, chunk_idx, chunk_text,
              row_number() OVER (PARTITION BY md5(chunk_text)
                                 ORDER BY doc_id, chunk_idx) AS rn
-      FROM x)
-SELECT doc_id,
+      FROM x),
+g AS (SELECT doc_id,
        coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
                 FILTER (WHERE rn = 1), '') AS text_dedup,
        CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_chunks_kept,
        CAST(count(*) AS BIGINT) AS n_chunks_orig
-FROM d GROUP BY doc_id
+FROM d GROUP BY doc_id)
+SELECT s.doc_id,
+       coalesce(g.text_dedup, '') AS text_dedup,
+       coalesce(g.n_chunks_kept, 0) AS n_chunks_kept,
+       coalesce(g.n_chunks_orig, 0) AS n_chunks_orig
+FROM (SELECT DISTINCT doc_id FROM documents) s
+LEFT JOIN g USING (doc_id)
 """
 
 

@@ -174,3 +174,24 @@ def test_string_seg_ids_preserved(spark):
     out = asof_align(chunks, segs).collect()
     assert sorted(r.seg_id for r in out) == ["seg-x", "seg-y"]
     assert dict(out[0].asDict())["seg_id"] in ("seg-x", "seg-y")
+
+
+def test_asof_align_drops_null_segment_ends(spark):
+    """A NULL spk_end used to resolve through the window fills to the
+    file's smallest chunk end, stealing a chunk from the next segment
+    and shifting every later segment's text; it is now dropped like a
+    NULL chunk end, leaving the other segments' assignment intact."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import asof_align
+
+    chunks = spark.createDataFrame(
+        [("f", k, f"c{k}", float(k), float(k) + 0.9, 1.0) for k in range(4)],
+        "file string, chunk_id long, text string, t_start double, t_end double, confidence double",
+    )
+    segs = spark.createDataFrame(
+        [("f", 0, "A", 1.9), ("f", 1, "B", None), ("f", 2, "C", 3.9)],
+        "file string, seg_id long, speaker string, spk_end double",
+    )
+    rows = {r.seg_id: r.text for r in asof_align(chunks, segs).collect()}
+    assert 1 not in rows                  # the NULL-end segment emits no row
+    assert rows[0] == "c0 c1"             # unshifted
+    assert rows[2] == "c2 c3"             # later segments keep their chunks

@@ -864,3 +864,74 @@ def test_resolve_survivors_duplicate_score_rows_cannot_multiply(spark):
     # cluster 1: doc 2's max(0.1, 0.9)=0.9 beats doc 1's 0.2
     # cluster 3: doc 3's 0.5 beats doc 4's NULL (NULLS LAST)
     assert got == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_zero_vector_never_dedups_and_never_crashes(spark):
+    """ANSI regression: an all-zero embedding has L2 norm 0 and the bare
+    cosine division used to abort the whole job with DIVIDE_BY_ZERO;
+    try_divide gives NULL cosine (the oracle's nullif semantics), so a
+    zero vector is similar to nothing and everything else still pairs."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import ivf_centroid
+
+    dim = 8
+    base = [1.0] * dim
+    rows = [
+        (0, base),
+        (1, list(base)),          # exact dup of 0
+        (2, [0.0] * dim),         # zero vector
+        (3, [-1.0] * dim),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [ivf_centroid(c, dim) for c in range(2)]
+    out = {r.vec_id: r.keep for r in semantic_dedup(
+        df, threshold=0.95, dim=dim, centroids=cents
+    ).collect()}
+    assert out[0] and not out[1]   # the real dup still drops
+    assert out[2] and out[3]       # zero vector kept, dedups nothing
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.9, dim=dim, exact=True
+    ).collect()
+    assert {(p.vec_a, p.vec_b) for p in pairs} == {(0, 1)}
+
+
+def test_chunk_dedup_keeps_chunkless_docs_on_the_spine(spark):
+    """One output row per INPUT doc: empty / whitespace / NULL text
+    produces zero chunks and used to vanish from the reassembled
+    corpus entirely."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import chunk_dedup
+
+    words = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, words), (1, ""), (2, "   "), (3, None), (4, words)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in chunk_dedup(df, chunk_words=32).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    for d in (1, 2, 3):
+        assert rows[d].text_dedup == ""
+        assert rows[d].n_chunks_kept == 0 and rows[d].n_chunks_orig == 0
+    assert rows[0].n_chunks_kept == 2      # first copy keeps its chunks
+    assert rows[4].n_chunks_kept == 0      # exact-dup doc fully deduped
+
+
+def test_ngram_jaccard_df_cap_scores_capped_space_consistently(spark):
+    """With df_cap, BOTH the intersection and the per-doc sizes live in
+    the capped shingle space: two identical boilerplate-heavy docs must
+    still score jaccard 1.0 (mixed uncapped-sizes/capped-intersection
+    scoring used to push them far below any dedup threshold)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, hot + f" unique tail {i} {i} {i} alpha beta gamma") for i in range(6)]
+    docs += [(100, hot + " shared cold suffix here today"),
+             (101, hot + " shared cold suffix here today")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, df_cap=6).collect()
+    }
+    assert pairs[(100, 101)] == 1.0  # identical docs stay jaccard 1.0

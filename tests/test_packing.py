@@ -244,3 +244,31 @@ def test_pack_offsets_broadcast_path_matches_literal_map(spark, monkeypatch):
     assert [r._rn for r in gi.orderBy("doc_id").collect()] == list(
         range(1, 501)
     )
+
+
+def test_range_parted_offsets_reject_fractional_weights(spark):
+    """Prefix offsets are integer counts; fractional weights would
+    truncate differently on the literal-map vs broadcast path (offsets
+    changing with partition count) — both helpers raise instead."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.joins import (
+        range_parted_offsets,
+        range_parted_offsets_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", 1.5) for i in range(20)], "id long, g string, w double"
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        range_parted_offsets(df, ["id"], num_parts=4, weight_col="w")
+    with pytest.raises(ValueError, match="non-integral"):
+        range_parted_offsets_grouped(
+            df, ["g"], ["id"], num_parts=4, weight_col="w"
+        )
+    # integral-valued doubles still pass
+    ok = spark.createDataFrame(
+        [(i, 2.0) for i in range(20)], "id long, w double"
+    )
+    parted, off = range_parted_offsets(ok, ["id"], num_parts=4, weight_col="w")
+    assert parted.count() == 20
