@@ -168,7 +168,10 @@ def bm25_search(
     <= |query_terms| rows; N and avgdl are one narrow aggregate over
     doc lengths. The final top-k is TakeOrderedAndProject.
     """
-    qset = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    # lowercase the query terms: corpus tokens come from
+    # functions.hashing.tokens, which lowercases — a cased query term
+    # ('Apple') would otherwise silently contribute zero matches
+    qset = F.array(*[F.lit(t) for t in sorted({t.lower() for t in query_terms})])
     # token array staged once for dl + explode (see doc_terms)
     staged = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
@@ -259,6 +262,10 @@ def rrf_fuse(
     (tiny), so the union + groupBy is driver-negligible at any corpus
     scale — fusion cost depends on k, not on the corpus.
     """
+    if not rankings:
+        raise ValueError(
+            "rrf_fuse: rankings must contain at least one ranked frame"
+        )
     contribs = [
         r.select(
             F.col(id_col).alias("doc_id"),

@@ -102,17 +102,26 @@ def scan_globs(spark: SparkSession, path: str, globs: Sequence[str]) -> DataFram
     scans would each run a full recursive listing (N rounds of
     paginated LIST calls on an object store). Falls back to a union of
     per-glob scans only when a pattern already contains braces (nested
-    alternation isn't portable); a file matching several globs appears
-    once on the combined path, which is also what callers want.
+    alternation isn't portable — and when any glob contains a comma,
+    which the brace join would reinterpret as an alternation
+    separator); a file matching several globs appears ONCE on either
+    path (the fallback union dedupes on path to keep the two code
+    paths' semantics identical).
     """
     globs = list(globs)
-    if len(globs) > 1 and not any("{" in g or "}" in g for g in globs):
+    if not globs:
+        raise ValueError("scan_globs: at least one glob pattern required")
+    if len(globs) > 1 and not any(
+        "{" in g or "}" in g or "," in g for g in globs
+    ):
         return scan_catalog(spark, path, "{" + ",".join(globs) + "}")
     dfs = [scan_catalog(spark, path, g) for g in globs]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
-    return out
+    # overlapping globs match the same file more than once on the
+    # union path; the combined-brace path lists it once
+    return out if len(dfs) == 1 else out.dropDuplicates(["path"])
 
 
 def scan_text_documents(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:

@@ -84,6 +84,16 @@ def first_seen_keys(keyed: DataFrame, key_col: str = "key") -> DataFrame:
             f"first_seen_keys requires columns [{key_col!r}, '_batch_id']; "
             f"got {keyed.columns}"
         )
+    key_type = keyed.schema[key_col].dataType.simpleString()
+    if key_type != "string":
+        # the output schema pins key to string; a non-string key would
+        # fail (or silently coerce) inside the executor state function —
+        # surface the contract at plan time as the docstring promises
+        raise ValueError(
+            f"first_seen_keys: {key_col!r} must be a string column "
+            f"(got {key_type}); cast it explicitly — the emitted key "
+            "rides the fixed 'key string' output schema"
+        )
 
     def op(
         key: tuple[Any, ...],
@@ -92,7 +102,13 @@ def first_seen_keys(keyed: DataFrame, key_col: str = "key") -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         # Drain the iterator even when the key is known: contract of the
         # state func is to consume its input.
-        batch_ids = [int(pdf["_batch_id"].min()) for pdf in pdfs if len(pdf)]
+        # dropna: a NULL _batch_id row would make min() NaN and
+        # int(NaN) kill the streaming query inside the executor
+        batch_ids = [
+            int(m)
+            for m in (pdf["_batch_id"].dropna().min() for pdf in pdfs if len(pdf))
+            if not pd.isna(m)
+        ]
         if state.exists:
             return
         state.update((min(batch_ids) if batch_ids else 0,))
@@ -183,7 +199,17 @@ def first_seen_keys_ttl(
                 ts_min = lo if ts_min is None else min(ts_min, lo)
                 ts_max = hi if ts_max is None else max(ts_max, hi)
         first = not state.exists
+        stored_ms = state.get[0] if state.exists else None
         if ts_max is None or pd.isna(ts_max):
+            if stored_ms is not None:
+                # GroupState clears the armed timeout on EVERY
+                # invocation, so a batch carrying only null event times
+                # for a known key must RE-ARM it from the stored
+                # last_seen — a bare return would drop the timeout and
+                # leak this key's state forever
+                state.setTimeoutTimestamp(
+                    max(stored_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+                )
             return
         # A fall-back repeated hour makes the naive value ambiguous:
         # resolve by taking the LATER of the two epochs (DST vs
@@ -198,6 +224,12 @@ def first_seen_keys_ttl(
             )
             for amb in (True, False)
         )
+        if stored_ms is not None:
+            # last_seen must be monotone: a batch of LATE out-of-order
+            # events (all earlier than the stored last sighting) must
+            # not pull the TTL horizon backward and expire the key
+            # before ttl after its true last sighting
+            last_ms = max(last_ms, stored_ms)
         state.update((last_ms,))
         # EventTimeTimeout requires a timestamp beyond the current
         # watermark; late data can put last_seen+ttl behind it

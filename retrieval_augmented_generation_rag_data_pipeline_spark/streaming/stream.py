@@ -167,7 +167,14 @@ def dedup_ingest(
     from pyspark.sql import Window
 
     def batch_fn(df: DataFrame, epoch: int) -> None:
-        d = df.withColumn("_digest", F.md5(F.col(text_col)))
+        # coalesce: md5(NULL) is NULL, and a NULL digest never equals
+        # the ledger key in the anti-join — a null-text doc would be
+        # re-ingested (and a NULL key appended to the ledger) on EVERY
+        # micro-batch forever. NULL text keys with the empty document:
+        # content-identical for dedup purposes, one ingested instance.
+        d = df.withColumn(
+            "_digest", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        )
         w = Window.partitionBy("_digest").orderBy(F.col(id_col))
         d = (
             d.withColumn("_rn", F.row_number().over(w))

@@ -230,3 +230,25 @@ def test_bm25_oracle_agrees_on_duplicate_doc_id_different_dl(spark):
     assert set(got) == set(want) == {1, 2}
     for d in want:
         assert abs(got[d] - want[d]) <= 2e-6, (d, got[d], want[d])
+
+
+def test_bm25_query_terms_are_case_folded(spark):
+    """Corpus tokens are lowercased by the shared tokenizer, so cased
+    query terms must fold too — 'Apple' used to silently match nothing."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.retrieval import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "Apple pie with extra apple"), (2, "banana bread")],
+        "doc_id long, text string",
+    )
+    hits = bm25_search(df, ["Apple"], topk=5).collect()
+    assert [h.doc_id for h in hits] == [1]
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="rrf_fuse"):
+        rrf_fuse([])

@@ -243,3 +243,29 @@ def test_scan_csv_reads_nested_shards(spark, tmp_path):
     (tmp_path / "part-1.csv").write_text("id,v\n3,c\n")
     out = scan_csv(spark, str(tmp_path), schema="id INT, v STRING")
     assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_scan_globs_overlap_comma_and_empty(spark, tmp_path):
+    """The union fallback must match the combined-brace path's
+    one-row-per-file semantics (overlapping globs used to duplicate
+    files), comma-bearing globs must NOT be brace-combined (the comma
+    would be reinterpreted as an alternation separator), and an empty
+    glob list raises instead of IndexError."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import scan_globs
+
+    (tmp_path / "a1.txt").write_text("x")
+    (tmp_path / "b1.txt").write_text("y")
+    (tmp_path / "a,weird.csv").write_text("z")
+    base = str(tmp_path)
+    # overlapping patterns (second contains braces -> union fallback)
+    out = scan_globs(spark, base, ["a*.txt", "{a,b}*.txt"])
+    paths = [r.path for r in out.collect()]
+    assert len(paths) == len(set(paths)) == 2  # one row per file
+    # comma-bearing glob: must match the literal comma file
+    out2 = scan_globs(spark, base, ["a,weird*.csv", "b*.txt"])
+    names = sorted(p.rsplit("/", 1)[-1] for r in out2.collect() for p in [r.path])
+    assert names == ["a,weird.csv", "b1.txt"]
+    with pytest.raises(ValueError, match="at least one glob"):
+        scan_globs(spark, base, [])
