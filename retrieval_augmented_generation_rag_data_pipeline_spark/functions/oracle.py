@@ -19,9 +19,15 @@ def md5_long(x: str) -> str:
 
 
 def tokens(x: str) -> str:
-    # empty tokens dropped — the exact mirror of functions.hashing.tokens
+    # empty tokens dropped — the exact mirror of functions.hashing.tokens.
+    # The whitespace class is spelled EXPLICITLY as Java's \s
+    # ([ \t\n\x0B\f\r]): RE2's \s excludes vertical tab \x0B, so the
+    # previous '\s+' spelling silently tokenized '\x0B'-bearing docs
+    # differently across the two engines (the same Java-vs-RE2 gap
+    # normalize_text already spells out)
     return (
-        r"list_filter(string_split_regex(lower(" + x + r"), '\s+'), t -> t <> '')"
+        "list_filter(string_split_regex(lower(" + x + "), "
+        r"'[ \t\n\x0B\f\r]+'), t -> t <> '')"
     )
 
 

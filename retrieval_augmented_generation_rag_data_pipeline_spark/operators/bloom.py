@@ -247,6 +247,16 @@ def bloom_anti_join(
     while flag in df.columns:  # never clobber a caller column
         flag = "_" + flag
     flagged = with_bloom_contains(df, bitmap, m, k, on, out_col=flag)
+    # pin: BOTH branches below consume the flagged frame, and without a
+    # materialization boundary each would re-run the probe scan plus
+    # the k-hash Bloom UDF over every row — doubling exactly the
+    # probe-side cost the filter exists to reduce. One lazy local
+    # checkpoint evaluates the flag once; at extreme probe widths pass
+    # a narrow (id, key) projection and join payloads back, the same
+    # guidance as range_parted_offsets.
+    from .pinning import pin
+
+    flagged = pin(flagged)
     definite_out = flagged.filter(~F.col(flag)).drop(flag)
     maybe = flagged.filter(F.col(flag)).drop(flag)
     rechecked = maybe.join(

@@ -56,10 +56,18 @@ def project_derived(df: DataFrame, path_col: str, ts_col: str) -> DataFrame:
 # ---- aggregations (reference §2.4) ------------------------------------------
 
 def agg_conditional_counts(df: DataFrame, cond: Column) -> DataFrame:
-    """processed/failed counters in one pass (reference src/main.py:57-88)."""
+    """processed/failed counters in one pass (reference src/main.py:57-88).
+
+    The counters PARTITION the batch (processed + failed == total, the
+    invariant the reference's tally loop maintains): a NULL condition
+    counts as FAILED — ``~cond`` alone is NULL for NULL inputs, which
+    would leave such rows in neither bucket and silently break the
+    invariant monitoring checks assert on."""
     return df.agg(
         F.count(F.when(cond, 1)).alias("processed_count"),
-        F.count(F.when(~cond, 1)).alias("failed_count"),
+        F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(
+            "failed_count"
+        ),
         F.count("*").alias("total"),
     )
 
@@ -153,6 +161,11 @@ def rank_small(
     is only meaningful for numeric columns — a string column would be
     cast to double (NULLs under non-ANSI), silently ranking every row
     1. Enforced: a desc direction on a non-numeric column raises.
+    NULL keys rank LAST on every direction (an explicit null-indicator
+    field leads each key — bare struct ordering would rank a NULL
+    first, i.e. BEST, under desc). Known precondition: a bigint key of
+    exactly Long.MIN_VALUE negates to itself and mis-sorts under desc
+    — hash/score keys in this codebase never take that value.
     """
     for c, direction in order:
         if direction == "desc" and not isinstance(
@@ -170,6 +183,14 @@ def rank_small(
             col = -col
         elif direction != "asc":
             raise ValueError(f"direction must be asc|desc, got {direction}")
+        # NULLS LAST on every key, matching row_number() OVER (ORDER BY
+        # x DESC): a NULL key sorts FIRST inside sort_array's struct
+        # ordering, which would hand a NULL-score row rank 1 under desc;
+        # the indicator field (0 = present, 1 = null) restores the
+        # window semantics without touching non-null orderings
+        key_fields.append(
+            F.col(c).isNull().cast("int").alias(f"_n{i}")
+        )
         key_fields.append(col.alias(f"_k{i}"))
     out_cols = df.columns
     row = F.struct(

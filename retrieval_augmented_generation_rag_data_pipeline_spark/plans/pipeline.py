@@ -45,7 +45,8 @@ def mock_embed(col: Column, dim: int = EMBED_DIM) -> Column:
 def embed_chunks(chunks: DataFrame, text_col: str = "chunk_text") -> DataFrame:
     """Chunk rows -> vector-index rows (vec_id, embedding, text, source_file).
 
-    vec_id is the COMPOSITE KEY ``doc_id ':' chunk_idx`` — unique by
+    vec_id is the COMPOSITE KEY ``doc_id ':' chunk_idx`` (NULL doc ids
+    fall back to a content-derived key, see comment) — unique by
     construction (no hash-collision exposure at any corpus size, unlike
     a 60-bit hash which passes the birthday bound near ~10^9 chunks)
     and, unlike monotonically_increasing_id, identical across reruns
@@ -54,9 +55,18 @@ def embed_chunks(chunks: DataFrame, text_col: str = "chunk_text") -> DataFrame:
     reference's per-file ``{0: content}`` map trivially had,
     /root/reference/src/embedding_engine.py:82).
     """
+    # concat_ws silently SKIPS null fields, so every NULL-doc_id doc
+    # would collide onto the same bare 'chunk_idx' vec_ids; the
+    # coalesce gives such docs a per-chunk content-derived key instead
+    # (distinct unless the chunks are byte-identical, in which case
+    # the colliding rows are identical anyway)
+    doc_key = F.coalesce(
+        F.col("doc_id").cast("string"),
+        F.concat(F.lit("\x00noid:"), F.md5(F.col(text_col))),
+    )
     return chunks.select(
         F.concat_ws(
-            ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+            ":", doc_key, F.col("chunk_idx").cast("string")
         ).alias("vec_id"),
         mock_embed(F.col(text_col)).alias("embedding"),
         F.col(text_col).alias("text"),
@@ -87,7 +97,15 @@ def run_once(
         docs = docs.localCheckpoint(eager=True)
     chunks = chunk_text(docs, chunk_words=chunk_words)
     index = embed_chunks(chunks)
-    sinks.write_vector_index(index, index_path)
+    # incremental (ledger) mode APPENDS: the pending set is only the
+    # docs not yet ledgered, and the default static overwrite would
+    # truncate the whole index path first — destroying every
+    # previously-indexed vector while its doc stays ledgered (never
+    # re-indexed), and wiping the index to zero rows on an empty
+    # pending set. One-shot (no-ledger) mode keeps overwrite.
+    sinks.write_vector_index(
+        index, index_path, mode="append" if ledger_path else "overwrite"
+    )
     if ledger_path:
         ledger_mod.append_processed(docs.select("doc_id"), "doc_id", ledger_path)
     return index

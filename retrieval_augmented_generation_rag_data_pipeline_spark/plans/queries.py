@@ -174,7 +174,7 @@ def scan_documents(spark, sf):
 @_q(
     "agg_conditional_count",
     """SELECT CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS processed_count,
-              CAST(count(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT) AS failed_count,
+              CAST(count(*) FILTER (WHERE NOT coalesce(o_orderstatus = 'F', false)) AS BIGINT) AS failed_count,
               CAST(count(*) AS BIGINT) AS total
        FROM orders""",
 )
@@ -1090,7 +1090,7 @@ def math_funcs(spark, sf):
 
 @_q(
     "array_funcs",
-    r"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+    r"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tk
                    FROM documents)
         SELECT doc_id,
                CAST(len(tk) AS INT) AS n_tokens,
@@ -3261,7 +3261,7 @@ def doc_fingerprint(spark, sf):
 
 
 _CHUNK_SQL = r"""
-WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tk
            FROM documents),
 t2 AS (SELECT * FROM t WHERE len(tk) > 0),
 c AS (SELECT doc_id,
@@ -3283,7 +3283,7 @@ def chunk_documents(spark, sf):
 
 
 _CHUNK_DEDUP_SQL = r"""
-WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tk
            FROM documents),
 t2 AS (SELECT * FROM t WHERE len(tk) > 0),
 c AS (SELECT doc_id,
@@ -4226,7 +4226,7 @@ def sample_exact_k(spark, sf):
 
 
 _INCR_DEDUP_SQL = r"""
-WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS tk
            FROM documents),
 t2 AS (SELECT * FROM t WHERE len(tk) > 0),
 c AS (SELECT doc_id, source,

@@ -39,8 +39,13 @@ def load_ledger(spark: SparkSession, path: str) -> DataFrame:
 
 
 def append_processed(df: DataFrame, key_col: str, path: str) -> None:
+    # NULL keys never appear: LEDGER_SCHEMA declares key non-nullable,
+    # and a NULL row would poison load_ledger's schema assumption (the
+    # optimizer may assume non-null over the parquet) — filtered here
+    # in lockstep with pending()'s null-key drop
     (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             F.col(key_col).cast("string").alias("key"),
             F.current_timestamp().alias("processed_at"),
         )
@@ -53,8 +58,15 @@ def pending(candidates: DataFrame, ledger: DataFrame, key_col: str = "key") -> D
     """Candidates minus processed (reference src/aws_bucket.py:180).
 
     No broadcast hint — the ledger grows without bound, so AQE picks
-    broadcast only while it fits."""
+    broadcast only while it fits.
+
+    NULL-keyed candidates are DROPPED (with the same rationale as an
+    equi-join dropping null keys): a NULL key can never be ledgered,
+    so keeping it "pending" would reprocess the same row on every run
+    forever while appending schema-violating NULL ledger rows — the
+    silent-infinite-reprocess failure is worse than the visible drop,
+    which callers can audit by counting null keys up front."""
     led = ledger.select(F.col("key").alias("_ledger_key")).distinct()
-    return candidates.join(
+    return candidates.filter(F.col(key_col).isNotNull()).join(
         led, candidates[key_col] == F.col("_ledger_key"), "left_anti"
     )

@@ -144,6 +144,25 @@ def write_bucketed(
     )
 
 
+def _guard_sidecar_append(spark, sidecar_path: str, meta: dict, mode: str) -> None:
+    """Appending to an existing index with DIFFERENT quantizer params
+    would pass the reader's sidecar assert (the sidecar records the new
+    params) while the previously-written rows stay binned by the old
+    ones — the exact silent-wrong-neighbors failure the sidecar exists
+    to prevent. On mode='append', an existing sidecar must match the
+    new metadata exactly; raises BEFORE any data is written."""
+    if mode != "append":
+        return
+    existing = read_sidecar_text(spark, sidecar_path)
+    if existing is not None and json.loads(existing) != meta:
+        raise ValueError(
+            f"append to {sidecar_path.rsplit('/', 1)[0]!r} with different "
+            "quantizer parameters than the existing index sidecar; "
+            "rewrite with mode='overwrite' or reuse the original "
+            "centroids/codebooks"
+        )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -175,6 +194,9 @@ def write_ivf_index(
 
     if centroids is not None:
         n_cells = len(centroids)
+    meta = ivf_meta(dim, n_cells, centroids, vec_col)
+    sidecar = path.rstrip("/") + "/_ivf_meta.json"
+    _guard_sidecar_append(corpus.sparkSession, sidecar, meta, mode)
     (
         corpus.select(F.col(corpus_id), F.col(vec_col))
         .withColumn("_cell", ivf_cell(vec_col, dim, n_cells, centroids))
@@ -182,11 +204,7 @@ def write_ivf_index(
         .partitionBy("_cell")
         .parquet(path)
     )
-    write_sidecar_text(
-        corpus.sparkSession,
-        path.rstrip("/") + "/_ivf_meta.json",
-        json.dumps(ivf_meta(dim, n_cells, centroids, vec_col)),
-    )
+    write_sidecar_text(corpus.sparkSession, sidecar, json.dumps(meta))
 
 
 def morton_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
@@ -293,6 +311,10 @@ def write_ivfpq_index(
 
     if centroids is not None:
         n_cells = len(centroids)
+    meta = ivf_meta(dim, n_cells, centroids, vec_col)
+    meta.update(pq_meta(codebooks))
+    sidecar = path.rstrip("/") + "/_ivfpq_meta.json"
+    _guard_sidecar_append(corpus.sparkSession, sidecar, meta, mode)
     (
         # one narrow pass: id + codes + cell in a single projection —
         # no self-join, the corpus is read exactly once
@@ -305,13 +327,7 @@ def write_ivfpq_index(
         .partitionBy("_cell")
         .parquet(path)
     )
-    meta = ivf_meta(dim, n_cells, centroids, vec_col)
-    meta.update(pq_meta(codebooks))
-    write_sidecar_text(
-        corpus.sparkSession,
-        path.rstrip("/") + "/_ivfpq_meta.json",
-        json.dumps(meta),
-    )
+    write_sidecar_text(corpus.sparkSession, sidecar, json.dumps(meta))
 
 
 def compact_parquet(

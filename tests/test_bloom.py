@@ -64,13 +64,19 @@ def test_bloom_anti_join_distinct_key_col_name(spark):
 def test_bloom_anti_join_plan_shape(spark):
     """The definite-out branch (Bloom says no) must reach the output
     without any Exchange: the bitmap probe is a narrow filter, so rows
-    that fail it bypass every shuffle. Only the maybe branch joins."""
+    that fail it bypass every shuffle. Only the maybe branch joins.
+    Built with pinning DISABLED to see the full lineage — in production
+    the flagged frame is pinned so the scan + k-hash UDF evaluate once
+    for both branches, and the plan shows the checkpoint scan instead."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import pinning_disabled
+
     left = spark.range(0, 10_000).select(F.col("id").alias("k"))
     keys = spark.range(0, 100).select(F.col("id").alias("k"))
-    out = bloom.bloom_anti_join(left, keys, "k")
-    jvm = spark.sparkSession._jvm if hasattr(spark, "sparkSession") else spark.sparkContext._jvm
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    plan = out._jdf.queryExecution().explainString(mode)
+    with pinning_disabled():
+        out = bloom.bloom_anti_join(left, keys, "k")
+        jvm = spark.sparkSession._jvm if hasattr(spark, "sparkSession") else spark.sparkContext._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = out._jdf.queryExecution().explainString(mode)
     assert "ArrowEvalPython" in plan  # vectorized probe, not row-at-a-time
     # union of (filtered scan) and (recheck join): the first union child
     # must contain no Exchange — locate the subtree between Union and

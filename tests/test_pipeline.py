@@ -124,3 +124,49 @@ def test_prepare_corpus_end_to_end_ledger(spark):
     # survivors get a split label
     assert out[0].split in {"train", "val", "test"}
     assert out[3].keep and out[3].split in {"train", "val", "test"}
+
+
+def test_run_once_incremental_appends_not_wipes(spark, tmp_path):
+    """Incremental (ledger) mode must APPEND to the vector index: the
+    pending set is only the new docs, and the old static overwrite
+    truncated the whole index path — destroying every previously
+    indexed vector while its doc stayed ledgered (never re-indexed),
+    and wiping the index to zero rows on an empty pending set."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.plans.pipeline import run_once
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import read_vector_index
+
+    idx = str(tmp_path / "idx")
+    led = str(tmp_path / "led")
+    words = " ".join(f"w{i}" for i in range(40))
+    d1 = spark.createDataFrame([(1, words), (2, words)], "doc_id long, text string")
+    run_once(spark, d1, idx, ledger_path=led)
+    n1 = read_vector_index(spark, idx).count()
+    assert n1 > 0
+    # second cycle: one new doc; docs 1-2 are ledgered and skipped
+    d2 = spark.createDataFrame(
+        [(1, words), (2, words), (3, words)], "doc_id long, text string"
+    )
+    run_once(spark, d2, idx, ledger_path=led)
+    n2 = read_vector_index(spark, idx).count()
+    assert n2 == n1 + n1 // 2  # old vectors survive, doc 3's appended
+    # third cycle with nothing pending must not wipe the index
+    run_once(spark, d2, idx, ledger_path=led)
+    assert read_vector_index(spark, idx).count() == n2
+
+
+def test_ledger_null_keys_dropped_not_reprocessed_forever(spark, tmp_path):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.ledger import (
+        append_processed,
+        load_ledger,
+        pending,
+    )
+
+    path = str(tmp_path / "led")
+    cands = spark.createDataFrame(
+        [(None, "x"), ("a", "y"), ("b", "z")], "key string, v string"
+    )
+    append_processed(cands, "key", path)
+    led = load_ledger(spark, path)
+    assert led.filter(led.key.isNull()).count() == 0  # NULL never ledgered
+    out = pending(cands, led)
+    assert out.count() == 0  # a,b ledgered; the NULL row dropped, not pending

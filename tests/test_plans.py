@@ -546,3 +546,60 @@ def test_verify_pairs_jaccard_non_strict(spark):
     assert set(got) == {(1, 2), (3, 4)}  # (1, 999) dropped, not raised
     assert abs(got[(1, 2)].jaccard - 1.0 / 3.0) < 1e-12
     assert got[(3, 4)].jaccard is None and got[(3, 4)].is_dup is None
+
+
+def test_ivf_append_guards_quantizer_mismatch(spark, tmp_path):
+    """Appending to an index written with DIFFERENT centroids must
+    raise BEFORE any rows land: the sidecar would record the new
+    quantizer while old rows stay binned by the old one — the silent
+    wrong-neighbors failure the sidecar exists to prevent. Appending
+    with the SAME quantizer stays allowed."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        read_vector_index,
+        write_ivf_index,
+    )
+
+    dim = 4
+    rows = [(i, [float(i % 3), 1.0, 0.0, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents_a = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    cents_b = [[0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, dim, centroids=cents_a)
+    with pytest.raises(ValueError, match="different\\s+quantizer"):
+        write_ivf_index(df, path, dim, centroids=cents_b, mode="append")
+    write_ivf_index(df, path, dim, centroids=cents_a, mode="append")  # same: ok
+
+
+def test_agg_conditional_counts_partition_with_null_condition(spark):
+    """processed + failed == total even when the condition is NULL for
+    some rows (a NULL condition counts as failed — ~NULL is NULL and
+    used to leave such rows in neither bucket)."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.relational import (
+        agg_conditional_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(True,), (False,), (None,)], "ok boolean"
+    )
+    r = agg_conditional_counts(df, F.col("ok")).collect()[0]
+    assert (r.processed_count, r.failed_count, r.total) == (1, 2, 3)
+
+
+def test_rank_small_null_keys_rank_last(spark):
+    """NULL ordering keys must rank LAST under desc (bare struct
+    ordering ranked a NULL score FIRST, i.e. best)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.relational import rank_small
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.5)], "id long, score double"
+    )
+    got = [
+        r.id for r in rank_small(df, [("score", "desc"), ("id", "asc")])
+        .orderBy("rank").collect()
+    ]
+    assert got == [1, 3, 2]
