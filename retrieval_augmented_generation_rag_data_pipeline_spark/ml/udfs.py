@@ -141,6 +141,12 @@ def make_asr_udf(
         for series in batches:
             out = []
             for blob in series:
+                # NULL blob: no audio, no chunks — bytes(None) would
+                # raise TypeError and fail the task (the fakes already
+                # tolerate NULLs; the real branch must match)
+                if blob is None:
+                    out.append([])
+                    continue
                 res = model(
                     bytes(blob),
                     chunk_length_s=chunk_length_s,
@@ -184,8 +190,11 @@ def make_embed_udf(model_name: str = "all-MiniLM-L6-v2", batch_size: int = 64):
             ("st", model_name), lambda: SentenceTransformer(model_name)
         )
         for series in batches:
+            # NULL text -> '' : model.encode(None) crashes, and the
+            # empty string embeds deterministically like the fake
+            texts = ["" if t is None else t for t in series.tolist()]
             vecs = model.encode(
-                series.tolist(), batch_size=batch_size, normalize_embeddings=True
+                texts, batch_size=batch_size, normalize_embeddings=True
             )
             yield pd.Series([v.tolist() for v in vecs])
 
@@ -213,6 +222,9 @@ def make_decode_udf(sample_rate: int = 16000):
         for series in batches:
             out = []
             for blob in series:
+                if blob is None:
+                    out.append(None)  # NULL-in -> NULL-out, like the fake
+                    continue
                 pcm = ffmpeg_read(bytes(blob), sample_rate).astype("float32")
                 norm = float(np.linalg.norm(pcm)) or 1.0
                 out.append((pcm / norm).tolist())
@@ -265,12 +277,36 @@ def make_diarize_udf(
                         continue
             return PyannotePipeline.from_pretrained(model_name)
 
+        # cache key carries the TOKEN VALUE (hashed), not just its
+        # presence: two UDFs built with different tokens must not share
+        # one cached pipeline (the second config would never construct)
+        import hashlib as _hashlib
+
+        token_key = (
+            _hashlib.md5(auth_token.encode()).hexdigest()
+            if auth_token
+            else None
+        )
         pipeline = _cached_model(
-            ("diarize", model_name, auth_token is not None), _load
+            ("diarize", model_name, token_key), _load
         )
         for series in batches:
             out = []
             for wave in series:
+                # a NULL waveform must hit the documented SPEAKER_00
+                # fallback, not crash it: float(len(None)) below would
+                # raise OUTSIDE the try and kill the task
+                if wave is None:
+                    out.append(
+                        [
+                            {
+                                "spk_start": 0.0,
+                                "spk_end": 0.0,
+                                "speaker": "SPEAKER_00",
+                            }
+                        ]
+                    )
+                    continue
                 try:
                     w = torch.tensor([list(wave)], dtype=torch.float32)
                     dia = pipeline(

@@ -76,11 +76,16 @@ def l2_normalize(a: Column) -> Column:
     expensive inputs like the mock-embed md5 component array."""
     from ..functions.binding import let
 
+    # try_divide: a zero vector has norm 0 and a bare per-element
+    # division aborts the job under Spark 4's default ANSI mode; the
+    # normalized form of a zero vector is all-NULL (undefined direction)
     return let(
         a,
         lambda arr: let(
             l2_norm(arr),
-            lambda n: F.transform(arr, lambda x: x.cast("double") / n),
+            lambda n: F.transform(
+                arr, lambda x: F.try_divide(x.cast("double"), n)
+            ),
         ),
     )
 
@@ -141,8 +146,14 @@ def knn_topk(
         sim = F.try_divide(
             dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
         )
-    else:
+    elif metric == "dot":
         sim = dot(F.col("_qv"), F.col("_cv"))
+    else:
+        raise ValueError(
+            f"knn_topk: metric must be 'cosine' or 'dot', got {metric!r} — "
+            "a silent fallback to raw inner product would return "
+            "plausible-looking but wrong neighbors"
+        )
     scored = c.join(F.broadcast(q)).select(
         "query_id", corpus_id, sim.alias("sim")
     )
@@ -446,9 +457,20 @@ def _cells_one_row(spark, centroids: list[list[float]]) -> DataFrame:
     ``_cents array<struct<c, cent>>`` (struct comparison sorts on the
     leading c field, so array_sort restores cell-id order regardless of
     collect_list's arrival order)."""
-    return spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in enumerate(centroids)],
-        "_cc int, _cent array<double>",
+    # Arrow pd.DataFrame path, not the row-pickling list path: at the
+    # paper's 50k cells the pickled build alone cost ~8s per job (the
+    # measurement that moved the two-level fine table to Arrow); the
+    # int64->INT cast below mirrors that table's struct pin
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "_cc": list(range(len(centroids))),
+            "_cent": [[float(x) for x in v] for v in centroids],
+        }
+    )
+    return spark.createDataFrame(pdf).select(
+        F.col("_cc").cast("int").alias("_cc"), F.col("_cent")
     ).agg(
         F.array_sort(
             F.collect_list(
@@ -833,7 +855,11 @@ def ann_ivf_topk(
     cb = corpus.select(
         F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv")
     )
-    qb = queries.select(
+    # a NULL query vector must emit NO result rows (the corpus side
+    # maps NULL vectors to a NULL cell): unfiltered, every centroid dot
+    # is NULL and the null-first struct ordering would probe arbitrary
+    # cells, fabricating k rows of NULL-sim "neighbors" for that query
+    qb = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     if use_table:
@@ -870,7 +896,11 @@ def ann_ivf_topk(
     scored = cb.join(F.broadcast(qb), "_cell").select(
         "query_id",
         corpus_id,
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
+        # try_divide: a zero vector (norm 0) scores NULL (ranked last),
+        # never an ANSI DIVIDE_BY_ZERO job abort — same as cosine()
+        F.try_divide(
+            dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+        ).alias("sim"),
     )
     return _topk_per_query(scored, corpus_id, k, "sim")
 
@@ -951,7 +981,9 @@ def ann_ivf_topk_indexed(
     # driver-side partition-filter collect and the broadcast join —
     # without this the (n_cells x dim) ranking re-executes from source
     qb = (
-        queries.select(
+        # NULL query vectors dropped — see ann_ivf_topk
+        queries.filter(F.col(query_vec_col).isNotNull())
+        .select(
             F.col(query_id).alias("query_id"), F.col(query_vec_col).alias("_qv")
         )
         .select("query_id", "_qv", F.explode(probes).alias("_cell"))
@@ -965,9 +997,10 @@ def ann_ivf_topk_indexed(
         .select(
             "query_id",
             corpus_id,
-            (
-                dot(F.col("_qv"), F.col(index_vec_col))
-                / (F.col("_qn") * F.col("_cn"))
+            # try_divide: zero-norm vectors score NULL, never abort
+            F.try_divide(
+                dot(F.col("_qv"), F.col(index_vec_col)),
+                F.col("_qn") * F.col("_cn"),
             ).alias("sim"),
         )
     )
@@ -976,6 +1009,15 @@ def ann_ivf_topk_indexed(
 
 # Offset keeps the PQ codebook family disjoint from the sign-LSH
 # hyperplanes (0.. / 2000..) and the IVF centroids (1000..).
+# BOUNDARY (documented, not enforced): the disjointness holds for
+# DEFAULT ivf_centroid families up to 1000 cells — past that the
+# default centroids run into the LSH (2000+) and PQ (3000+) index
+# ranges, so a pipeline COMBINING large default-centroid IVF with
+# banding or PQ would share pseudo-random points across families.
+# Every at-scale path already takes explicit/trained centroids
+# (train_ivf_centroids, the frozen quantizer artifact), which carry
+# no family coupling; pass them when mixing families above 1000
+# default cells.
 PQ_FAMILY_OFFSET = 3000
 
 
@@ -1044,12 +1086,26 @@ def _pq_encode_sql(col_name: str, codebooks: list[list[list[float]]]) -> str:
     precomputed in Python and embedded as literals so the Spark and
     DuckDB sides compare the same doubles. Ties -> lowest code id
     (array_sort on (negated score, code))."""
+    # total-length guard: the per-subspace slice guards catch an
+    # UNDER-length vector (the last slice comes up short) but an
+    # OVER-length one slices cleanly everywhere and would be silently
+    # encoded from its first m*dsub components — assert the full size
+    # once per row, mirroring the IVF family's size(col) = dim check
+    m = len(codebooks)
+    dsub0 = len(codebooks[0][0])
+    total = m * dsub0
+    tguard = (
+        f"coalesce(CAST(assert_true({col_name} IS NULL OR "
+        f"size({col_name}) = {total}, "
+        f"'pq: expected {total}-dim vector') AS DOUBLE), 0D) + "
+    )
     parts = []
     for j, cb in enumerate(codebooks):
         dsub = len(cb[0])
         sub = f"slice({col_name}, {j * dsub + 1}, {dsub})"
         cells = ", ".join(
-            f"named_struct('nd', -({_dot_sql(sub, c, guard=(ci == 0))} - {0.5 * sum(x * x for x in c)!r}D), 'c', {ci})"
+            f"named_struct('nd', {tguard if (j == 0 and ci == 0) else ''}"
+            f"-({_dot_sql(sub, c, guard=(ci == 0))} - {0.5 * sum(x * x for x in c)!r}D), 'c', {ci})"
             for ci, c in enumerate(cb)
         )
         parts.append(f"element_at(array_sort(array({cells})), 1).c")
@@ -1302,7 +1358,11 @@ def ann_lsh_topk(
     ).select(
         "query_id",
         corpus_id,
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
+        # try_divide: a zero vector (norm 0) scores NULL (ranked last),
+        # never an ANSI DIVIDE_BY_ZERO job abort — same as cosine()
+        F.try_divide(
+            dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+        ).alias("sim"),
     )
     return _topk_per_query(scored, corpus_id, k, "sim")
 

@@ -691,3 +691,64 @@ def test_ann_ivfpq_rerank_exact_scores_and_recall_gain(spark):
     for qid, cands in short_by_q.items():
         want = sorted(cands, key=lambda v: (-exact_all[(qid, v)], v))[:k]
         assert rer_by_q[qid] == want
+
+
+def test_ann_paths_tolerate_zero_and_null_vectors(spark):
+    """Round-14 hardening: an all-zero embedding (norm 0) must score
+    NULL-sim via try_divide instead of aborting under ANSI, and a NULL
+    QUERY vector must emit no rows (the corpus side already maps NULL
+    vectors to a NULL cell — unfiltered, the query side probed
+    arbitrary cells and fabricated k NULL-sim neighbors)."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        knn_topk,
+        l2_normalize,
+    )
+
+    dim = 8
+    rows = [(i, [float((i + j) % 5) + 0.5 for j in range(dim)]) for i in range(20)]
+    rows.append((100, [0.0] * dim))  # zero vector in the corpus
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (1, None)], "query_id long, embedding array<double>"
+    )
+    out = ann_ivf_topk(q, corpus, k=3, dim=dim, n_cells=4, nprobe=4)
+    got = {r.query_id for r in out.collect()}
+    assert got == {0}  # NULL-vector query emits nothing; job survives
+    out2 = ann_lsh_topk(q.filter("query_id = 0"), corpus, k=3, dim=dim)
+    assert all(r.query_id == 0 for r in out2.collect())
+    # l2_normalize of the zero vector: all-NULL, not a crash
+    z = corpus.filter("vec_id = 100").select(
+        l2_normalize(F.col("embedding")).alias("n")
+    ).collect()[0].n
+    assert all(v is None for v in z)
+
+
+def test_knn_topk_rejects_unknown_metric(spark):
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import knn_topk
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="metric"):
+        knn_topk(q, df, k=1, metric="cosin")
+
+
+def test_pq_encode_rejects_overlength_vectors(spark):
+    """The per-subspace slice guards catch UNDER-length vectors; the
+    total-size guard must catch OVER-length ones too (a 12-dim vector
+    used to be silently encoded from its first 8 components)."""
+    import pytest
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.vectors import pq_codebook, pq_encode
+
+    books = [pq_codebook(j, 4, 4) for j in range(2)]  # dim 8
+    ok = spark.createDataFrame([(1, [0.1] * 8)], "vec_id long, embedding array<double>")
+    assert len(pq_encode(ok, books).collect()[0].codes) == 2
+    over = spark.createDataFrame([(2, [0.1] * 12)], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="8-dim"):
+        pq_encode(over, books).collect()
