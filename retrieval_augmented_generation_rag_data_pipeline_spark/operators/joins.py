@@ -288,6 +288,22 @@ def broadcast_lookup(
     return facts.join(F.broadcast(dim), key, how)
 
 
+def _contains_map(dt) -> bool:
+    """True when ``dt`` is or nests a MapType anywhere (array element,
+    struct field, map key/value) — the exact recursion xxhash64 uses to
+    reject unhashable inputs, so the salted-join column filter and the
+    hash agree on every schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 # Joins where replicating the dim side `salt` times cannot duplicate
 # output rows: every dim row's copies either all match the same fact
 # sub-keys (inner/left/semi) or are never emitted on their own.
@@ -342,8 +358,18 @@ def salted_join(
     # can double-count or lose rows; a full-row hash deals identically
     # on every attempt (exact-duplicate rows share a salt — harmless
     # unless a hot key is also exactly duplicated, which no row-level
-    # salt could split anyway). Map columns aren't hashable — excluded.
-    hashable = [c for c, t in facts.dtypes if not t.startswith("map<")]
+    # salt could split anyway). Map columns aren't hashable — excluded
+    # RECURSIVELY (xxhash64's own MapType rejection walks nested types,
+    # so an array<map<...>> or struct-wrapped map would pass a naive
+    # top-level check and blow up at plan time); if every column nests
+    # a map the key itself is the fallback (key is an equi-join key,
+    # so it can never be a map).
+    hashable = [
+        c
+        for c in facts.schema.fields
+        if not _contains_map(c.dataType)
+    ]
+    hashable = [c.name for c in hashable]
     f = facts.withColumn(
         "_salt",
         F.pmod(

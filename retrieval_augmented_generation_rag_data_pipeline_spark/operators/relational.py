@@ -12,7 +12,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    NumericType,
+    ShortType,
+)
 
 
 # ---- filters / projections (reference §2.2) --------------------------------
@@ -163,9 +169,12 @@ def rank_small(
     1. Enforced: a desc direction on a non-numeric column raises.
     NULL keys rank LAST on every direction (an explicit null-indicator
     field leads each key — bare struct ordering would rank a NULL
-    first, i.e. BEST, under desc). Known precondition: a bigint key of
-    exactly Long.MIN_VALUE negates to itself and mis-sorts under desc
-    — hash/score keys in this codebase never take that value.
+    first, i.e. BEST, under desc). Integral desc keys are widened
+    BEFORE negation (byte/short/int -> long, long -> decimal(20,0)) so
+    a key of exactly the type's MIN_VALUE — whose two's-complement
+    negation is itself — can neither mis-sort nor trip an ANSI
+    overflow; widening is order-preserving and exact, so rankings are
+    unchanged for every other value.
     """
     for c, direction in order:
         if direction == "desc" and not isinstance(
@@ -180,6 +189,13 @@ def rank_small(
     for i, (c, direction) in enumerate(order):
         col = F.col(c)
         if direction == "desc":
+            # widen integral keys so MIN_VALUE negation can't overflow
+            # (see docstring); fractional/decimal keys negate in place
+            dt = df.schema[c].dataType
+            if isinstance(dt, (ByteType, ShortType, IntegerType)):
+                col = col.cast("long")
+            elif isinstance(dt, LongType):
+                col = col.cast("decimal(20,0)")
             col = -col
         elif direction != "asc":
             raise ValueError(f"direction must be asc|desc, got {direction}")

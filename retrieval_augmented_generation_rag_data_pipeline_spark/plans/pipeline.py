@@ -16,6 +16,7 @@ micro-batch via foreachBatch, replacing the reference's poll loop.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,7 +84,13 @@ def run_once(
 ) -> DataFrame:
     """One batch cycle of the reference loop (src/main.py:144-150):
     pending docs -> chunk -> embed -> write vector index. Returns the
-    index DataFrame (also persisted to index_path)."""
+    newly-indexed batch (also persisted to index_path).
+
+    Incremental (ledger) mode is retry-idempotent: a crash between the
+    index append and the ledger append is healed on retry by skipping
+    already-indexed docs (anti-join on the index's source_file) while
+    still ledgering them — vec_ids stay unique without a dedup-on-read
+    pass in the search path."""
     if ledger_path:
         led = ledger_mod.load_ledger(spark, ledger_path)
         docs = ledger_mod.pending(
@@ -95,7 +102,31 @@ def run_once(
         # landing in the scan after the write would be ledgered and then
         # skipped forever). One materialization serves both.
         docs = docs.localCheckpoint(eager=True)
-    chunks = chunk_text(docs, chunk_words=chunk_words)
+        # Crash idempotency: the index append and the ledger append are
+        # two non-atomic actions. A failure BETWEEN them leaves docs
+        # indexed but unledgered; a naive retry would re-embed them and
+        # append duplicate vec_ids. Self-heal at origin: docs whose
+        # vectors already landed (source_file = doc_id in the existing
+        # index) are skipped for embedding but STILL ledgered below, so
+        # the retry converges — no duplicate vectors, no forever-pending
+        # doc. Cost: one columnar scan of the index's source_file column
+        # per incremental run (nothing at all on the first run).
+        try:
+            indexed = (
+                sinks.read_vector_index(spark, index_path)
+                .select(F.col("source_file").alias("_idx_doc"))
+                .distinct()
+            )
+            embed_docs = docs.join(
+                indexed,
+                docs["doc_id"].cast("string") == F.col("_idx_doc"),
+                "left_anti",
+            )
+        except AnalysisException:
+            embed_docs = docs  # no index yet — first run
+    else:
+        embed_docs = docs
+    chunks = chunk_text(embed_docs, chunk_words=chunk_words)
     index = embed_chunks(chunks)
     # incremental (ledger) mode APPENDS: the pending set is only the
     # docs not yet ledgered, and the default static overwrite would

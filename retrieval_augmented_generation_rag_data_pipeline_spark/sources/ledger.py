@@ -54,7 +54,12 @@ def append_processed(df: DataFrame, key_col: str, path: str) -> None:
     )
 
 
-def pending(candidates: DataFrame, ledger: DataFrame, key_col: str = "key") -> DataFrame:
+def pending(
+    candidates: DataFrame,
+    ledger: DataFrame,
+    key_col: str = "key",
+    strict: bool = False,
+) -> DataFrame:
     """Candidates minus processed (reference src/aws_bucket.py:180).
 
     No broadcast hint — the ledger grows without bound, so AQE picks
@@ -64,9 +69,34 @@ def pending(candidates: DataFrame, ledger: DataFrame, key_col: str = "key") -> D
     equi-join dropping null keys): a NULL key can never be ledgered,
     so keeping it "pending" would reprocess the same row on every run
     forever while appending schema-violating NULL ledger rows — the
-    silent-infinite-reprocess failure is worse than the visible drop,
-    which callers can audit by counting null keys up front."""
+    silent-infinite-reprocess failure is worse than the visible drop.
+    Because the drop is otherwise invisible (an upstream regression
+    that NULLs keys would silently shrink the pending set),
+    ``strict=True`` turns it into a loud failure: any NULL key raises
+    at EXECUTION time via a per-row raise_error branch — no extra
+    driver-side count action, the check rides the same scan."""
+    key = F.col(key_col)
+    if strict:
+        # The guard IS the key expression and the isNotNull filter is
+        # omitted on this path — deliberately. Were both present, the
+        # optimizer could merge them into `isNotNull(k) AND <guard>`
+        # and short-circuit NULL rows past the raise; with the guard
+        # as the join key itself, every row must evaluate it (the
+        # anti-join hashes the key), so a NULL key always raises.
+        guarded = F.when(
+            key.isNull(),
+            F.raise_error(
+                F.lit(
+                    "ledger.pending(strict=True): NULL candidate key — "
+                    "an unledgerable row reached the pending scan "
+                    f"(key_col={key_col!r})"
+                )
+            ),
+        ).otherwise(key)
+        candidates = candidates.withColumn(key_col, guarded)
+    else:
+        candidates = candidates.filter(key.isNotNull())
     led = ledger.select(F.col("key").alias("_ledger_key")).distinct()
-    return candidates.filter(F.col(key_col).isNotNull()).join(
+    return candidates.join(
         led, candidates[key_col] == F.col("_ledger_key"), "left_anti"
     )

@@ -170,3 +170,61 @@ def test_ledger_null_keys_dropped_not_reprocessed_forever(spark, tmp_path):
     assert led.filter(led.key.isNull()).count() == 0  # NULL never ledgered
     out = pending(cands, led)
     assert out.count() == 0  # a,b ledgered; the NULL row dropped, not pending
+
+
+def test_run_once_retry_after_partial_failure_is_idempotent(spark, tmp_path):
+    """Crash window: index appended, ledger append failed. A retry must
+    neither duplicate vec_ids (the doc's vectors already landed) nor
+    leave the doc unledgered forever — already-indexed pending docs are
+    skipped for embedding but still ledgered (round-14 ADVICE)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.ledger import load_ledger
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import (
+        read_vector_index,
+        write_vector_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    led = str(tmp_path / "led")
+    words = " ".join(f"w{i}" for i in range(40))
+    d1 = spark.createDataFrame([(1, words), (2, words)], "doc_id long, text string")
+    run_once(spark, d1, idx, ledger_path=led)
+    n1 = read_vector_index(spark, idx).count()
+
+    # simulate the torn state: doc 3's vectors appended, ledger NOT
+    d3 = spark.createDataFrame([(3, words)], "doc_id long, text string")
+    write_vector_index(embed_chunks(chunk_text(d3, chunk_words=32)), idx, mode="append")
+    n_torn = read_vector_index(spark, idx).count()
+    assert n_torn > n1
+    assert load_ledger(spark, led).filter(F.col("key") == "3").count() == 0
+
+    # retry the batch: no duplicate vectors, doc 3 now ledgered
+    all_docs = spark.createDataFrame(
+        [(1, words), (2, words), (3, words)], "doc_id long, text string"
+    )
+    run_once(spark, all_docs, idx, ledger_path=led)
+    back = read_vector_index(spark, idx)
+    assert back.count() == n_torn  # nothing re-appended
+    assert back.select("vec_id").distinct().count() == n_torn  # unique ids
+    assert load_ledger(spark, led).filter(F.col("key") == "3").count() == 1
+
+    # and the state is stable: one more cycle adds nothing
+    run_once(spark, all_docs, idx, ledger_path=led)
+    assert read_vector_index(spark, idx).count() == n_torn
+
+
+def test_ledger_pending_strict_raises_on_null_key(spark):
+    from pyspark.errors import PySparkException
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.ledger import pending
+
+    cands = spark.createDataFrame(
+        [(None, "x"), ("a", "y")], "key string, v string"
+    )
+    led = spark.createDataFrame([("z",)], "key string")
+    # default: silent (documented) drop
+    assert {r.v for r in pending(cands, led).collect()} == {"y"}
+    # strict: the NULL key is a loud execution-time failure
+    with pytest.raises(PySparkException, match="NULL candidate key"):
+        pending(cands, led, strict=True).collect()
+    # strict with clean keys behaves identically to default
+    clean = spark.createDataFrame([("a", "y"), ("z", "w")], "key string, v string")
+    assert {r.v for r in pending(clean, led, strict=True).collect()} == {"y"}

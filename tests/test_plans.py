@@ -603,3 +603,32 @@ def test_rank_small_null_keys_rank_last(spark):
         .orderBy("rank").collect()
     ]
     assert got == [1, 3, 2]
+
+
+def test_rank_small_desc_long_min_value(spark):
+    """A bigint key of exactly Long.MIN_VALUE must rank LAST under desc
+    (it is the smallest value) instead of overflowing on negation —
+    integral desc keys are widened before the unary minus."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.relational import rank_small
+
+    lmin = -(2**63)
+    imin = -(2**31)
+    df = spark.createDataFrame(
+        [(1, lmin), (2, 5), (3, 0), (4, lmin + 1)],
+        "doc_id int, score long",
+    )
+    got = {
+        r.doc_id: r.rank
+        for r in rank_small(df, [("score", "desc"), ("doc_id", "asc")]).collect()
+    }
+    assert got == {2: 1, 3: 2, 4: 3, 1: 4}
+
+    # Int.MIN_VALUE widens to long before negation — same contract
+    di = spark.createDataFrame(
+        [(1, imin), (2, 7)], "doc_id int, score int"
+    )
+    got_i = {
+        r.doc_id: r.rank
+        for r in rank_small(di, [("score", "desc"), ("doc_id", "asc")]).collect()
+    }
+    assert got_i == {2: 1, 1: 2}

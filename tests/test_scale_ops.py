@@ -355,3 +355,24 @@ def test_hot_salted_count_join_hot_hashes_override_skips_read(spark):
         hot_threshold=5, n_salts=4, hot_hashes_override=[hot_hash],
     )
     assert out.count() == 21
+
+
+def test_salted_join_nested_map_column(spark):
+    """A map nested inside an array/struct column is just as unhashable
+    to xxhash64 as a top-level map — the salt-source column filter must
+    recurse, not prefix-match the type string (round-14 ADVICE)."""
+    facts = spark.createDataFrame(
+        [(1, [{"a": "x"}]), (2, [{"b": "y"}]), (1, [])],
+        "k long, tags array<map<string,string>>",
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, v string")
+    rows = salted_join(facts, dim, "k", salt=4).collect()
+    assert sorted(r.v for r in rows) == ["one", "one", "two"]
+
+    # struct-wrapped map: same contract
+    facts2 = spark.createDataFrame(
+        [(1, ({"a": "x"},)), (2, ({"b": "y"},))],
+        "k long, s struct<m: map<string,string>>",
+    )
+    rows2 = salted_join(facts2, dim, "k", salt=4).collect()
+    assert sorted(r.v for r in rows2) == ["one", "two"]
