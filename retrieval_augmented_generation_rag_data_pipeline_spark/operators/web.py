@@ -30,10 +30,34 @@ from ..functions.hashing import md5_long
 HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^/?#\]]*\]|[^/?#:]+)"
 
 # Registered-domain approximation: the last two dot-separated labels.
-# A public-suffix-list lookup is a broadcast join away for deployments
-# that need co.uk-style suffixes; the two-label rule is the
-# deterministic, engine-portable default.
+# The default when no public-suffix list is supplied; pass
+# ``suffixes=frozen_suffixes()`` for co.uk-style ccTLD suffixes.
 DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+_SUFFIX_CACHE: dict[str, dict] = {}
+
+
+def frozen_suffixes(path: str | None = None) -> list[str]:
+    """The committed public-suffix table
+    (artifacts/public_suffixes.json — a curated subset of the Mozilla
+    Public Suffix List's public-domain ICANN section). Same
+    freeze/apply seam as the frozen LM/classifier artifacts: the table
+    is metadata-sized public data, committed so both engines replay
+    identical literals; production swaps in the full published list
+    without touching the operator (the lookup is a broadcast join,
+    agnostic to list size). Loaded once per process (tiny, cached)."""
+    from .text import _load_frozen
+
+    return _load_frozen(path, "public_suffixes.json", _SUFFIX_CACHE)[
+        "suffixes"
+    ]
+
+
+def _last_labels_re(k: int) -> str:
+    """RE2-portable 'last k dot-separated labels' extractor — anchored,
+    counted repetition, no lookaround; identical under Java regex and
+    DuckDB's RE2."""
+    return r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1)
 
 
 def extract_host(
@@ -41,6 +65,7 @@ def extract_host(
     url_col: str = "url",
     host_col: str = "host",
     domain_col: str = "domain",
+    suffixes: list[str] | None = None,
 ) -> DataFrame:
     """Add lowercased ``host`` and registered-``domain`` columns parsed
     from ``url_col``. URLs with no parseable host (relative paths,
@@ -48,15 +73,66 @@ def extract_host(
     nulled so audit counts can see them. Trailing dots are stripped
     (``example.com.`` is the DNS fully-qualified form of the SAME
     host — without the strip a trailing-dot URL would bypass every
-    host/domain blocklist entry). Narrow, pushdown-friendly."""
+    host/domain blocklist entry). Narrow, pushdown-friendly.
+
+    ``suffixes`` (e.g. ``frozen_suffixes()``) switches the registered-
+    domain rule from the two-label default to a public-suffix-list
+    longest-suffix match: the host's trailing 2..4 labels are tested
+    against the listed suffixes via one broadcast left join per suffix
+    depth (an equi join each — never an OR-predicate nested loop), the
+    LONGEST listed suffix wins, and the registered domain is that
+    suffix plus one preceding label. Without this, ``www.bbc.co.uk``
+    maps to domain ``co.uk`` — so a blocklist entry ``bbc.co.uk``
+    never matches via the domain anti-join and every ``.co.uk`` site
+    pools into one domain-cap key (over-capping plus a hot window
+    partition on a UK-heavy crawl). A host that IS a bare listed
+    suffix degrades to itself. Scale shape: the suffix table is
+    metadata-sized (full PSL ~ 10^4 rows — kilobytes), every join
+    broadcasts, and the corpus side stays shuffle-free."""
     host = F.regexp_replace(
         F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)),
         r"\.+$",
         "",
     )
-    return df.withColumn(host_col, host).withColumn(
-        domain_col, F.regexp_extract(F.col(host_col), DOMAIN_RE, 1)
-    )
+    out = df.withColumn(host_col, host)
+    default_dom = F.regexp_extract(F.col(host_col), DOMAIN_RE, 1)
+    if suffixes is None:
+        return out.withColumn(domain_col, default_dom)
+
+    by_depth = {}
+    for s in suffixes:
+        k = s.count(".") + 1
+        if k < 2 or k > 4:
+            raise ValueError(
+                f"extract_host: suffix {s!r} has {k} labels; supported "
+                "depths are 2-4 (single-label TLDs are the implicit "
+                "default rule)"
+            )
+        by_depth.setdefault(k, set()).add(s.lower())
+    spark = df.sparkSession
+    # one broadcast left join per suffix depth, deepest flags win below
+    for k in sorted(by_depth):
+        sfx = spark.createDataFrame(
+            [(s,) for s in sorted(by_depth[k])], f"_sfx{k} string"
+        )
+        out = out.withColumn(
+            f"_last{k}", F.regexp_extract(F.col(host_col), _last_labels_re(k), 1)
+        ).join(
+            F.broadcast(sfx.withColumn(f"_m{k}", F.lit(1))),
+            F.col(f"_last{k}") == F.col(f"_sfx{k}"),
+            "left",
+        )
+    dom = default_dom
+    for k in sorted(by_depth):  # ascending: deeper match overrides
+        reg = F.regexp_extract(F.col(host_col), _last_labels_re(k + 1), 1)
+        dom = F.when(
+            F.col(f"_m{k}").isNotNull(),
+            # host shorter than suffix+1 labels -> the host itself
+            F.when(reg != "", reg).otherwise(F.col(host_col)),
+        ).otherwise(dom)
+    out = out.withColumn(domain_col, dom)
+    drop = [c for k in by_depth for c in (f"_last{k}", f"_sfx{k}", f"_m{k}")]
+    return out.drop(*drop)
 
 
 def url_filter(
@@ -64,6 +140,7 @@ def url_filter(
     blocklist: DataFrame,
     url_col: str = "url",
     block_col: str = "pattern",
+    suffixes: list[str] | None = None,
 ) -> DataFrame:
     """Drop documents whose URL host OR registered domain appears in the
     blocklist (RefinedWeb-style URL filtering). A blocklist entry
@@ -79,11 +156,17 @@ def url_filter(
     BroadcastNestedLoopJoin, which is why the host and domain checks
     are two separate equi anti-joins. The corpus side never shuffles.
     Follows decontaminate's broadcast-side discipline
-    (operators/text.py)."""
+    (operators/text.py).
+
+    ``suffixes`` (e.g. ``frozen_suffixes()``) applies the public-
+    suffix-list registered-domain rule — required for a domain entry
+    like ``example.co.uk`` to actually block its subdomains (under the
+    two-label default the derived domain would be ``co.uk`` and the
+    entry never matches)."""
     b = F.broadcast(
         blocklist.select(F.lower(F.col(block_col)).alias("_blk")).distinct()
     )
-    withhost = extract_host(docs, url_col)
+    withhost = extract_host(docs, url_col, suffixes=suffixes)
     # two sequential equi anti-joins; unqualified F.col is unambiguous
     # because "_blk" exists only on the (broadcast) right side
     kept = withhost.join(b, F.col("host") == F.col("_blk"), "left_anti")
@@ -96,6 +179,7 @@ def domain_caps(
     url_col: str = "url",
     id_col: str = "doc_id",
     seed: int = 0,
+    suffixes: list[str] | None = None,
 ) -> DataFrame:
     """Per-domain contribution cap: keep at most ``k`` documents per
     registered domain, chosen by deterministic hash order (hash(seed:id)
@@ -122,7 +206,12 @@ def domain_caps(
     (per-partition partial top-k BEFORE the shuffle, so at most k rows
     per key per input partition ever move). This is the
     sample_group_k shape (operators/sampling.py
-    sample_exact_per_group), re-keyed on the extracted domain."""
+    sample_exact_per_group), re-keyed on the extracted domain.
+
+    ``suffixes`` (e.g. ``frozen_suffixes()``) applies the public-
+    suffix-list registered-domain rule to the cap key — without it a
+    UK-heavy crawl pools every ``.co.uk`` site into ONE cap key
+    (over-capping unrelated sites AND a hot window partition)."""
     h = md5_long(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
@@ -139,7 +228,7 @@ def domain_caps(
     )
     w = Window.partitionBy(cap_key).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        extract_host(docs, url_col)
+        extract_host(docs, url_col, suffixes=suffixes)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= int(k))
         .drop("_rn")

@@ -2481,6 +2481,84 @@ def lang_id(spark, sf):
     return text.lang_id(_t(spark, sf, "documents"))
 
 
+def _lang_trained_sql() -> str | None:
+    """Oracle for the trained CCNet-style langid stage: replays the
+    frozen artifact's per-(trigram, language) log-prob literals with
+    the identical per-language round-sum + prior + first-tie-break
+    argmax CASE chain. Same artifact guard as _lm_perplexity_sql: a
+    missing/corrupt artifacts/langid.json degrades this ONE query to
+    the rows-only path."""
+    from ..operators.text import frozen_langid
+
+    try:
+        m = frozen_langid()
+        langs = list(m["langs"])
+        n = int(m["n"])
+        rows = ",\n  ".join(
+            "('"
+            + t.replace("'", "''")
+            + "', "
+            + ", ".join(f"{float(ws[l])!r}" for l in langs)
+            + ")"
+            for t, ws in sorted(m["weights"].items())
+        )
+        if not rows:
+            return None
+    except Exception:
+        return None
+    wcols = ", ".join(f"w_{l}" for l in langs)
+    sums = ",\n             ".join(
+        f"round(sum(coalesce(w.w_{l}, {float(m['floors'][l])!r})), 6) AS s_{l}"
+        for l in langs
+    )
+    scores = ",\n             ".join(
+        f"{float(m['priors'][l])!r} + coalesce(s.s_{l}, 0.0) AS c_{l}"
+        for l in langs
+    )
+    # argmax with first-lang tie-break: lang i wins iff >= every later
+    branches = " ".join(
+        "WHEN "
+        + " AND ".join(f"c_{langs[i]} >= c_{l}" for l in langs[i + 1 :])
+        + f" THEN '{langs[i]}'"
+        for i in range(len(langs) - 1)
+    )
+    call = ", ".join(f"c_{l}" for l in langs)
+    return f"""
+WITH w(term, {wcols}) AS (VALUES
+  {rows}
+), g AS (SELECT doc_id,
+                unnest(CASE WHEN length(lower(text)) >= {n}
+                       THEN list_transform(
+                              generate_series(1, length(lower(text)) - {n - 1}),
+                              i -> substring(lower(text), i, {n}))
+                       ELSE [] END) AS term
+         FROM documents),
+s AS (SELECT g.doc_id,
+             {sums}
+      FROM g LEFT JOIN w USING (term)
+      GROUP BY g.doc_id),
+sc AS (SELECT d.doc_id,
+             {scores}
+       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+SELECT doc_id,
+       CASE {branches} ELSE '{langs[-1]}' END AS pred_lang,
+       round(greatest({call}), 6) AS lang_score
+FROM sc
+"""
+
+
+@_q("lang_id_trained", _lang_trained_sql())
+def lang_id_trained(spark, sf):
+    """Trained language ID (round-14 verdict item 3): the frozen
+    char-trigram NB classifier (artifacts/langid.json, CCNet's
+    fastText-style langid stage) applied as explode -> ONE broadcast
+    join against the wide per-language weight table -> per-doc sums ->
+    argmax with the heuristic's tie-break — the quality_classifier
+    plan shape with a language axis riding as columns
+    (operators/text.py lang_id_trained)."""
+    return text.lang_id_trained(_t(spark, sf, "documents"))
+
+
 _EN_STOPS = "[" + ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"]) + "]"
 
 _QUALITY_SQL = f"""
@@ -4590,6 +4668,106 @@ def split_by_host(spark, sf):
     parts = web.extract_host(docs).select("doc_id", "host")
     out = sampling.assign_split(parts, "host", _SPLITS, seed=_SPLIT_SEED)
     return out.select("doc_id", "host", "split")
+
+
+# =====================================================================
+# Public-suffix-list registered domains (round-14 verdict item 2)
+# =====================================================================
+
+# ccTLD-heavy URL synth: without the PSL, every *.co.uk / *.edu.au
+# host would derive domain 'co.uk' / 'edu.au' — the blocklist bypass
+# and cap-key pooling the PSL mode exists to fix.
+_PSL_SITES = [
+    "example.co.uk",
+    "school.act.edu.au",
+    "example.com",
+    "sample.com.au",
+    "test.org",
+]
+_PSL_CASE_SPARK = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_PSL_SITES)
+    )
+    + " END"
+)
+_PSL_URL_SPARK = (
+    "concat('https://', source, '.w', CAST(doc_id % 7 AS STRING), '.', "
+    f"{_PSL_CASE_SPARK}, '/d/', CAST(doc_id AS STRING))"
+)
+_PSL_URL_DUCK = (
+    "'https://' || source || '.w' || CAST(doc_id % 7 AS VARCHAR) || '.' || "
+    f"({_PSL_CASE_SPARK}) || '/d/' || CAST(doc_id AS VARCHAR)"
+)
+# one registered ccTLD domain, one 3-label-suffix domain, one exact host
+_PSL_BLOCKLIST = ["example.co.uk", "school.act.edu.au", "src1.w2.example.com"]
+
+
+def _url_filter_psl_sql() -> str:
+    from ..operators.web import _last_labels_re, frozen_suffixes
+
+    by_depth: dict[int, list[str]] = {}
+    for s in frozen_suffixes():
+        by_depth.setdefault(s.count(".") + 1, []).append(s)
+    depths = sorted(by_depth)
+    sfx_ctes = ", ".join(
+        f"s{k}(sfx) AS (VALUES "
+        + ", ".join(f"('{s}')" for s in sorted(by_depth[k]))
+        + ")"
+        for k in depths
+    )
+    last_cols = ", ".join(
+        f"regexp_extract(host, '{_last_labels_re(k)}', 1) AS _last{k}"
+        for k in depths
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{k} ON l._last{k} = s{k}.sfx" for k in depths
+    )
+    # deepest listed suffix wins; registered = suffix + one label,
+    # degrading to the bare host when the host IS the suffix — the
+    # exact when-chain of operators/web.py extract_host
+    branches = " ".join(
+        f"WHEN s{k}.sfx IS NOT NULL THEN "
+        f"(CASE WHEN regexp_extract(host, '{_last_labels_re(k + 1)}', 1) <> '' "
+        f"THEN regexp_extract(host, '{_last_labels_re(k + 1)}', 1) "
+        "ELSE host END)"
+        for k in sorted(depths, reverse=True)
+    )
+    blocked = ", ".join(f"'{b}'" for b in _PSL_BLOCKLIST)
+    return f"""
+WITH {sfx_ctes},
+u AS (SELECT doc_id, {_PSL_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, url, {_url_host_duck('url')} AS host FROM u),
+l AS (SELECT doc_id, url, host, {last_cols} FROM h),
+d AS (SELECT l.doc_id, l.url, l.host,
+             CASE {branches}
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS domain
+      FROM l {joins})
+SELECT doc_id, url, host, domain FROM d
+WHERE host NOT IN ({blocked}) AND domain NOT IN ({blocked})
+"""
+
+
+@_q("url_filter_psl", _url_filter_psl_sql())
+def url_filter_psl(spark, sf):
+    """RefinedWeb URL filtering with public-suffix-list registered
+    domains (round-14 verdict item 2): the committed PSL subset
+    (artifacts/public_suffixes.json) rides one broadcast equi left
+    join per suffix depth, the longest listed suffix wins, and the
+    registered domain is suffix + one label — so a blocklist entry
+    ``example.co.uk`` blocks every subdomain instead of silently
+    matching nothing, while the corpus side stays shuffle-free
+    (operators/web.py extract_host/url_filter, suffixes mode)."""
+    from ..operators import web
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_PSL_URL_SPARK).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [(b,) for b in _PSL_BLOCKLIST], "pattern string"
+    )
+    return web.url_filter(docs, blocklist, suffixes=web.frozen_suffixes())
 
 
 # =====================================================================

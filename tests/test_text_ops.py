@@ -603,3 +603,93 @@ def test_vocab_entropy_null_text_row_is_consistent(spark):
     assert rows[0].entropy is None and rows[0].n_tokens is None
     assert rows[1].entropy == 0.0 and rows[1].n_tokens == 0
     assert rows[2].entropy is not None and rows[2].entropy > 0
+
+
+def test_langid_artifact_integrity():
+    """artifacts/langid.json: finite negative log-probs, per-language
+    mass <= 1, floors below every seen weight of that language, and the
+    training-slice fingerprint matches live testdata (the
+    frozen-artifact guard of functions/artifacts.py)."""
+    import math
+
+    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.artifacts import (
+        corpus_fingerprint,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_langid,
+    )
+
+    m = frozen_langid()
+    langs = m["langs"]
+    assert langs == sorted(langs) and len(langs) >= 2
+    assert m["vocab_size"] == len(m["weights"]) > 0
+    for l in langs:
+        ws = [m["weights"][t][l] for t in m["weights"]]
+        assert all(math.isfinite(w) and w < 0 for w in ws)
+        # floor is the smoothed UNSEEN prob — no seen-count weight
+        # may fall below it (counts only add mass)
+        assert m["floors"][l] <= min(ws) + 1e-9
+        mass = sum(math.exp(w) for w in ws) + math.exp(m["floors"][l])
+        assert mass <= 1.0 + 1e-6
+    assert abs(sum(math.exp(m["priors"][l]) for l in langs) - 1.0) < 1e-4
+    live = corpus_fingerprint(
+        "/root/testdata/sf0.01/documents.parquet", "doc_id", "text"
+    )
+    assert m["fingerprint"] == live, (
+        "artifacts/langid.json was trained on a DIFFERENT corpus than "
+        f"the live testdata ({m['fingerprint']} vs {live}) — regenerate "
+        "with tools/train_langid.py"
+    )
+
+
+def test_lang_id_trained_agreement_and_upgrade(spark):
+    """The round-14 verdict's Done criterion: on the fixture corpus the
+    trained model agrees with the heuristic teacher wherever the
+    teacher has actual signal (stopword hits > 0), and UPGRADES the
+    teacher's zero-signal docs — whose heuristic label is pure
+    lexicographic tie-break ('de') — to the corpus language."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lang_id,
+        lang_id_trained,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    heur = {
+        r.doc_id: (r.pred_lang, r.lang_score) for r in lang_id(docs).collect()
+    }
+    trained = {
+        r.doc_id: r.pred_lang for r in lang_id_trained(docs).collect()
+    }
+    assert set(trained) == set(heur)
+    signal = [d for d in heur if heur[d][1] > 0]
+    zero = [d for d in heur if heur[d][1] == 0]
+    assert len(signal) > 0 and len(zero) > 0  # the fixture has both
+    agree = sum(trained[d] == heur[d][0] for d in signal) / len(signal)
+    assert agree == 1.0  # full agreement where the teacher is confident
+    # the upgrade: zero-signal word-soup docs are English, not 'de'
+    assert all(trained[d] == "en" for d in zero)
+
+
+def test_lang_id_trained_beats_heuristic_off_profile(spark):
+    """Natural-language sentences containing NONE of the profiled
+    function words: the heuristic scores every language 0 and its
+    tie-break answers 'de'; the char-ngram model identifies them."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        lang_id,
+        lang_id_trained,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "voiture rouge roule rapidement autoroute"),
+            (2, "gato negro duerme tranquilamente sofá"),
+            (3, "quick brown dog runs fast today"),
+        ],
+        "doc_id long, text string",
+    )
+    heur = {r.doc_id: (r.pred_lang, r.lang_score) for r in lang_id(df).collect()}
+    assert all(s == 0.0 for _, s in heur.values())  # heuristic is blind
+    trained = {r.doc_id: r.pred_lang for r in lang_id_trained(df).collect()}
+    assert trained == {1: "fr", 2: "es", 3: "en"}

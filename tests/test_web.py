@@ -305,3 +305,85 @@ def test_domain_caps_empty_domain_tiers(spark):
     assert by_host["alpha"] == 2 and by_host["beta"] == 2  # per-host caps
     assert by_host[""] == 5                                # uncapped passthrough
     assert by_host["x.example.com"] == 2
+
+
+# ---------------------------------------------------------------------
+# Public-suffix-list registered domains (round-14 verdict item 2)
+# ---------------------------------------------------------------------
+
+
+def test_extract_host_psl_registered_domains(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import frozen_suffixes
+
+    sfx = frozen_suffixes()
+    urls = [
+        "https://www.example.co.uk/page",      # 2-label suffix
+        "https://a.b.news.example.co.uk/x",    # deep subdomain, same reg dom
+        "https://school.act.edu.au/",          # 3-label suffix, bare reg dom
+        "https://www.school.act.edu.au/",      # 3-label suffix + subdomain
+        "https://co.uk/",                      # host IS a listed suffix
+        "https://www.example.com/",            # unlisted -> default 2-label
+        "https://localhost/",                  # single label -> ''
+        "garbage",                             # no host -> ''
+    ]
+    got = {
+        r.doc_id: (r.host, r.domain)
+        for r in extract_host(_docs(spark, urls), suffixes=sfx).collect()
+    }
+    assert got[0] == ("www.example.co.uk", "example.co.uk")
+    assert got[1] == ("a.b.news.example.co.uk", "example.co.uk")
+    assert got[2] == ("school.act.edu.au", "school.act.edu.au")
+    assert got[3] == ("www.school.act.edu.au", "school.act.edu.au")
+    assert got[4] == ("co.uk", "co.uk")          # degrades to the host
+    assert got[5] == ("www.example.com", "example.com")
+    assert got[6] == ("localhost", "")
+    assert got[7] == ("", "")
+
+
+def test_url_filter_psl_blocks_cctld_subdomains(spark):
+    """The round-14 verdict's Done criterion: blocklist entry
+    example.co.uk must block www.example.co.uk — under the two-label
+    default the derived domain is co.uk and the entry never matches."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import frozen_suffixes
+
+    urls = [
+        "https://www.example.co.uk/a",   # blocked via PSL domain
+        "https://example.co.uk/b",       # blocked (reg dom itself)
+        "https://other.co.uk/c",         # kept — sibling site, NOT blocked
+        "https://www.example.com/d",     # kept
+    ]
+    docs = _docs(spark, urls)
+    blk = spark.createDataFrame([("example.co.uk",)], "pattern string")
+    # two-label default: the exact host still matches the HOST
+    # anti-join, but the subdomain bypasses (the documented gap)
+    kept_default = {r.doc_id for r in url_filter(docs, blk).collect()}
+    assert kept_default == {0, 2, 3}
+    # PSL mode: exactly the example.co.uk site is dropped
+    kept_psl = {
+        r.doc_id
+        for r in url_filter(docs, blk, suffixes=frozen_suffixes()).collect()
+    }
+    assert kept_psl == {2, 3}
+
+
+def test_domain_caps_psl_does_not_pool_cctld(spark):
+    """Under the two-label rule every .co.uk site shares cap key
+    'co.uk'; with the PSL each registered domain caps independently."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import frozen_suffixes
+
+    urls = [f"https://site{i}.co.uk/p{j}" for i in range(2) for j in range(5)]
+    docs = _docs(spark, urls)
+    pooled = domain_caps(docs, 3)
+    assert pooled.count() == 3  # one shared 'co.uk' key — over-capped
+    split = domain_caps(docs, 3, suffixes=frozen_suffixes())
+    assert split.count() == 6  # 3 per registered domain
+    assert {
+        r.domain for r in split.collect()
+    } == {"site0.co.uk", "site1.co.uk"}
+
+
+def test_extract_host_psl_rejects_bad_depth(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="depths are 2-4"):
+        extract_host(_docs(spark, ["https://x.y/"]), suffixes=["uk"])
