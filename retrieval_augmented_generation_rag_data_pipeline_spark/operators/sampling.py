@@ -575,3 +575,137 @@ def mix_temperature(
         "share",
         F.round(F.col("_pw") / F.col("_tot_pw"), 6).alias("weight"),
     )
+
+
+def dsir_diff_table(target_lm: dict, raw_lm: dict) -> tuple[dict, float]:
+    """Per-token log importance-weight increments for DSIR (Xie et al.
+    2023): d(t) = logp_target(t) - logp_raw(t) over the UNION of the
+    two frozen vocabularies (a token seen by either model carries
+    signal; a token known to neither contributes the constant
+    oov_target - oov_raw). Computed driver-side from the two
+    metadata-sized artifacts and shared by the Spark operator and the
+    DuckDB oracle builder, so the two engines can never disagree on
+    the table. Returns (diff_dict, oov_diff)."""
+    lpt, lpr = target_lm["logp"], raw_lm["logp"]
+    oov_t, oov_r = float(target_lm["oov_logp"]), float(raw_lm["oov_logp"])
+    diff = {
+        t: float(lpt.get(t, oov_t)) - float(lpr.get(t, oov_r))
+        for t in set(lpt) | set(lpr)
+    }
+    return diff, oov_t - oov_r
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_lm: dict | None = None,
+    raw_lm: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR log importance weight under two frozen unigram
+    LMs (Xie et al. 2023 §3: w(doc) = p_target(doc)/p_raw(doc) over
+    bag-of-token features, so log w = sum_t [logp_t(t) - logp_r(t)]).
+    ``target_lm`` defaults to the committed artifacts/lm_target.json
+    (tools/train_dsir_target.py), ``raw_lm`` to artifacts/lm.json —
+    both through the frozen_lm seam; all transcendental math happened
+    at TRAINING time.
+
+    Returns (doc_id, logw) for EVERY input document: a zero-token doc
+    has weight 1 (log 0.0) — the empty product — via the
+    quality_classifier left-join-the-spine convention. The per-doc sum
+    is rounded ONCE at 6dp (the fold-order convention).
+
+    Plan (100 TB): explode -> broadcast join against the union-vocab
+    DIFF table (one row per token — the two models are pre-subtracted
+    driver-side, so one join does the work of two) -> one
+    map-side-combined per-doc sum -> broadcast-scale left join onto
+    the doc spine. Only the doc_id aggregation shuffles."""
+    from .text import frozen_lm
+
+    if raw_lm is None:
+        raw_lm = frozen_lm()
+    if target_lm is None:
+        target_lm = frozen_lm(_default_target_path())
+    from ..functions.hashing import tokens
+    from ..session import ensure_parallelism
+
+    diff, oov_diff = dsir_diff_table(target_lm, raw_lm)
+    spine = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    dtab = docs.sparkSession.createDataFrame(
+        sorted(diff.items()), "term string, _d double"
+    )
+    summed = (
+        ensure_parallelism(spine)
+        .select("doc_id", F.explode(tokens(F.col("_t"))).alias("term"))
+        .join(F.broadcast(dtab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_d"), F.lit(float(oov_diff)))), 6
+            ).alias("_lw")
+        )
+    )
+    return spine.join(summed, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_lw"), F.lit(0.0)).alias("logw")
+    )
+
+
+def _default_target_path() -> str:
+    import pathlib
+
+    return str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "artifacts"
+        / "lm_target.json"
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    k: int,
+    target_lm: dict | None = None,
+    raw_lm: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR selection (Xie et al. 2023): sample ``k`` documents WITHOUT
+    replacement with probability proportional to the importance weight
+    w = exp(logw) — Gumbel-top-k over the log weights, which is
+    algebraically the Efraimidis-Spirakis exponential-key scheme of
+    ``sample_weighted`` rewritten in log space:
+
+        minimize  ln(-ln(u)) - logw      [= ln(-ln(u) / w)]
+
+    so the ranking never exponentiates logw (a corpus-scale |logw| of
+    hundreds would over/underflow exp, and exp is engine-local
+    transcendental math besides). u is hash-derived from (seed, id) —
+    deterministic across runs, engines, and partitioning — and mapped
+    into the OPEN interval (0,1) so both ln calls are finite.
+
+    Returns the selected (doc_id, logw) rows. Scale: the weights pass
+    is the dsir_importance_weights plan; the selection is a narrow
+    per-row key + orderBy(key).limit(k) = TakeOrderedAndProject
+    (per-partition partial top-k, no global sort materialization)."""
+    w = dsir_importance_weights(docs, target_lm, raw_lm, id_col, text_col)
+    u = (
+        (
+            md5_long(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col("doc_id").cast("string")
+                )
+            )
+            % RESOLUTION
+            + 1
+        ).cast("double")
+        / (RESOLUTION + 1)
+    )
+    key = F.log(-F.log(u)) - F.col("logw")
+    return (
+        w.withColumn("_gk", key)
+        .orderBy(F.col("_gk").asc(), F.col("doc_id").asc())
+        .limit(int(k))
+        .drop("_gk")
+    )

@@ -611,3 +611,74 @@ def test_sampling_degenerate_spec_guards(spark):
     zero = spark.createDataFrame([("a", 0.0)], ["lang", "toks"])
     with pytest.raises(ValueError, match="positive"):
         mix_temperature(zero, source_col="lang", weight_col="toks")
+
+
+# ---------------------------------------------------------------------
+# DSIR importance resampling (round-14 verdict item 4)
+# ---------------------------------------------------------------------
+
+import math as _math
+
+
+def _toy_lms():
+    # target favors 'x' 5:1 over raw; 'y' is neutral; OOV neutral
+    target = {"logp": {"x": _math.log(0.5), "y": _math.log(0.1)},
+              "oov_logp": _math.log(0.01)}
+    raw = {"logp": {"x": _math.log(0.1), "y": _math.log(0.1)},
+           "oov_logp": _math.log(0.01)}
+    return target, raw
+
+
+def test_dsir_importance_weights_exact(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    target, raw = _toy_lms()
+    df = spark.createDataFrame(
+        [
+            (1, "x x y"),     # 2*ln5 + 0
+            (2, "y y"),       # 0
+            (3, "zz zz"),     # OOV only -> 0 (oov diff is 0 here)
+            (4, ""),          # zero tokens -> empty product -> log 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.logw
+        for r in dsir_importance_weights(df, target, raw).collect()
+    }
+    assert got[1] == round(2 * _math.log(5.0), 6)
+    assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import dsir_select
+
+    target, raw = _toy_lms()
+    rows = [(i, "x " * 10) for i in range(50)] + [
+        (i, "y " * 10) for i in range(50, 100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = dsir_select(df, 40, target, raw, seed=3)
+    ids = {r.doc_id for r in sel.collect()}
+    assert len(ids) == 40
+    # weight ratio e^(10 ln 5) ~ 10^7: every pick is a target-like doc
+    assert all(i < 50 for i in ids)
+    # determinism across invocations
+    again = {r.doc_id for r in dsir_select(df, 40, target, raw, seed=3).collect()}
+    assert again == ids
+    # k >= n degrades to "keep everything"
+    assert dsir_select(df, 200, target, raw).count() == 100
+
+
+def test_dsir_diff_table_union_vocab():
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.sampling import dsir_diff_table
+
+    target = {"logp": {"a": -1.0}, "oov_logp": -9.0}
+    raw = {"logp": {"b": -2.0}, "oov_logp": -7.0}
+    diff, oov = dsir_diff_table(target, raw)
+    assert set(diff) == {"a", "b"}
+    assert diff["a"] == -1.0 - (-7.0)   # known to target, OOV to raw
+    assert diff["b"] == -9.0 - (-2.0)   # OOV to target, known to raw
+    assert oov == -9.0 - (-7.0)
