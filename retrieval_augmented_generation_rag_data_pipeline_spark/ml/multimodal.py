@@ -270,3 +270,75 @@ def sample_video_frames(df: DataFrame, every_s: float = 1.0) -> DataFrame:
             (F.col("frame_idx") * every_s).alias("t_offset_s"),
         )
     )
+
+
+# ------------------------------------------------------- perceptual hashes
+
+PHASH_SCHEMA = "media_id long, phash long, decode_error string"
+
+
+def _bits_to_long(bits: np.ndarray) -> int:
+    """64 bool bits (row-major) -> SIGNED 64-bit int (bit 0 = first
+    bit), two's-complement wrapped so bit 63 fits Spark's LongType."""
+    v = 0
+    for i, b in enumerate(bits.flatten()[:64]):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _to_gray(a: np.ndarray) -> np.ndarray:
+    """Integer channel average — deterministic across environments
+    (no float luma weights to round differently)."""
+    if a.ndim == 2:
+        return a
+    return (a.astype(np.uint32).sum(axis=2) // a.shape[2]).astype(np.uint8)
+
+
+def dhash64(a: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale -> 9x8 nearest-neighbor
+    resample -> horizontal-gradient sign bits. The standard perceptual
+    fingerprint for near-duplicate image detection (robust to resize,
+    recompression, small edits; Hamming distance ~ visual difference).
+    All arithmetic is the deterministic numpy tier of this module —
+    identical whether the blob came from the PNM or PIL decoder."""
+    small = _resize_nearest(_to_gray(a), 9, 8)
+    return _bits_to_long(small[:, 1:] > small[:, :-1])
+
+
+def ahash64(a: np.ndarray) -> int:
+    """64-bit average hash (aHash): grayscale -> 8x8 resample -> bits =
+    pixel > mean. Cheaper and coarser than dHash; same contract."""
+    small = _resize_nearest(_to_gray(a), 8, 8)
+    return _bits_to_long(small > small.mean())
+
+
+def image_phash(df: DataFrame, algo: str = "dhash") -> DataFrame:
+    """Per-image perceptual hash via mapInPandas: (media_id, phash,
+    decode_error). Undecodable blobs yield a NULL phash plus the error
+    message — a few corrupt files never kill a 1000-executor stage.
+    Feed the result to operators/dedup.py phash_near_dup_pairs for the
+    banded near-duplicate pass (the SQL half is oracle-gated; this
+    decode half is deterministic-unit-tested, the multimodal-tier
+    convention)."""
+    if algo not in ("dhash", "ahash"):
+        raise ValueError(f"image_phash: unknown algo {algo!r}")
+    fn = dhash64 if algo == "dhash" else ahash64
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                ids.append(mid)
+                try:
+                    hashes.append(fn(decode_image(bytes(blob or b""))))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": pd.array(hashes, dtype="Int64"),
+                 "decode_error": errs}
+            )
+
+    return df.mapInPandas(op, schema=PHASH_SCHEMA)

@@ -1528,3 +1528,100 @@ def strip_duplicated_spans_raw(
             F.coalesce(F.col("_nd"), F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 7,
+    n_bands: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over a 64-bit perceptual-hash column
+    (ml/multimodal.py image_phash — dHash/aHash) by banded Hamming
+    blocking: the hash splits into ``n_bands`` contiguous bit bands,
+    rows agreeing on >= 1 band become candidates (grouped-bucket
+    expansion, the lsh_candidate_pairs shape — never a band-key
+    self-join), and candidates are kept iff their EXACT Hamming
+    distance (bit_count of xor) is <= ``max_distance``.
+
+    EXACTNESS (the oracle contract): a pair within distance d can
+    disagree on at most d bands, so with d < n_bands the pigeonhole
+    principle guarantees >= 1 shared band — banding finds EVERY
+    qualifying pair and the result equals the all-pairs filter.
+    Enforced: ``max_distance >= n_bands`` raises (the guarantee, and
+    with it oracle parity, would silently break).
+
+    Returns (media_a, media_b, distance), media_a < media_b.
+
+    Scale shape: one narrow band projection (explode of n_bands
+    structs carrying the id AND the hash, so the exact-distance
+    check never joins back to the input), one shuffle keyed on
+    (band, band_key), per-bucket pair expansion, and a pair-level
+    groupBy to dedup multi-band collisions. ``max_bucket_size`` caps
+    the only quadratic stage (a constant-color corpus would otherwise
+    pool into one bucket — the lsh_candidate_pairs hygiene rule);
+    NULL hashes (decode failures) are excluded up front."""
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"phash_near_dup_pairs: max_distance={max_distance} needs "
+            f"more than {n_bands} bands (pigeonhole guarantee requires "
+            "max_distance < n_bands) — raise n_bands or lower "
+            "max_distance"
+        )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_ph")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_ph"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = h.select("_id", "_ph", F.explode(band_arr).alias("bk")).select(
+        "_id", "_ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_ph")))
+            ).alias("_rows")
+        )
+        .filter(F.size("_rows") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_rows") <= max_bucket_size)
+    n = F.size(F.col("_rows"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("_rows"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_rows"), i + 2, n),
+                lambda y: F.struct(
+                    x["_id"].alias("media_a"),
+                    y["_id"].alias("media_b"),
+                    F.bit_count(x["_ph"].bitwiseXOR(y["_ph"])).alias("distance"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.media_a").alias("media_a"),
+            F.col("p.media_b").alias("media_b"),
+        )
+        .agg(F.max("p.distance").cast("int").alias("distance"))
+        .filter(F.col("distance") <= int(max_distance))
+    )

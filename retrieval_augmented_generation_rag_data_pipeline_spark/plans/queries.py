@@ -3426,6 +3426,66 @@ def multimodal_features(spark, sf):
     return extract_features(media).select("media_id", "n_bytes", "digest")
 
 
+# Perceptual-hash near-dup (round-14 verdict item 5): the gate covers
+# the SQL half — banded Hamming blocking + exact bit_count rerank over
+# a precomputed 64-bit hash column (deterministically synthesized here
+# so DuckDB can replay it; the decode half — ml/multimodal.py dhash64
+# over real PNM pixels — is unit-tested, the multimodal-tier
+# convention). Synth plants clusters (doc_id % 37) with per-doc bit
+# flips (doc_id % 5) spanning distances 0..12, including one pair
+# class at EXACTLY the max_distance boundary and classes beyond it.
+_PHASH_GROUPS = 37
+_PHASH_MASKS = [0, 1, 6, (1 << 10) + (1 << 20) + (1 << 30), 1022]
+_PHASH_MAXD = 7
+
+
+def _phash_mask_case() -> str:
+    return (
+        "CASE CAST(doc_id % 5 AS INT) "
+        + " ".join(f"WHEN {i} THEN {m}" for i, m in enumerate(_PHASH_MASKS[:-1]))
+        + f" ELSE {_PHASH_MASKS[-1]} END"
+    )
+
+
+def _dedup_image_phash_sql() -> str:
+    base = O.md5_long(f"'g' || CAST(doc_id % {_PHASH_GROUPS} AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT doc_id,
+                  xor({base}, {_phash_mask_case()}) AS phash
+           FROM documents)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS distance
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAXD}
+"""
+
+
+@_q("dedup_image_phash", _dedup_image_phash_sql())
+def dedup_image_phash(spark, sf):
+    """Perceptual-hash image near-dup pairs: banded Hamming blocking
+    (8 bands of 8 bits, grouped-bucket expansion — the
+    lsh_candidate_pairs shape) + exact bit_count(xor) rerank, provably
+    equal to the all-pairs filter for max_distance < n_bands
+    (pigeonhole), which is exactly what the oracle computes
+    (operators/dedup.py phash_near_dup_pairs; hashes from
+    ml/multimodal.py image_phash in production)."""
+    from ..functions.hashing import md5_long as _md5l
+
+    base = _md5l(
+        F.concat(F.lit("g"), (F.col("doc_id") % _PHASH_GROUPS).cast("string"))
+    )
+    noise = (F.col("doc_id") % 5).cast("int")
+    mask = F.when(noise == 0, F.lit(_PHASH_MASKS[0]).cast("long"))
+    for i, m in enumerate(_PHASH_MASKS[1:-1], start=1):
+        mask = mask.when(noise == i, F.lit(m).cast("long"))
+    mask = mask.otherwise(F.lit(_PHASH_MASKS[-1]).cast("long"))
+    hashes = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        base.bitwiseXOR(mask).alias("phash"),
+    )
+    return dedup.phash_near_dup_pairs(hashes, max_distance=_PHASH_MAXD)
+
+
 # =====================================================================
 # S10: artifact-existence probe
 # =====================================================================
