@@ -116,6 +116,55 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, key) LSH band keys: the tokenize -> k-shingle ->
+    md5 -> NUM_PERM MinHash -> LSH_BANDS band-signature chain, shared
+    by lsh_candidate_pairs (self-collision pairing) and
+    text.decontaminate_fuzzy (bipartite collision vs a benchmark) so
+    the two can never band differently.
+
+    Docs shorter than k words have no shingles -> identical empty
+    signatures; at scale they'd all collapse into one quadratic
+    bucket. They can't be meaningfully MinHash-matched, so they emit
+    NO band rows (exact dedup handles verbatim-identical short docs).
+
+    The exclusion is NOT a .filter(): a filter on size(_h) gets
+    predicate-pushed below the ensure_parallelism repartition, so the
+    whole tokenize->shingle->md5 pipeline would be re-evaluated on the
+    raw (often single-partition) input — measured 4x slower at sf0.1.
+    Instead the band array is emptied for shingle-less docs and the
+    explode drops them, which nothing can push down."""
+    sig = minhash_signature("_h")
+    sigs = _shingle_hashes(df, id_col, text_col, k).select(
+        "doc_id", (F.size("_h") > 0).alias("_ok"), sig.alias("_sig")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("_sig")[b * LSH_ROWS + r].cast("string")
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    empty = F.array().cast("array<struct<band:int,key:string>>")
+    return sigs.select(
+        "doc_id",
+        F.explode(F.when(F.col("_ok"), band_arr).otherwise(empty)).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -139,41 +188,7 @@ def lsh_candidate_pairs(
     inverted-index hygiene; near-identical docs that large share plenty
     of other buckets or are caught by exact dedup.
     """
-    sig = minhash_signature("_h")
-    # Docs shorter than k words have no shingles -> identical empty
-    # signatures; at scale they'd all collapse into one quadratic
-    # bucket. They can't be meaningfully MinHash-deduped, so exclude
-    # them (exact dedup handles verbatim-identical short docs).
-    #
-    # The exclusion is NOT a .filter(): a filter on size(_h) gets
-    # predicate-pushed below the ensure_parallelism repartition, so the
-    # whole tokenize->shingle->md5 pipeline would be re-evaluated on the
-    # raw (often single-partition) input — measured 4x slower at sf0.1.
-    # Instead the band array is emptied for shingle-less docs and the
-    # explode drops them, which nothing can push down.
-    sigs = _shingle_hashes(df, id_col, text_col, k).select(
-        "doc_id", (F.size("_h") > 0).alias("_ok"), sig.alias("_sig")
-    )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col("_sig")[b * LSH_ROWS + r].cast("string")
-                        for r in range(LSH_ROWS)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    empty = F.array().cast("array<struct<band:int,key:string>>")
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.when(F.col("_ok"), band_arr).otherwise(empty)).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = minhash_band_keys(df, id_col, text_col, k)
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))

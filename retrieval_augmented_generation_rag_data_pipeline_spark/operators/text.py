@@ -400,6 +400,63 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """FUZZY benchmark decontamination (round-14 verdict item 6): drop
+    every document whose MinHash-LSH band signature collides with any
+    benchmark document — the near-duplicate contamination that exact
+    n-gram overlap provably misses (a paraphrase that reorders or
+    substitutes one word in each window shares ZERO 8-grams with the
+    benchmark yet is the same leaked item; LSH over k-word shingles
+    still collides because most shingles survive).
+
+    Conservative by design: an LSH collision is probabilistic, and for
+    decontamination a false positive costs one training doc while a
+    false negative leaks an eval item — so candidates are dropped
+    without a verification pass (run ``decontaminate`` alongside for
+    the exact tier; dedup.verify_pairs_jaccard exists if a deployment
+    wants to audit the dropped set).
+
+    Plan shape: both corpora run the SHARED tokenize -> shingle ->
+    MinHash -> band chain (dedup.minhash_band_keys — the
+    lsh_candidate_pairs machinery, so fuzzy-decon and dedup can never
+    band differently); contaminated ids = ONE semi join of doc band
+    keys against the DISTINCT benchmark band keys (bipartite — no
+    bucket pair expansion at all); result = one anti join on the id.
+    At 100 TB the benchmark side is test-set-sized, broadcasts, and
+    the doc corpus never shuffles."""
+    from .dedup import minhash_band_keys
+
+    doc_bands = minhash_band_keys(docs, id_col, text_col, k)
+    # the benchmark needs only a per-row grouping key for its own
+    # signatures; a content hash is deterministic under stage retry
+    # (the house rand()/monotonic-id rule) and identical bench rows
+    # collapsing is harmless — their band keys are identical anyway
+    bench = benchmark.select(
+        F.md5(F.col(bench_text_col)).alias(id_col),
+        F.col(bench_text_col).alias("_btext"),
+    )
+    bench_bands = (
+        minhash_band_keys(bench, id_col=id_col, text_col="_btext", k=k)
+        .select("band", "key")
+        .distinct()
+    )
+    contaminated = (
+        doc_bands.join(F.broadcast(bench_bands), ["band", "key"], "left_semi")
+        .select(F.col("doc_id").alias("_did"))
+        .distinct()
+    )
+    return docs.join(
+        contaminated, docs[id_col] == contaminated["_did"], "left_anti"
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str = "doc_id",

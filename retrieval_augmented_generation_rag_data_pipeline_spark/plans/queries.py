@@ -2405,6 +2405,34 @@ def decontaminate(spark, sf):
     return text.decontaminate(docs, bench, n=8).select("doc_id", "n_chars")
 
 
+def _decon_fuzzy_sql() -> str:
+    return f"""
+WITH {_lsh_ctes("corpus AS (SELECT doc_id, text FROM documents)")},
+bench AS (SELECT DISTINCT band, key FROM bands WHERE doc_id < 20),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM bands d JOIN bench b ON d.band = b.band AND d.key = b.key
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@_q("decontaminate_fuzzy", _decon_fuzzy_sql())
+def decontaminate_fuzzy(spark, sf):
+    """Fuzzy (MinHash-LSH) benchmark decontamination (round-14 verdict
+    item 6): docs whose LSH band signature collides with any benchmark
+    doc are dropped — catches paraphrased contamination that exact
+    8-gram overlap provably misses. Shared banding chain with
+    lsh_candidate_pairs (dedup.minhash_band_keys); ONE bipartite semi
+    join on (band, key) against the broadcast test-set-sized benchmark
+    bands, then one anti join — the corpus never pair-expands
+    (operators/text.py decontaminate_fuzzy)."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("text")
+    return text.decontaminate_fuzzy(docs, bench).select("doc_id", "n_chars")
+
+
 _NORM_SQL = r"""
 SELECT doc_id,
        trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text

@@ -693,3 +693,74 @@ def test_lang_id_trained_beats_heuristic_off_profile(spark):
     assert all(s == 0.0 for _, s in heur.values())  # heuristic is blind
     trained = {r.doc_id: r.pred_lang for r in lang_id_trained(df).collect()}
     assert trained == {1: "fr", 2: "es", 3: "en"}
+
+
+# ---------------------------------------------------------------------
+# Fuzzy decontamination (round-14 verdict item 6)
+# ---------------------------------------------------------------------
+
+# A benchmark item and its paraphrase: every 8th word substituted, so
+# the longest run of shared tokens is 7 — the two PROVABLY share zero
+# 8-grams (asserted below), yet ~45% of their 3-word shingles survive
+# and the frozen MinHash-LSH signature collides in >= 1 band (pinned:
+# the sketch parameters are frozen constants, so this is deterministic).
+_BENCH_ITEM = (
+    "the committee reviewed the annual budget report and approved new "
+    "funding for the public library system while several members raised "
+    "concerns about rising maintenance costs across the district schools "
+    "and proposed an independent audit of every capital project begun "
+    "during the previous fiscal year to restore public confidence in the "
+    "planning process"
+)
+_PARAPHRASE = (
+    "altered committee reviewed the annual budget report and changed new "
+    "funding for the public library system revised several members raised "
+    "concerns about rising maintenance updated across the district schools "
+    "and proposed an amended audit of every capital project begun during "
+    "modified previous fiscal year to restore public confidence adjusted "
+    "the planning process"
+)
+
+
+def test_decontaminate_fuzzy_catches_paraphrase_exact_misses(spark):
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+
+    # the premise, proven: zero shared 8-grams
+    def grams(s, n=8):
+        w = s.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    assert not (grams(_BENCH_ITEM) & grams(_PARAPHRASE))
+
+    docs = spark.createDataFrame(
+        [
+            (1, _PARAPHRASE),  # leaked eval item, paraphrased
+            (2, "completely unrelated text about gardening and soil quality"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(_BENCH_ITEM,)], "text string")
+
+    exact_kept = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
+    assert exact_kept == {1, 2}  # exact 8-gram overlap MISSES the leak
+
+    fuzzy_kept = {r.doc_id for r in decontaminate_fuzzy(docs, bench).collect()}
+    assert fuzzy_kept == {2}  # fuzzy catches it; unrelated doc survives
+
+
+def test_decontaminate_fuzzy_short_docs_pass_through(spark):
+    """Docs/bench items shorter than the shingle width emit no band
+    keys (the minhash_band_keys empty-signature rule) — they can never
+    collide, so they pass through unharmed rather than all colliding
+    on an empty signature."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import decontaminate_fuzzy
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, _BENCH_ITEM)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("xy",), (_BENCH_ITEM,)], "text string")
+    kept = {r.doc_id for r in decontaminate_fuzzy(docs, bench).collect()}
+    assert kept == {1, 2}  # verbatim bench item dropped; shorts kept
