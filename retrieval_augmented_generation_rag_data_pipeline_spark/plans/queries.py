@@ -3184,6 +3184,63 @@ def token_count(spark, sf):
     return text.token_count(_t(spark, sf, "documents"))
 
 
+def _token_count_subword_sql() -> str | None:
+    """Oracle for the frozen-BPE subword counts: replays the piece
+    literals with a recursive-CTE greedy longest-prefix segmentation
+    per DISTINCT word (the exact loop the Spark fold expression
+    unrolls; the correlated max-length-prefix subquery is the longest-
+    match rule, coalesce(...,1) the single-char UNK fallback).
+    Artifact guard as _lm_perplexity_sql."""
+    from ..operators.text import frozen_subword
+
+    try:
+        pieces = frozen_subword()["pieces"]
+        rows = ",\n  ".join(
+            "('" + p.replace("'", "''") + "')" for p in sorted(pieces)
+        )
+        if not rows:
+            return None
+    except Exception:
+        return None
+    return f"""
+WITH RECURSIVE vocab(p) AS (VALUES
+  {rows}
+), w AS (SELECT doc_id, unnest({O.tokens('text')}) AS word FROM documents),
+dw AS (SELECT DISTINCT word FROM w),
+seg AS (
+  SELECT word, word AS suf, 0 AS n FROM dw
+  UNION ALL
+  SELECT word,
+         substring(suf, coalesce(
+           (SELECT max(length(v.p)) FROM vocab v
+            WHERE v.p = substring(suf, 1, length(v.p))), 1) + 1),
+         n + 1
+  FROM seg WHERE suf <> ''
+),
+np AS (SELECT word, max(n) AS n_pieces FROM seg WHERE suf = '' GROUP BY word),
+counts AS (SELECT w.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(np.n_pieces) AS BIGINT) AS n_subword_tokens
+           FROM w JOIN np USING (word)
+           GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(c.n_words, 0) AS n_words,
+       coalesce(c.n_subword_tokens, 0) AS n_subword_tokens
+FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+"""
+
+
+@_q("token_count_subword", _token_count_subword_sql())
+def token_count_subword(spark, sf):
+    """Tokenizer-calibrated token counts under the frozen BPE
+    vocabulary (tools/train_subword.py; round-14 verdict missing item
+    4): greedy longest-prefix segmentation as ONE narrow fold
+    expression evaluated per DISTINCT word (segmentation is a
+    vocabulary-sized dimension, never a per-token cost), counts joined
+    back and summed per doc (operators/text.py token_count_subword)."""
+    return text.token_count_subword(_t(spark, sf, "documents"))
+
+
 _PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id, CAST(len({O.tokens('text')}) AS BIGINT) AS n_tokens
