@@ -111,6 +111,12 @@ HEADLINE = [
     "join_tpch_q5",
     "split_by_host",
     "window_time_range",
+    "url_filter_psl",
+    "lang_id_trained",
+    "dsir_select",
+    "dedup_image_phash",
+    "decontaminate_fuzzy",
+    "token_count_subword",
 ]
 
 RUNS = 3

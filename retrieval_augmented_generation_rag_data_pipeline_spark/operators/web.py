@@ -367,6 +367,13 @@ def html_clean(
     that was already clean shows 0/0 and passes through byte-stable
     (fixpoint-tested).
 
+    Entity scope (deliberate): the SIX named entities below cover the
+    overwhelming share of real markup; numeric character references
+    (``&#xNN;`` / ``&#NN;``) pass through VERBATIM — they are rare in
+    prose, and decoding them portably would need per-codepoint chr()
+    on both engines. Corpora that lean on numeric references should
+    add a decode tier behind this one.
+
     Scale shape: narrow per-row regexp/replace chain, no shuffle, no
     UDF; every regex is RE2-portable so the DuckDB oracle replays the
     pipeline verbatim (gate ``html_clean``)."""

@@ -5231,93 +5231,101 @@ def dsir_select(spark, sf):
 # the CORRECTNESS_r*.json files and fails if any >=2-round-stale or
 # evidence-less entry sits outside the first 50 positions.
 #
-# STANDING ROTATION (round 14): the TWENTY-SEVEN entries whose latest
-# evidence is r11 (exactly at the cap — named by the round-13 verdict
-# and the previous rotation note) LEAD; then the TEN queries new this
-# round (four prescribed by the round-13 verdict: c4_line_filter — C4
-# line-level cleaning, item 2; url_filter + domain_caps — URL/domain
-# ingest hygiene, item 3; mix_temperature — temperature-scaled mixture
-# weights, item 5; plus five beyond the prescription: url_dedup —
-# CCNet's canonical-URL pre-content dedup pass; ann_ivfpq_rerank — the
-# IndexRefineFlat shortlist+exact-rerank recipe; html_clean — the
-# pre-C4 markup-stripping extraction stage; join_tpch_q5 — the
-# six-table local-supplier-volume star join; split_by_host — the
-# leakage-safe group-keyed holdout; window_time_range — the trailing
-# time-RANGE frame), all with no evidence yet;
-# then TWO queries whose implementation
-# was touched this round (the percentile_mode/frozen-thresholds seam
-# touches lm_quality_buckets -> ccnet_buckets; the duplicate-score
-# guard in resolve_survivors touches dedup_corpus_best), re-validating
-# in-gate rather than riding r13 evidence; then r12-evidenced fill in
-# CORRECTNESS_r12.json order. The THIRTY-FIVE r12 entries left over
+# STANDING ROTATION (round 15): the THIRTY-FIVE entries whose latest
+# evidence is r12 (exactly at the cap — named by the round-14 verdict
+# and the previous rotation note) LEAD, in the note's order; then the
+# SIX queries new this round (five prescribed by the round-14
+# verdict: url_filter_psl — public-suffix-list registered domains,
+# item 2; lang_id_trained — the trained CCNet langid stage, item 3;
+# dsir_select — DSIR importance resampling, item 4;
+# dedup_image_phash — perceptual-hash image near-dup, item 5;
+# decontaminate_fuzzy — MinHash-LSH benchmark decontamination, item
+# 6; plus one beyond the prescription: token_count_subword — the
+# frozen-BPE tokenizer-calibrated counts of "missing" item 4), all
+# with no evidence yet; then SIX queries whose implementation was
+# touched this round, re-validating in-gate rather than riding r14
+# evidence (the PSL suffixes seam touches extract_host ->
+# url_filter + domain_caps; the strict-mode restructure touches
+# ledger.pending -> anti_join_ledger; the integral-desc widening
+# touches rank_small -> sample_exact_k; the minhash_band_keys
+# extraction touches lsh_candidate_pairs -> dedup_lsh_pairs +
+# dedup_eval — plan_guard shows all existing shapes byte-identical,
+# so these are belt-and-braces); then THREE r13-evidenced fill in
+# CORRECTNESS_r13.json order. The FORTY-THREE r13 entries left over
 # after this window:
-#   limit_pushdown, sessionize_islands, window_tumbling,
-#   window_sliding, window_session, agg_rollup, agg_cube,
-#   argmin_nearest, select_budget_grouped, dedup_exact, dedup_spans,
-#   dedup_spans_strip, dedup_spans_strip_raw, window_running,
-#   format_dialogue, str_funcs, date_funcs, math_funcs, array_funcs,
-#   json_funcs, map_funcs, knn_topk, ann_lsh_buckets, ann_lsh_topk,
-#   decontaminate, normalize_text, dedup_chunks, dedup_incremental,
-#   filter_suffix, union_globs, limit_n, distinct_keys,
-#   bloom_anti_join, join_positional, join_salted
-# overflow the 50-entry window and MUST lead round 15's rotation.
+#   topn_per_group, join_asof, retrieval_eval, ann_ivf_topk,
+#   ann_pq_topk, ann_ivfpq_mem, dedup_embedding_cosine,
+#   dedup_minhash, dedup_clusters, dedup_simhash,
+#   dedup_ngram_jaccard, lang_id, quality_score, quality_filter,
+#   token_count, pack_assembly, doc_fingerprint, chunk_documents,
+#   tfidf_top_terms, mix_report, sample_group_k, sample_weighted_k,
+#   quality_classifier, select_budget_classifier, dedup_semantic,
+#   dedup_corpus, prepare_corpus, retrieval_eval_ivf,
+#   retrieval_eval_ivf_trained, pii_scrub, ngram_topk, corpus_stats,
+#   vocab_entropy, assign_split, mix_corpora, window_rank,
+#   window_lead_lag, window_first_last, agg_stats, agg_pivot,
+#   unpivot_melt, multimodal_features, artifact_probe
+# overflow the 50-entry window and MUST lead round 16's rotation —
+# leaving only SEVEN round-16 slots for new/touched/fill work (the
+# registry is 139; per the standing ~140-145 comfort zone, round 16
+# should prefer replacing low-information gates over net growth).
 _PRIORITY_QUERIES = [
-    # (1) evidence exactly 2 rounds old (r11) -- must refresh this round
-    "sample_stratified",
-    "repetition_metrics",
-    "lm_perplexity",
-    "lm_perplexity_bigram",
-    "select_token_budget",
-    "bm25_search",
-    "hybrid_rrf",
-    "join_interval",
-    "agg_mode",
-    "set_ops",
-    "null_funcs",
-    "explode_pos",
-    "str_distance",
-    "sample_exact_k",
-    "zorder_key",
-    "filter_notnull",
-    "filter_nonempty",
-    "dedup_embedding_capped",
-    "pack_sequences",
-    "pack_pieces",
-    "project_derived",
-    "scan_catalog",
-    "scan_documents",
-    "agg_conditional_count",
-    "agg_multi_counter",
-    "agg_by_year",
-    "agg_histogram",
+    # (1) evidence exactly 2 rounds old (r12) -- must refresh this round
+    "limit_pushdown",
+    "sessionize_islands",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "agg_rollup",
+    "agg_cube",
+    "argmin_nearest",
+    "select_budget_grouped",
+    "dedup_exact",
+    "dedup_spans",
+    "dedup_spans_strip",
+    "dedup_spans_strip_raw",
+    "window_running",
+    "format_dialogue",
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_funcs",
+    "map_funcs",
+    "knn_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "decontaminate",
+    "normalize_text",
+    "dedup_chunks",
+    "dedup_incremental",
+    "filter_suffix",
+    "union_globs",
+    "limit_n",
+    "distinct_keys",
+    "bloom_anti_join",
+    "join_positional",
+    "join_salted",
     # (2) no evidence yet (new this round)
-    "c4_line_filter",
+    "url_filter_psl",
+    "lang_id_trained",
+    "dsir_select",
+    "dedup_image_phash",
+    "decontaminate_fuzzy",
+    "token_count_subword",
+    # (3) implementation touched this round -- deliberate re-validation
     "url_filter",
     "domain_caps",
-    "mix_temperature",
-    "url_dedup",
-    "ann_ivfpq_rerank",
-    "html_clean",
-    "join_tpch_q5",
-    "split_by_host",
-    "window_time_range",
-    # (3) implementation touched this round -- deliberate re-validation
-    "ccnet_buckets",
-    "dedup_corpus_best",
-    # (4) r12-evidenced fill, CORRECTNESS_r12.json order; the leftover
-    #     35-name overflow cohort that MUST lead round 15 is the
-    #     STANDING ROTATION block above
-    "agg_mean",
-    "agg_max",
-    "agg_count",
-    "agg_concat",
-    "agg_tpch_q1",
-    "agg_percentile",
-    "agg_tpch_q6",
-    "top_revenue_orders",
-    "join_broadcast",
-    "semi_join",
     "anti_join_ledger",
+    "sample_exact_k",
+    "dedup_lsh_pairs",
+    "dedup_eval",
+    # (4) r13-evidenced fill, CORRECTNESS_r13.json order; the leftover
+    #     43-name overflow cohort that MUST lead round 16 is the
+    #     STANDING ROTATION block above
+    "filter_year",
+    "project_arith",
+    "sort_desc",
 ]
 
 

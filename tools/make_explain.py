@@ -296,6 +296,47 @@ PICKS = {
         "pass — no self-join, no extra Exchange beyond the partitionBy; "
         "the frame key is epoch seconds so engines agree bit-exactly"
     ),
+    "url_filter_psl": (
+        "public-suffix-list registered domains: one broadcast equi "
+        "LEFT join per suffix depth (longest listed suffix wins) plus "
+        "the two broadcast anti-joins — four BroadcastHashJoins total, "
+        "zero nested loops, and the corpus side never shuffles; the "
+        "suffix table is metadata-sized at any PSL size"
+    ),
+    "lang_id_trained": (
+        "trained langid: explode char trigrams -> ONE broadcast join "
+        "against the WIDE per-language weight table (the language axis "
+        "rides as columns, so the corpus explodes and aggregates "
+        "once) -> map-side-combined per-doc sums -> spine left join; "
+        "the only corpus shuffle is the doc_id aggregation"
+    ),
+    "dsir_select": (
+        "DSIR selection: the frozen target/raw LMs pre-subtract into "
+        "one broadcast diff table (one join does the work of two), "
+        "and the log-space Gumbel-top-k lands in "
+        "TakeOrderedAndProject — per-partition partial top-k, no "
+        "global sort materialization, no exp() anywhere"
+    ),
+    "dedup_image_phash": (
+        "perceptual-hash near-dup: band explode is narrow (the hash "
+        "rides inside the bucket struct, so the exact bit_count rerank "
+        "never joins back); two bounded shuffles — band-bucket "
+        "grouping and pair dedup — and pair generation only inside "
+        "capped buckets, exact vs all-pairs by pigeonhole"
+    ),
+    "decontaminate_fuzzy": (
+        "fuzzy decontamination: the shared minhash band chain feeds "
+        "ONE bipartite broadcast semi join on (band, key) against the "
+        "test-set-sized benchmark bands — no pair expansion, no "
+        "self-join; the corpus touches one anti join on the id"
+    ),
+    "token_count_subword": (
+        "frozen-BPE counts: greedy segmentation is ONE fold expression "
+        "over DISTINCT words (a vocabulary-sized dimension — Zipf mass "
+        "reuses it, so segmentation cost never scales with corpus "
+        "tokens); the pinned word list feeds the dimension and the "
+        "join-back without replaying the scan"
+    ),
 }
 
 HEADER = """# EXPLAIN — physical plans of the flagship queries

@@ -689,6 +689,102 @@ def main() -> None:
         "exact_sec": results["knn_corpus"]["sec"],
     }
 
+    # ---- perceptual-hash banding at Nx with a planted hot bucket
+    # (round 15): 10% of rows share ONE hash — the constant-color-
+    # corpus worst case, a quadratic (0.1*rows)^2/2 pair expansion if
+    # uncapped. max_bucket_size must drop the degenerate bucket while
+    # the planted near-dup clusters (distance <= 2) still pair.
+    n_ph = 50_000 * n
+    hot_frac_rows = n_ph // 10
+    ph = spark.range(n_ph).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") < hot_frac_rows, F.lit(0x0F0F0F0F))
+        .otherwise(
+            # 512*n planted clusters (~88 rows each at every N): base
+            # by (id % (512n)), 1-bit flip by (id % 3) — every
+            # in-cluster pair is within Hamming distance 2
+            F.shiftleft((F.col("id") % (512 * n)) + 1, 32)
+            + F.pow(F.lit(2.0), (F.col("id") % 3).cast("double")).cast("long")
+        )
+        .alias("phash"),
+    )
+    t0 = time.time()
+    capped_pairs = dedup.phash_near_dup_pairs(
+        ph, max_distance=2, n_bands=4, max_bucket_size=256
+    ).count()
+    results["phash_hot_bucket"] = {
+        "rows": n_ph, "hot_rows": hot_frac_rows,
+        "capped_pairs": capped_pairs,
+        "sec": round(time.time() - t0, 2),
+    }
+    # every capped pair comes from the planted clusters (cluster size
+    # ~88 <= the 256 cap); the hot bucket's (rows/10)^2/2 quadratic
+    # set must be absent
+    cluster_sz = (n_ph - hot_frac_rows) // (512 * n) + 2
+    assert 0 < capped_pairs <= 512 * n * cluster_sz * (cluster_sz - 1) // 2, (
+        capped_pairs
+    )
+
+    # ---- subword segmentation over an Nx DISTINCT-word dimension
+    # (round 15): the fold expression must stay linear in words —
+    # synthetic base-26 words, length ~7, frozen corpus vocabulary.
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        frozen_subword,
+        subword_segment_expr,
+    )
+
+    n_words = 100_000 * n
+    wdf = spark.range(n_words).select(
+        F.concat(
+            F.lit("w"), F.conv(F.col("id").cast("string"), 10, 26)
+        ).alias("word")
+    )
+    pieces = frozen_subword()["pieces"]
+    t0 = time.time()
+    total_pieces = (
+        wdf.select(subword_segment_expr(F.lower(F.col("word")), pieces).alias("np"))
+        .agg(F.sum("np"))
+        .collect()[0][0]
+    )
+    results["subword_distinct_words"] = {
+        "distinct_words": n_words, "total_pieces": int(total_pieces),
+        "sec": round(time.time() - t0, 2),
+        "words_per_sec": int(n_words / max(time.time() - t0, 1e-9)),
+    }
+
+    # ---- PSL host extraction at Nx URLs (round 15): the suffix-depth
+    # broadcast joins must stay scan-rate narrow work.
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.web import (
+        extract_host,
+        frozen_suffixes,
+    )
+
+    n_urls = 1_000_000 * n
+    urls = spark.range(n_urls).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://sub"), (F.col("id") % 97).cast("string"),
+            F.lit(".site"), (F.col("id") % 10_000).cast("string"),
+            F.when(F.col("id") % 3 == 0, F.lit(".co.uk"))
+            .when(F.col("id") % 3 == 1, F.lit(".com"))
+            .otherwise(F.lit(".act.edu.au")),
+            F.lit("/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    t0 = time.time()
+    n_dom = (
+        extract_host(urls, suffixes=frozen_suffixes())
+        .select("domain")
+        .filter(F.col("domain") != "")
+        .count()
+    )
+    results["psl_extract"] = {
+        "urls": n_urls, "parsed": n_dom,
+        "sec": round(time.time() - t0, 2),
+        "urls_per_sec": int(n_urls / max(time.time() - t0, 1e-9)),
+    }
+    assert n_dom == n_urls, (n_dom, n_urls)
+
     results["loadavg_end"] = list(os.getloadavg())
     print(json.dumps({"scale_multiplier": n, "probes": results}))
 
