@@ -3533,11 +3533,17 @@ def _phash_mask_case() -> str:
 
 
 def _dedup_image_phash_sql() -> str:
+    # doc_id < 500: cluster size (and with it the candidate-pair
+    # count) is a function of corpus_size / _PHASH_GROUPS, so an
+    # unbounded synth would grow the gate's work QUADRATICALLY with
+    # sf. The fixed slice keeps the gate constant-cost at every sf
+    # (the dedup_ngram_jaccard doc_id<40 precedent); unbounded-scale
+    # behavior is measured by the phash_hot_bucket probe instead.
     base = O.md5_long(f"'g' || CAST(doc_id % {_PHASH_GROUPS} AS VARCHAR)")
     return f"""
 WITH h AS (SELECT doc_id,
                   xor({base}, {_phash_mask_case()}) AS phash
-           FROM documents)
+           FROM documents WHERE doc_id < 500)
 SELECT a.doc_id AS media_a, b.doc_id AS media_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS distance
 FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -3564,9 +3570,13 @@ def dedup_image_phash(spark, sf):
     for i, m in enumerate(_PHASH_MASKS[1:-1], start=1):
         mask = mask.when(noise == i, F.lit(m).cast("long"))
     mask = mask.otherwise(F.lit(_PHASH_MASKS[-1]).cast("long"))
-    hashes = _t(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        base.bitwiseXOR(mask).alias("phash"),
+    hashes = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 500)  # constant-cost synth, see oracle
+        .select(
+            F.col("doc_id").alias("media_id"),
+            base.bitwiseXOR(mask).alias("phash"),
+        )
     )
     return dedup.phash_near_dup_pairs(hashes, max_distance=_PHASH_MAXD)
 
