@@ -820,6 +820,15 @@ def frozen_subword(path: str | None = None) -> dict:
     return _load_frozen(path, "subword.json", _FROZEN_SUBWORD_CACHE)
 
 
+# Words longer than this count as ONE UNK piece instead of being
+# segmented — the WordPiece max_input_chars_per_word rule. Without the
+# cap, one pathological multi-megabyte "word" (minified JS, base64
+# blobs) would materialize a sequence array of its length and fold
+# over it inside a single row — a per-row memory/CPU DoS at corpus
+# scale. 64 covers every natural-language word.
+MAX_WORD_CHARS = 64
+
+
 def subword_segment_expr(word: Column, pieces: list[str]) -> Column:
     """Piece count of greedy longest-prefix-match segmentation of
     ``word`` over the frozen ``pieces`` — ONE narrow fold expression
@@ -864,9 +873,16 @@ def subword_segment_expr(word: Column, pieces: list[str]) -> Column:
 
     init = F.struct(F.lit(1).alias("pos"), F.lit(0).alias("n"))
     folded = F.aggregate(
-        F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))), init, step
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.least(F.length(word), F.lit(MAX_WORD_CHARS)), F.lit(1)),
+        ),
+        init,
+        step,
     )
-    return folded["n"]
+    return F.when(F.length(word) > MAX_WORD_CHARS, F.lit(1)).otherwise(
+        folded["n"]
+    )
 
 
 def token_count_subword(

@@ -3209,6 +3209,7 @@ WITH RECURSIVE vocab(p) AS (VALUES
 dw AS (SELECT DISTINCT word FROM w),
 seg AS (
   SELECT word, word AS suf, 0 AS n FROM dw
+  WHERE length(word) <= {text.MAX_WORD_CHARS}
   UNION ALL
   SELECT word,
          substring(suf, coalesce(
@@ -3217,7 +3218,12 @@ seg AS (
          n + 1
   FROM seg WHERE suf <> ''
 ),
-np AS (SELECT word, max(n) AS n_pieces FROM seg WHERE suf = '' GROUP BY word),
+np AS (SELECT word, max(n) AS n_pieces FROM seg WHERE suf = '' GROUP BY word
+       UNION ALL
+       -- overlong words count as ONE UNK piece (the WordPiece
+       -- max_input_chars_per_word rule, operators/text.py)
+       SELECT word, 1 AS n_pieces FROM dw
+       WHERE length(word) > {text.MAX_WORD_CHARS}),
 counts AS (SELECT w.doc_id,
                   CAST(count(*) AS BIGINT) AS n_words,
                   CAST(sum(np.n_pieces) AS BIGINT) AS n_subword_tokens

@@ -829,3 +829,26 @@ def test_token_count_subword_calibration_on_corpus(spark):
     assert len(rows) == 500
     assert all(r.n_subword_tokens >= r.n_words for r in rows)
     assert sum(r.n_subword_tokens for r in rows) > sum(r.n_words for r in rows)
+
+
+def test_token_count_subword_overlong_word_is_one_unk(spark):
+    """The WordPiece max_input_chars_per_word rule: a pathological
+    multi-kilochar 'word' counts as ONE UNK piece instead of folding
+    over its whole length (per-row memory/CPU DoS guard)."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.text import (
+        MAX_WORD_CHARS,
+        token_count_subword,
+    )
+
+    toy = {"pieces": ["a", "b"]}
+    long_word = "ab" * 5000  # 10k chars
+    edge = "a" * MAX_WORD_CHARS  # exactly at the cap: still segmented
+    df = spark.createDataFrame(
+        [(1, f"{long_word} ab"), (2, edge)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_subword_tokens)
+        for r in token_count_subword(df, toy).collect()
+    }
+    assert got[1] == (2, 1 + 2)  # UNK + ('a','b')
+    assert got[2] == (1, MAX_WORD_CHARS)
