@@ -423,6 +423,15 @@ def decontaminate_fuzzy(
     the exact tier; dedup.verify_pairs_jaccard exists if a deployment
     wants to audit the dropped set).
 
+    PRECONDITION — benchmark rows need >= k words: a benchmark item
+    shorter than the shingle width emits NO band keys (the
+    minhash_band_keys empty-signature rule) and gets no fuzzy
+    protection — and an item under n words is equally invisible to
+    the exact n-gram tier. Eval sets with 1-2-word answers (label
+    sets, short QA) must be decontaminated by exact-match/containment
+    on the answer STRING instead; sketch-based tiers are the wrong
+    tool below the shingle width.
+
     Plan shape: both corpora run the SHARED tokenize -> shingle ->
     MinHash -> band chain (dedup.minhash_band_keys — the
     lsh_candidate_pairs machinery, so fuzzy-decon and dedup can never

@@ -112,9 +112,23 @@ def run_once(
         # doc. Cost: one columnar scan of the index's source_file column
         # per incremental run (nothing at all on the first run).
         try:
+            # the doc key is derived from vec_id (a plain STRING data
+            # column), NOT from the source_file partition column:
+            # partition-column type inference reads 'source_file=1'
+            # back as an int, and the string-vs-int join would coerce
+            # both sides to double — conflating distinct string ids
+            # like '01' and '1' (a never-indexed doc would be skipped
+            # for embedding yet still ledgered: silent data loss).
+            # vec_id = '<doc_key>:<chunk_idx>' with a digits-only tail,
+            # so stripping the final ':<digits>' recovers doc_key
+            # exactly even when doc_key itself contains ':'.
             indexed = (
                 sinks.read_vector_index(spark, index_path)
-                .select(F.col("source_file").alias("_idx_doc"))
+                .select(
+                    F.regexp_replace(
+                        F.col("vec_id"), r":[0-9]+$", ""
+                    ).alias("_idx_doc")
+                )
                 .distinct()
             )
             embed_docs = docs.join(
@@ -122,8 +136,17 @@ def run_once(
                 docs["doc_id"].cast("string") == F.col("_idx_doc"),
                 "left_anti",
             )
-        except AnalysisException:
-            embed_docs = docs  # no index yet — first run
+        except AnalysisException as e:
+            # ONLY the missing-path error means "first run" — the
+            # load_ledger rule: a transient analysis failure on an
+            # EXISTING index must fail the batch, not silently disable
+            # the crash-idempotency heal (which would re-append every
+            # pending doc's vectors — the exact duplicates the heal
+            # exists to prevent)
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                embed_docs = docs  # no index yet — first run
+            else:
+                raise
     else:
         embed_docs = docs
     chunks = chunk_text(embed_docs, chunk_words=chunk_words)

@@ -4864,11 +4864,24 @@ _PSL_URL_DUCK = (
 _PSL_BLOCKLIST = ["example.co.uk", "school.act.edu.au", "src1.w2.example.com"]
 
 
-def _url_filter_psl_sql() -> str:
-    from ..operators.web import _last_labels_re, frozen_suffixes
+def _url_filter_psl_sql() -> str | None:
+    """Artifact guard as _lm_perplexity_sql: a missing/corrupt
+    artifacts/public_suffixes.json degrades this ONE gate to the
+    rows-only path instead of crashing the registry import (the Spark
+    side would fail too, but at CALL time with a clear error — not at
+    import, which would take down every other gate with it)."""
+    from ..operators.web import _last_labels_re
 
+    try:
+        from ..operators.web import frozen_suffixes
+
+        suffixes = frozen_suffixes()
+        if not suffixes:
+            return None
+    except Exception:
+        return None
     by_depth: dict[int, list[str]] = {}
-    for s in frozen_suffixes():
+    for s in suffixes:
         by_depth.setdefault(s.count(".") + 1, []).append(s)
     depths = sorted(by_depth)
     sfx_ctes = ", ".join(

@@ -228,3 +228,28 @@ def test_ledger_pending_strict_raises_on_null_key(spark):
     # strict with clean keys behaves identically to default
     clean = spark.createDataFrame([("a", "y"), ("z", "w")], "key string, v string")
     assert {r.v for r in pending(clean, led, strict=True).collect()} == {"y"}
+
+
+def test_run_once_retry_heal_does_not_conflate_numeric_like_ids(spark, tmp_path):
+    """The heal's already-indexed check must compare doc keys as
+    STRINGS: source_file is a partition column that type-inference
+    reads back as int, and a string-vs-int join coerces both sides to
+    double — conflating '01' with '1' (a never-indexed doc would be
+    skipped for embedding yet still ledgered). The key is therefore
+    derived from the vec_id string column."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.sinks import read_vector_index
+
+    idx = str(tmp_path / "idx")
+    led = str(tmp_path / "led")
+    words = " ".join(f"w{i}" for i in range(40))
+    d1 = spark.createDataFrame([("1", words)], "doc_id string, text string")
+    run_once(spark, d1, idx, ledger_path=led)
+    n1 = read_vector_index(spark, idx).count()
+    # '01' is a DIFFERENT doc; double coercion would equate it with '1'
+    d2 = spark.createDataFrame(
+        [("1", words), ("01", words)], "doc_id string, text string"
+    )
+    run_once(spark, d2, idx, ledger_path=led)
+    back = read_vector_index(spark, idx)
+    assert back.count() == 2 * n1  # doc '01' embedded, not skipped
+    assert back.select("vec_id").distinct().count() == 2 * n1

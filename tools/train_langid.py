@@ -130,7 +130,8 @@ def heuristic_label(text: str) -> tuple[str, float]:
     n = max(len(toks), 1)
     best = None
     for code, words in sorted(LANG_PROFILES.items()):
-        score = sum(1 for t in toks if t in set(words)) / n
+        ws = set(words)
+        score = sum(1 for t in toks if t in ws) / n
         if best is None or score > best[0]:
             best = (score, code)
     return best[1], best[0]
