@@ -171,6 +171,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     k: int = 3,
     max_bucket_size: int | None = None,
+    dedupe_pairs: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (doc_a < doc_b, n_bands).
 
@@ -187,6 +188,17 @@ def lsh_candidate_pairs(
     bucket can dominate the whole job at scale — capping is standard
     inverted-index hygiene; near-identical docs that large share plenty
     of other buckets or are caught by exact dedup.
+
+    ``dedupe_pairs=False`` (round-15, guide §2.4) skips the pair-level
+    ``groupBy(doc_a, doc_b)`` — a whole extra shuffle of the pair
+    stream — and returns the RAW per-band collisions (doc_a, doc_b)
+    WITHOUT ``n_bands``: a pair colliding in b bands appears b times
+    (b <= LSH_BANDS). For consumers that are invariant to duplicate
+    edges — the transitive closure in ``dedup_corpus`` /
+    ``dedup_clusters`` takes a min over neighbors — the dedup shuffle
+    is pure overhead at any scale. Keep the default wherever pairs are
+    THE result or feed per-pair work (verify_pairs_jaccard scores each
+    row it is given).
     """
     bands = minhash_band_keys(df, id_col, text_col, k)
     buckets = (
@@ -206,8 +218,13 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    exploded = buckets.select(F.explode(pairs).alias("p"))
+    if not dedupe_pairs:
+        return exploded.select(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        exploded
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
@@ -413,36 +430,76 @@ def cc_edge_list(
     )
 
 
-def cc_seed_labels(
+def cc_first_round(
     vertices: DataFrame, und: DataFrame, vertex_col: str = "doc_id"
 ) -> DataFrame:
-    """Initial (doc_id, component_id=doc_id) labels over vertices UNION
-    edge endpoints: a dangling endpoint absent from `vertices` would
-    otherwise never get its own label, be invisible to the convergence
-    check (inner join on old labels), and could freeze the loop early
-    with a wrong component."""
-    seeds = (
-        vertices.select(F.col(vertex_col).alias("doc_id"))
-        .unionByName(und.select(F.col("_src").alias("doc_id")))
-        .distinct()
+    """Round 1 of min-label propagation + pointer jump, exploiting the
+    identity seed: labels_0(v) = v, so the neighbor-label candidates
+    ARE the edge list relabeled — (_dst, _src) — and no seed frame,
+    seed checkpoint, or labels join exists at all (round-15: the
+    separate ``cc_seed_labels`` checkpoint was a whole extra job per
+    closure, and round 1's edge-labels join another). Dangling
+    endpoints (present in edges, absent from ``vertices``) get their
+    own-id candidate via ``least(doc_id, min(neighbors))`` — the group
+    key is the vertex, so its identity label needs no input row.
+
+    Returns (doc_id, component_id, _changed) — the same contract as
+    ``cc_jump_round``: ``_changed`` is true iff the vertex's label
+    moved below its round-entry label (here: its own id), so the
+    convergence probe is a narrow filter over the checkpointed frame,
+    never a join of two label snapshots."""
+    cand = vertices.select(
+        F.col(vertex_col).alias("doc_id"),
+        F.col(vertex_col).alias("component_id"),
+    ).unionByName(
+        und.select(F.col("_dst").alias("doc_id"), F.col("_src").alias("component_id"))
     )
-    return seeds.select("doc_id", F.col("doc_id").alias("component_id"))
+    hop = (
+        cand.groupBy("doc_id")
+        .agg(F.min("component_id").alias("_m"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("_m")).alias("component_id"))
+    )
+    lab_map = hop.select(
+        F.col("doc_id").alias("component_id"),
+        F.col("component_id").alias("_cc"),
+    )
+    return hop.join(lab_map, "component_id", "left").select(
+        "doc_id",
+        F.coalesce("_cc", "component_id").alias("component_id"),
+        (F.coalesce("_cc", "component_id") != F.col("doc_id")).alias("_changed"),
+    )
 
 
 def cc_jump_round(und: DataFrame, labels: DataFrame) -> DataFrame:
     """One min-label-propagation + pointer-jump round: every vertex
     takes the min of its own, its neighbors', and its label's label
-    (path halving). Returns the new labels frame unpinned — the loop in
-    ``connected_components`` checkpoints it per round; plan tooling
-    guards this shape directly (two hash-agg/join shuffles keyed on the
-    vertex, never a cartesian or a window)."""
+    (path halving). Returns (doc_id, component_id, _changed) unpinned —
+    the loop in ``connected_components`` checkpoints it per round; plan
+    tooling guards this shape directly (two hash-agg/join shuffles
+    keyed on the vertex, never a cartesian or a window).
+
+    ``_changed`` carries the convergence signal IN the round's own
+    frame (round-15): the round-entry label rides the aggregate as
+    ``min(component_id) over the own-label rows`` — labels has exactly
+    one row per vertex, so that min IS the old label — and the flag is
+    a post-jump comparison. The old per-round convergence probe joined
+    the new and old label snapshots (a second shuffle join per round);
+    now it is a narrow filter over the checkpointed round output.
+    Labels only ever decrease (min propagation), so ``!=`` is ``<``."""
     nbr = und.join(
         labels, und["_src"] == labels["doc_id"], "inner"
     ).select(F.col("_dst").alias("doc_id"), "component_id")
-    hop = (
-        labels.unionByName(nbr)
-        .groupBy("doc_id")
-        .agg(F.min("component_id").alias("component_id"))
+    tagged = labels.select(
+        "doc_id", "component_id", F.lit(True).alias("_own")
+    ).unionByName(
+        nbr.select("doc_id", "component_id", F.lit(False).alias("_own"))
+    )
+    hop = tagged.groupBy("doc_id").agg(
+        F.min("component_id").alias("component_id"),
+        # labels is one row per vertex and its spine covers every edge
+        # endpoint (established by cc_first_round), so this min is
+        # exactly the round-entry label — never NULL
+        F.min(F.when(F.col("_own"), F.col("component_id"))).alias("_old"),
     )
     # pointer jump: comp(v) := comp(comp(v)) — labels are always
     # existing doc ids, so the self-join resolves every label
@@ -453,6 +510,7 @@ def cc_jump_round(und: DataFrame, labels: DataFrame) -> DataFrame:
     return hop.join(lab_map, "component_id", "left").select(
         "doc_id",
         F.coalesce("_cc", "component_id").alias("component_id"),
+        (F.coalesce("_cc", "component_id") != F.col("_old")).alias("_changed"),
     )
 
 
@@ -467,31 +525,36 @@ def connected_components(
     component_id = min doc_id reachable through candidate-pair edges.
 
     Iterative min-label propagation with pointer jumping
-    (``cc_jump_round``), so convergence is O(log diameter) rounds — not
-    O(diameter) as plain propagation would be on chain graphs. Each
-    round is two shuffles keyed on the vertex; lineage is truncated per
-    round with a local checkpoint so the plan doesn't grow with
-    iterations. The driver sees only a changed-row count per round — no
-    data collects.
+    (``cc_first_round`` / ``cc_jump_round``), so convergence is
+    O(log diameter) rounds — not O(diameter) as plain propagation would
+    be on chain graphs. Each round is two shuffles keyed on the vertex;
+    lineage is truncated per round with a local checkpoint so the plan
+    doesn't grow with iterations. The driver sees only a changed-row
+    count per round — no data collects.
+
+    Per-round job budget (round-15, guide §1/§2 — fixed job overhead
+    dominated the bench's closure queries): the identity seed is folded
+    into round 1 (no seed checkpoint job, no round-1 labels join), and
+    each round's convergence probe is a narrow ``_changed`` filter over
+    the round's OWN checkpointed output (the flag is computed inside
+    the round — see ``cc_jump_round``) instead of a shuffle join of the
+    new and old label snapshots. Per closure that removes one
+    full-lineage job plus one join job per round.
     """
     # materialize the edge list ONCE: without this every iteration
     # re-executes the upstream pipeline that produced the edges (for
     # LSH candidate pairs that is the whole tokenize->minhash->band
     # join — measured 5x the loop's own cost at sf0.1)
     und = cc_edge_list(edges, edge_cols).localCheckpoint(eager=True)
-    labels = cc_seed_labels(vertices, und, vertex_col).localCheckpoint(
-        eager=True
-    )
-    for _ in range(max_iter):
-        new_labels = cc_jump_round(und, labels).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+    labels = None
+    for rnd in range(max_iter):
+        if rnd == 0:
+            new_labels = cc_first_round(vertices, und, vertex_col)
+        else:
+            new_labels = cc_jump_round(und, labels)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.select("doc_id", "component_id")
         if changed == 0:
             break
     return labels
@@ -511,15 +574,47 @@ def dedup_corpus_edges(
     must carry (doc_id, text). Exposed as its own operator so plan
     tooling can guard its shape — inside ``dedup_corpus`` the eager
     per-round checkpoints truncate the visible plan."""
+    from .joins import hot_salted_count_join
+
+    # Exact-digest star edges, NOT dedup_exact(docs).filter(doc !=
+    # canonical): the edges only exist for digests with >= 2 members,
+    # so the build side is filtered to group_size >= 2 BEFORE the
+    # join-back (guide §2.3 — filter before the exchange). On a mostly-
+    # unique corpus that shrinks the build from one row per distinct
+    # digest to one row per DUPLICATED digest (orders of magnitude at
+    # scale), the inner join then drops unique-digest docs for free,
+    # and AQE sees a build side small enough to broadcast. Same
+    # null-safe digest grouping and hot-key salting as dedup_exact.
+    d = docs.select("doc_id", F.md5("text").alias("_digest"))
+    dup_groups = (
+        d.groupBy("_digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
     exact_edges = (
-        dedup_exact(docs)
+        hot_salted_count_join(
+            d,
+            dup_groups,
+            key="_digest",
+            count_col="group_size",
+            salt_src="doc_id",
+            null_safe=True,
+        )
         .filter(F.col("doc_id") != F.col("canonical_id"))
         .select(
             F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
     )
+    # the closure is invariant to duplicate edges (min over neighbors),
+    # so when nothing consumes the per-pair band count the pair-dedup
+    # shuffle is skipped outright (guide §2.4); min_bands > 1 or a
+    # verify threshold still needs distinct pairs + counts
+    need_counts = min_bands > 1 or verify_jaccard is not None
     near_edges = lsh_candidate_pairs(
-        docs, k=k, max_bucket_size=max_bucket_size
+        docs, k=k, max_bucket_size=max_bucket_size, dedupe_pairs=need_counts
     )
     if min_bands > 1:
         near_edges = near_edges.filter(F.col("n_bands") >= min_bands)

@@ -2329,7 +2329,10 @@ SELECT v AS doc_id, min(lab) AS component_id FROM reach GROUP BY v
 @_q("dedup_clusters", _dedup_clusters_sql())
 def dedup_clusters(spark, sf):
     corpus = _dup_corpus(spark, sf)
-    pairs = dedup.lsh_candidate_pairs(corpus).select("doc_a", "doc_b")
+    # dedupe_pairs=False: the closure takes a min over neighbors, so
+    # the per-pair dedup shuffle is pure overhead (round-15, guide
+    # §2.4); the oracle's GROUP BY pairs CTE is closure-invariant
+    pairs = dedup.lsh_candidate_pairs(corpus, dedupe_pairs=False)
     return dedup.connected_components(corpus.select("doc_id"), pairs)
 
 

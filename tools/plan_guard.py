@@ -159,6 +159,20 @@ def pseudo_queries() -> dict:
         )
         return dedup.cc_jump_round(und, labels)
 
+    def cc_first(spark, sf):
+        # the seed-folded round 1 (round-15): identity labels live
+        # inside the aggregate, so the only joins are the pointer-jump
+        # self-join — a labels join or a seed distinct appearing here
+        # is a regression back to the separate-seed shape.
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+        und = docs.select(
+            F.col("doc_id").alias("_src"),
+            (F.col("doc_id") + 1).alias("_dst"),
+        )
+        return dedup.cc_first_round(docs, und)
+
     from retrieval_augmented_generation_rag_data_pipeline_spark.operators import joins
 
     def _hot_salted(spark, sf, hot_hashes):
@@ -193,6 +207,7 @@ def pseudo_queries() -> dict:
     return {
         "cc_corpus_edges": cc_corpus_edges,
         "cc_edges": cc_edges,
+        "cc_first": cc_first,
         "cc_jump": cc_jump,
         "hot_salted_inset": hot_salted_inset,
         "hot_salted_bcast": hot_salted_bcast,
