@@ -1112,6 +1112,93 @@ def _pq_encode_sql(col_name: str, codebooks: list[list[list[float]]]) -> str:
     return "array(" + ", ".join(parts) + ")"
 
 
+def _pq_one_row(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """The broadcast side of the PQ table family: the whole codebook
+    collapsed to ONE row holding ``_pqcb array<struct<j, cents>>``
+    (subspace-ordered; each ``cents`` is centroid-id-ordered
+    ``array<struct<c, cent, hn>>`` with the half-norm ``hn`` =
+    0.5*||c||² precomputed in Python — the SAME doubles the literal
+    builders embed, so the two paths fold identical values)."""
+    # built as ONE driver-side row (no collect_list aggregate: the
+    # codebook is metadata-sized — m*ksub entries — so the agg's two
+    # exchanges would cost more stages than the data is worth; the IVF
+    # _cells_one_row keeps its agg because 50k-cell centroid tables
+    # made the pickled single-row build measurably slow)
+    row = [
+        (
+            j,
+            [
+                (ci, [float(x) for x in c], 0.5 * sum(x * x for x in c))
+                for ci, c in enumerate(cb)
+            ],
+        )
+        for j, cb in enumerate(codebooks)
+    ]
+    return spark.createDataFrame(
+        [(row,)],
+        "_pqcb array<struct<j:int,cents:array<struct<c:int,cent:array<double>,hn:double>>>>",
+    )
+
+
+def _pq_table_sub(vec_col: str, dsub: int) -> str:
+    """slice/dot/guard fragments over the broadcast ``_pqcb`` lambdas —
+    textually the same fold as ``_dot_sql`` (zip_with then sequential
+    aggregate, guard emitted first) with the literal centroid replaced
+    by ``s.cent`` and the literal half-norm by ``s.hn``."""
+    sub = f"slice(`{vec_col}`, sb.j * {dsub} + 1, {dsub})"
+    agg = (
+        f"aggregate(zip_with({sub}, s.cent, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
+    )
+    g = (
+        f"coalesce(CAST(assert_true({sub} IS NULL OR size({sub}) = {dsub}, "
+        f"'vector length <> dim={dsub}') AS DOUBLE), 0D)"
+    )
+    return sub, agg, g
+
+
+def _pq_table_encode_expr(vec_col: str, m: int, dsub: int):
+    """PQ code array over the broadcast ``_pqcb`` column — the SAME
+    structure as ``_pq_encode_sql`` (array_sort argmin of
+    -(dot - halfnorm), ties -> lowest code id, total-size assert on the
+    first cell, per-subspace slice guard on centroid 0) with the
+    codebook riding the broadcast row instead of the expression tree.
+    Round-15 (guide §2.3/§4): the literal form expanded m*ksub dot
+    subtrees — a ~39 KB expression parsed, analyzed, and shipped in the
+    task binary per query, for folds that execute interpreted either
+    way; this form is a constant-size template plus one broadcast row."""
+    total = m * dsub
+    tguard = (
+        f"coalesce(CAST(assert_true(`{vec_col}` IS NULL OR "
+        f"size(`{vec_col}`) = {total}, "
+        f"'pq: expected {total}-dim vector') AS DOUBLE), 0D)"
+    )
+    _sub, agg, g = _pq_table_sub(vec_col, dsub)
+    nd_guarded = f"-((({g}) + {agg}) - s.hn)"
+    nd_plain = f"-(({agg}) - s.hn)"
+    return F.expr(
+        f"""transform(_pqcb, sb ->
+  element_at(array_sort(transform(sb.cents, s ->
+    named_struct('nd',
+      CASE WHEN s.c = 0 AND sb.j = 0 THEN ({tguard}) + {nd_guarded}
+           WHEN s.c = 0 THEN {nd_guarded}
+           ELSE {nd_plain} END,
+      'c', s.c))), 1).c)"""
+    )
+
+
+def _pq_table_tabs_expr(vec_col: str, dsub: int):
+    """Flat m*ksub ADC lookup table over the broadcast ``_pqcb`` column
+    — same entry order (subspace-major, centroid-minor) and same
+    guard-on-centroid-0 convention as ``_pq_tables_sql``."""
+    _sub, agg, g = _pq_table_sub(vec_col, dsub)
+    return F.expr(
+        f"""flatten(transform(_pqcb, sb ->
+  transform(sb.cents, s ->
+    CASE WHEN s.c = 0 THEN (({g}) + {agg}) ELSE ({agg}) END)))"""
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1122,12 +1209,24 @@ def pq_encode(
     32x-and-up storage/IO squeeze that makes billion-vector search
     scan-able (m bytes per vector at rest instead of dim x 4).
 
-    Narrow scan-side projection; emitted as one SQL string (py4j-cheap,
-    same rationale as the LSH/IVF expression builders).
+    Round-15: the codebook rides a ONE-ROW broadcast
+    (BroadcastNestedLoopJoin against a single row — the
+    ``assign_cells_table`` shape; the stream side's partitioning is
+    untouched) and the per-row argmin is a constant-size expression
+    template. The previous literal form (``_pq_encode_sql``, kept for
+    the oracle/parity harness) expanded every codebook centroid into
+    the expression tree: ~39 KB of SQL parsed and shipped per task
+    binary, for folds that run interpreted either way. Same doubles,
+    same tie/NULL/guard semantics — pinned by
+    tests comparing the two paths row-for-row.
     """
-    return corpus.select(
+    return corpus.crossJoin(
+        F.broadcast(_pq_one_row(corpus.sparkSession, codebooks))
+    ).select(
         F.col(corpus_id).alias(corpus_id),
-        F.expr(_pq_encode_sql(vec_col, codebooks)).alias("codes"),
+        _pq_table_encode_expr(vec_col, len(codebooks), len(codebooks[0][0])).alias(
+            "codes"
+        ),
     )
 
 
@@ -1174,8 +1273,11 @@ def ann_pq_topk(
     ksub = len(codebooks[0])
     qb = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).crossJoin(
+        F.broadcast(_pq_one_row(queries.sparkSession, codebooks))
     ).select(
-        "query_id", F.expr(_pq_tables_sql("_qv", codebooks)).alias("_tab")
+        "query_id",
+        _pq_table_tabs_expr("_qv", len(codebooks[0][0])).alias("_tab"),
     )
     score = F.expr(
         f"aggregate(sequence(0, {m - 1}), 0D, "
@@ -1216,9 +1318,16 @@ def ann_ivfpq_topk_mem(
         n_cells = len(centroids)
     m = len(codebooks)
     ksub = len(codebooks[0])
-    cb = corpus.select(
+    from ..session import ensure_parallelism
+
+    # ensure_parallelism: the per-row encode (m*ksub interpreted dot
+    # folds) is exactly the compute-bound shape a single-file local
+    # scan would single-thread; a no-op on already-split inputs
+    cb = ensure_parallelism(corpus).crossJoin(
+        F.broadcast(_pq_one_row(corpus.sparkSession, codebooks))
+    ).select(
         F.col(corpus_id).alias(corpus_id),
-        F.expr(_pq_encode_sql(vec_col, codebooks)).alias("codes"),
+        _pq_table_encode_expr(vec_col, m, dim // m).alias("codes"),
         ivf_cell(vec_col, dim, n_cells, centroids).alias("_cell"),
     )
     probes = F.expr(
@@ -1226,9 +1335,11 @@ def ann_ivfpq_topk_mem(
     )
     qb = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).crossJoin(
+        F.broadcast(_pq_one_row(queries.sparkSession, codebooks))
     ).select(
         "query_id",
-        F.expr(_pq_tables_sql("_qv", codebooks)).alias("_tab"),
+        _pq_table_tabs_expr("_qv", dim // m).alias("_tab"),
         F.explode(probes).alias("_cell"),
     )
     score = F.expr(
@@ -1310,9 +1421,10 @@ def ann_ivfpq_topk(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec_col).alias("_qv")
         )
+        .crossJoin(F.broadcast(_pq_one_row(queries.sparkSession, codebooks)))
         .select(
             "query_id",
-            F.expr(_pq_tables_sql("_qv", codebooks)).alias("_tab"),
+            _pq_table_tabs_expr("_qv", dim // len(codebooks)).alias("_tab"),
             F.explode(probes).alias("_cell"),
         )
         .localCheckpoint(eager=True)  # pin: feeds the filter collect AND the join

@@ -1860,10 +1860,14 @@ FROM r WHERE rank <= {k}
 def ann_pq_topk(spark, sf):
     from ..operators.vectors import ann_pq_topk as op
     from ..operators.vectors import default_pq_codebooks, pq_encode
+    from ..session import ensure_parallelism
 
     emb = _t(spark, sf, "embeddings")
     books = default_pq_codebooks(64, m=8, ksub=16)
-    codes = pq_encode(emb, books)
+    # ensure_parallelism: the encode is m*ksub interpreted dot folds
+    # per row — a one-file local scan would single-thread it (no-op on
+    # already-split inputs)
+    codes = pq_encode(ensure_parallelism(emb), books)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

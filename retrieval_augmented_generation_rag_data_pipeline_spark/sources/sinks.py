@@ -307,7 +307,11 @@ def write_ivfpq_index(
     (IVF + PQ) persist in an ``_ivfpq_meta.json`` sidecar;
     ``ann_ivfpq_topk`` asserts against it before probing.
     """
-    from ..operators.vectors import _pq_encode_sql, ivf_cell
+    from ..operators.vectors import (
+        _pq_one_row,
+        _pq_table_encode_expr,
+        ivf_cell,
+    )
 
     if centroids is not None:
         n_cells = len(centroids)
@@ -315,12 +319,19 @@ def write_ivfpq_index(
     meta.update(pq_meta(codebooks))
     sidecar = path.rstrip("/") + "/_ivfpq_meta.json"
     _guard_sidecar_append(corpus.sparkSession, sidecar, meta, mode)
+    m = len(codebooks)
     (
-        # one narrow pass: id + codes + cell in a single projection —
-        # no self-join, the corpus is read exactly once
-        corpus.select(
+        # one pass: id + codes + cell in a single projection — no
+        # self-join, the corpus is read exactly once; the PQ codebook
+        # rides a one-row broadcast (round-15 — constant-size plan
+        # instead of m*ksub literal dot subtrees; stream partitioning,
+        # and so the written file layout, is untouched)
+        corpus.crossJoin(
+            F.broadcast(_pq_one_row(corpus.sparkSession, codebooks))
+        )
+        .select(
             F.col(corpus_id),
-            F.expr(_pq_encode_sql(vec_col, codebooks)).alias("codes"),
+            _pq_table_encode_expr(vec_col, m, dim // m).alias("codes"),
             ivf_cell(vec_col, dim, n_cells, centroids).alias("_cell"),
         )
         .write.mode(mode)
