@@ -851,7 +851,11 @@ def embedding_near_dup_pairs(
             "embedding_near_dup_pairs: dim is required for the blocked "
             "(default) path; pass exact=True for the all-pairs form"
         )
-    keyed = emb.select(
+    # ensure_parallelism: the bucket hashing is n_tables x n_planes x
+    # dim interpreted dot folds per row — a one-file local scan would
+    # single-thread it (measured 2x the whole query at sf0.1); a no-op
+    # on already-split inputs (round-15, guide §2.5 input-skew rule)
+    keyed = ensure_parallelism(emb).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).withColumn(
         "_bk", F.explode(lsh_band_keys("_v", dim, n_tables, n_planes))
@@ -1026,7 +1030,11 @@ def semantic_dedup(
     # an inline cosine() re-aggregates both norms for every pair
     # (measured 8.5s at sf0.1 vs 0.6s for this plan). Same doubles as
     # the oracle's inline norms: fold orders match, parity unchanged.
-    spine = emb.select(
+    # ensure_parallelism on EVERY assignment path (round-15; was
+    # table/two_level only): the literal path's n_cells x dim
+    # interpreted dots also single-thread on a one-file scan —
+    # measured 2.6s -> 1.3s for the whole operator at sf0.1.
+    spine = ensure_parallelism(emb).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     )
     if assign == "arrow":

@@ -129,11 +129,21 @@ def knn_topk(
     locally; the only shuffle is the per-query top-k window, whose input
     was already cut to k rows per (query, partition) by a partial top-k.
     Deterministic tie-break: higher sim first, then lower corpus id.
+
+    The corpus side routes through ``ensure_parallelism`` (round-15):
+    scoring is |Q| interpreted dot folds per corpus row, exactly the
+    compute-bound shape a one-file local scan single-threads; a no-op
+    on already-split inputs, so at scale the scan's own parallelism
+    stands.
     """
+    from ..session import ensure_parallelism
+
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv"))
+    c = ensure_parallelism(corpus).select(
+        F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv")
+    )
     if metric == "cosine":
         # norms depend on ONE side each — computing cosine() per pair
         # would re-derive both inside the O(|Q|x|C|) loop (3 array
