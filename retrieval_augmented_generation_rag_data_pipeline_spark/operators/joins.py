@@ -104,14 +104,20 @@ def asof_align(
     # predecessor (last end <= te) or the successor (first end > te), so
     # a sorted merge (union + window fills) finds it in O((S+C) log) per
     # file. Tie (equidistant) -> predecessor, whose index is smaller;
-    # equal end values -> the run's first index via the per-value min_k.
+    # equal end values -> the run's first index, resolved INSIDE the
+    # fills by carrying (end, index) structs: max(struct(e, -k)) picks
+    # the largest end then the smallest index, min(struct(e, k)) the
+    # smallest end then the smallest index — no separate min-k-per-end
+    # aggregate and no join-back needed (that branch re-scanned the
+    # chunk table and cost an extra exchange + window + two aggregates
+    # + a broadcast join).
     ce = c.select("_file", "_k", "_t1")
-    first_k = ce.groupBy("_file", "_t1").agg(F.min("_k").alias("_fk"))
     merged = ce.select(
         "_file",
         F.col("_t1").alias("_t"),
         F.lit(0).alias("_typ"),
         F.col("_t1").alias("_ce"),
+        F.col("_k").alias("_ck"),
         F.lit(None).cast("long").alias("_j"),
         F.lit(None).cast(seg_dt).alias("_seg_id"),
         F.lit(None).cast("string").alias("speaker"),
@@ -121,6 +127,7 @@ def asof_align(
             F.col("_te").alias("_t"),
             F.lit(1).alias("_typ"),
             F.lit(None).cast(c.schema["_t1"].dataType).alias("_ce"),
+            F.lit(None).cast("long").alias("_ck"),
             "_j",
             "_seg_id",
             "speaker",
@@ -139,13 +146,25 @@ def asof_align(
     # the segment in reverse order, keeping the successor strictly later.
     wm = Window.partitionBy("_file").orderBy("_t", "_typ")
     wm_rev = Window.partitionBy("_file").orderBy(F.desc("_t"), F.desc("_typ"))
-    pred = F.last("_ce", ignorenulls=True).over(
+    # Chunk-only (e, k) structs — null on segment rows so max/min skip
+    # them, like last(ignorenulls) did for the scalar fills. -_ck is
+    # safe: _k is a row_number-derived index (>= 0, far from overflow).
+    chunk_fwd = F.when(
+        F.col("_typ") == 0, F.struct(F.col("_ce").alias("e"), (-F.col("_ck")).alias("nk"))
+    )
+    chunk_rev = F.when(
+        F.col("_typ") == 0, F.struct(F.col("_ce").alias("e"), F.col("_ck").alias("k"))
+    )
+    pred = F.max(chunk_fwd).over(
         wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    succ = F.last("_ce", ignorenulls=True).over(
+    succ = F.min(chunk_rev).over(
         wm_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    seg_near = (
+    # segments in chunk-less files have null pred AND succ -> null _g
+    # -> dropped by the filter, matching the reference's no-transcript
+    # break (previously an inner join against first_k did the drop)
+    nearest = (
         merged.withColumn("_pred", pred)
         .withColumn("_succ", succ)
         .filter(F.col("_typ") == 1)
@@ -154,20 +173,16 @@ def asof_align(
             "_j",
             "_seg_id",
             "speaker",
-            F.when(F.col("_pred").isNull(), F.col("_succ"))
-            .when(F.col("_succ").isNull(), F.col("_pred"))
+            F.when(F.col("_pred").isNull(), F.col("_succ.k"))
+            .when(F.col("_succ").isNull(), -F.col("_pred.nk"))
             .when(
-                (F.col("_t") - F.col("_pred")) <= (F.col("_succ") - F.col("_t")),
-                F.col("_pred"),
+                (F.col("_t") - F.col("_pred.e")) <= (F.col("_succ.e") - F.col("_t")),
+                -F.col("_pred.nk"),
             )
-            .otherwise(F.col("_succ"))
-            .alias("_t1"),
+            .otherwise(F.col("_succ.k"))
+            .alias("_g"),
         )
-    )
-    # segments in chunk-less files have a null _t1 -> dropped by the
-    # inner join, matching the reference's no-transcript break
-    nearest = seg_near.join(first_k, ["_file", "_t1"]).select(
-        "_file", "_j", "_seg_id", "speaker", F.col("_fk").alias("_g")
+        .filter(F.col("_g").isNotNull())
     )
 
     # b_j = j + running max(g_i - i): consumed-prefix boundary per segment.
