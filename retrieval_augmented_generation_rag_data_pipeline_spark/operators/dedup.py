@@ -831,17 +831,34 @@ def embedding_near_dup_pairs(
     ``exact=True`` keeps the all-pairs self-join — the verification /
     small-n mode (and the only mode that guarantees recall 1.0).
     """
-    from .vectors import cosine, lsh_band_keys
+    from .vectors import dot, l2_norm, lsh_band_keys
 
+    # Norms depend on ONE side each: computing cosine() per candidate
+    # pair re-derives both norms inside the pair loop — 3 interpreted
+    # array folds per pair instead of 1 (the same factoring knn_topk,
+    # ann_lsh_topk and semantic_dedup already use). Same expressions on
+    # the same arrays, so the factored score is bit-identical; try_divide
+    # keeps the zero-vector -> NULL contract of cosine().
     if exact:
-        a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-        b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+        a = emb.select(
+            F.col(id_col).alias("vec_a"),
+            F.col(vec_col).alias("_va"),
+            l2_norm(F.col(vec_col)).alias("_na"),
+        )
+        b = emb.select(
+            F.col(id_col).alias("vec_b"),
+            F.col(vec_col).alias("_vb"),
+            l2_norm(F.col(vec_col)).alias("_nb"),
+        )
         return (
             a.join(b, F.col("vec_a") < F.col("vec_b"))
             .select(
                 "vec_a",
                 "vec_b",
-                cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+                F.try_divide(
+                    dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb"),
+                ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
         )
@@ -855,8 +872,13 @@ def embedding_near_dup_pairs(
     # dim interpreted dot folds per row — a one-file local scan would
     # single-thread it (measured 2x the whole query at sf0.1); a no-op
     # on already-split inputs (round-15, guide §2.5 input-skew rule)
+    # _n computed BEFORE the explode: Generate copies the projected
+    # columns per emitted key, so the norm fold runs once per vector,
+    # not once per (vector, table)
     keyed = ensure_parallelism(emb).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
     ).withColumn(
         "_bk", F.explode(lsh_band_keys("_v", dim, n_tables, n_planes))
     )
@@ -895,7 +917,10 @@ def embedding_near_dup_pairs(
     ).select(
         F.col("a._id").alias("vec_a"),
         F.col("b._id").alias("vec_b"),
-        cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        F.try_divide(
+            dot(F.col("a._v"), F.col("b._v")),
+            F.col("a._n") * F.col("b._n"),
+        ).alias("cos_sim"),
     )
     return (
         scored.filter(F.col("cos_sim") >= threshold)
