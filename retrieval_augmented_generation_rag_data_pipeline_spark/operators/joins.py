@@ -888,9 +888,34 @@ def positional_zip_join(
     it. Order defaults to a '_ord' column on each side; callers who
     have a natural key should join on it instead (carrying the key
     beats positional pairing at scale).
+
+    The two sides' indexes are INDEPENDENT (separate inputs, separate
+    range exchanges), but each one eagerly runs a checkpoint job plus a
+    stats collect — built sequentially, the second side's jobs wait for
+    the first side's stragglers. Build them from two driver threads
+    instead (guide §2.6 — actions are only sequential because driver
+    code calls them sequentially): same plans, same results, the two
+    materializations just overlap. contextvars (the pinning switch) are
+    captured explicitly because worker threads don't inherit them.
     """
-    l = global_index(left, left_order if left_order is not None else ["_ord"])
-    r = global_index(right, right_order if right_order is not None else ["_ord"])
+    import contextvars
+    from concurrent.futures import ThreadPoolExecutor
+
+    ctx = contextvars.copy_context()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fl = pool.submit(
+            ctx.copy().run,
+            global_index,
+            left,
+            left_order if left_order is not None else ["_ord"],
+        )
+        fr = pool.submit(
+            ctx.copy().run,
+            global_index,
+            right,
+            right_order if right_order is not None else ["_ord"],
+        )
+        l, r = fl.result(), fr.result()
     if "_ord" in l.columns and "_ord" in r.columns:
         r = r.withColumnRenamed("_ord", "_ord_r")
     return l.join(r, "_rn", "inner")

@@ -1360,7 +1360,7 @@ def retrieval_eval(spark, sf):
     kNN (queries side small by construction), the ANN side is the
     bucket equi-join — the metric join itself touches only the two
     top-k frames (O(queries x k) rows)."""
-    from ..operators.pinning import pin
+    from ..operators.pinning import pin_all
 
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
@@ -1369,14 +1369,14 @@ def retrieval_eval(spark, sf):
     corpus = emb.filter(F.col("vec_id") >= 8)
     # both top-k frames are consumed twice (hits + rank lookups) — pin
     # them so the kNN / LSH lineages run once; every metric join's
-    # right side is O(queries x k) rows, so broadcast all of them
-    exact = pin(
-        vectors.knn_topk(q, corpus, k=5).select("query_id", "vec_id", "rank")
-    )
-    ann = pin(
+    # right side is O(queries x k) rows, so broadcast all of them.
+    # pin_all: the two lineages are independent, so their checkpoint
+    # materializations overlap instead of running back-to-back
+    exact, ann = pin_all(
+        vectors.knn_topk(q, corpus, k=5).select("query_id", "vec_id", "rank"),
         vectors.ann_lsh_topk(q, corpus, k=5, dim=64, n_planes=4).select(
             "query_id", "vec_id", F.col("rank").alias("ann_rank")
-        )
+        ),
     )
     return _retrieval_metrics(q, exact, ann, k=5)
 
@@ -1505,7 +1505,7 @@ def retrieval_eval_ivf(spark, sf):
     scoring runs inside probed cells only; the metric joins touch two
     O(queries x k) broadcast frames via the shared
     _retrieval_metrics."""
-    from ..operators.pinning import pin
+    from ..operators.pinning import pin_all
     from ..operators.vectors import ann_ivfpq_topk_mem, default_pq_codebooks
 
     emb = _t(spark, sf, "embeddings")
@@ -1513,16 +1513,15 @@ def retrieval_eval_ivf(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 8)
-    exact = pin(
+    books = default_pq_codebooks(64, m=8, ksub=16)
+    # pin_all: independent lineages, overlapped materialization
+    exact, ann = pin_all(
         vectors.knn_topk(q, corpus, k=5, metric="dot").select(
             "query_id", "vec_id", "rank"
-        )
-    )
-    books = default_pq_codebooks(64, m=8, ksub=16)
-    ann = pin(
+        ),
         ann_ivfpq_topk_mem(
             q, corpus, k=5, dim=64, codebooks=books, n_cells=8, nprobe=2
-        ).select("query_id", "vec_id", F.col("rank").alias("ann_rank"))
+        ).select("query_id", "vec_id", F.col("rank").alias("ann_rank")),
     )
     return _retrieval_metrics(q, exact, ann, k=5)
 
@@ -1572,7 +1571,7 @@ def retrieval_eval_ivf_trained(spark, sf):
     vectors; tests/test_plans.py asserts trained >= fixed in-gate).
     The LIVE MLlib training path stays exercised by
     tests/test_vectors.py (both trainers, quality-asserted)."""
-    from ..operators.pinning import pin
+    from ..operators.pinning import pin_all
     from ..operators.vectors import ann_ivfpq_topk_mem, frozen_quantizer
 
     cents, books = frozen_quantizer()
@@ -1581,16 +1580,15 @@ def retrieval_eval_ivf_trained(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 8)
-    exact = pin(
+    # pin_all: independent lineages, overlapped materialization
+    exact, ann = pin_all(
         vectors.knn_topk(q, corpus, k=5, metric="dot").select(
             "query_id", "vec_id", "rank"
-        )
-    )
-    ann = pin(
+        ),
         ann_ivfpq_topk_mem(
             q, corpus, k=5, dim=64, codebooks=books, nprobe=2,
             centroids=cents,
-        ).select("query_id", "vec_id", F.col("rank").alias("ann_rank"))
+        ).select("query_id", "vec_id", F.col("rank").alias("ann_rank")),
     )
     return _retrieval_metrics(q, exact, ann, k=5)
 
