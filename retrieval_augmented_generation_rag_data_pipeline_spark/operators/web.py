@@ -34,6 +34,13 @@ HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^/?#\]]*\]|[^/?#:]+)"
 # ``suffixes=frozen_suffixes()`` for co.uk-style ccTLD suffixes.
 DOMAIN_RE = r"([^.]+\.[^.]+)$"
 
+# extract_host PSL mode: suffix lists at or below this size ride as
+# per-depth literal InSet predicates (join-free, O(1) probe/row);
+# larger lists (the full published PSL) fall back to broadcast joins
+# so the plan's expression tree stays bounded. Same pattern as
+# joins.OFFSETS_MAP_MAX.
+SUFFIX_INSET_MAX = 4096
+
 _SUFFIX_CACHE: dict[str, dict] = {}
 
 
@@ -110,28 +117,45 @@ def extract_host(
             )
         by_depth.setdefault(k, set()).add(s.lower())
     spark = df.sparkSession
-    # one broadcast left join per suffix depth, deepest flags win below
-    for k in sorted(by_depth):
-        sfx = spark.createDataFrame(
-            [(s,) for s in sorted(by_depth[k])], f"_sfx{k} string"
-        )
-        out = out.withColumn(
-            f"_last{k}", F.regexp_extract(F.col(host_col), _last_labels_re(k), 1)
-        ).join(
-            F.broadcast(sfx.withColumn(f"_m{k}", F.lit(1))),
-            F.col(f"_last{k}") == F.col(f"_sfx{k}"),
-            "left",
-        )
+    if len(suffixes) <= SUFFIX_INSET_MAX:
+        # curated-subset scale: per-depth literal InSet membership —
+        # join-free plan, O(1) hash probe per row, no broadcast-build
+        # jobs (three of them under the join form — measured ~0.6s of
+        # the query at bench scale). Same switch rationale as
+        # range_parted_offsets' OFFSETS_MAP_MAX: above the threshold
+        # (the full 10^4-row published PSL) the literal expression tree
+        # itself becomes the cost and the broadcast joins win.
+        for k in sorted(by_depth):
+            out = out.withColumn(
+                f"_last{k}",
+                F.regexp_extract(F.col(host_col), _last_labels_re(k), 1),
+            ).withColumn(f"_m{k}", F.col(f"_last{k}").isin(sorted(by_depth[k])))
+        match = {k: F.col(f"_m{k}") for k in by_depth}
+        drop = [c for k in by_depth for c in (f"_last{k}", f"_m{k}")]
+    else:
+        # one broadcast left join per suffix depth, deepest flags win below
+        for k in sorted(by_depth):
+            sfx = spark.createDataFrame(
+                [(s,) for s in sorted(by_depth[k])], f"_sfx{k} string"
+            )
+            out = out.withColumn(
+                f"_last{k}", F.regexp_extract(F.col(host_col), _last_labels_re(k), 1)
+            ).join(
+                F.broadcast(sfx.withColumn(f"_m{k}", F.lit(1))),
+                F.col(f"_last{k}") == F.col(f"_sfx{k}"),
+                "left",
+            )
+        match = {k: F.col(f"_m{k}").isNotNull() for k in by_depth}
+        drop = [c for k in by_depth for c in (f"_last{k}", f"_sfx{k}", f"_m{k}")]
     dom = default_dom
     for k in sorted(by_depth):  # ascending: deeper match overrides
         reg = F.regexp_extract(F.col(host_col), _last_labels_re(k + 1), 1)
         dom = F.when(
-            F.col(f"_m{k}").isNotNull(),
+            match[k],
             # host shorter than suffix+1 labels -> the host itself
             F.when(reg != "", reg).otherwise(F.col(host_col)),
         ).otherwise(dom)
     out = out.withColumn(domain_col, dom)
-    drop = [c for k in by_depth for c in (f"_last{k}", f"_sfx{k}", f"_m{k}")]
     return out.drop(*drop)
 
 
