@@ -545,6 +545,8 @@ def connected_components(
     # re-executes the upstream pipeline that produced the edges (for
     # LSH candidate pairs that is the whole tokenize->minhash->band
     # join — measured 5x the loop's own cost at sf0.1)
+    from pyspark.sql import Observation
+
     und = cc_edge_list(edges, edge_cols).localCheckpoint(eager=True)
     labels = None
     for rnd in range(max_iter):
@@ -552,8 +554,16 @@ def connected_components(
             new_labels = cc_first_round(vertices, und, vertex_col)
         else:
             new_labels = cc_jump_round(und, labels)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter("_changed").limit(1).count()
+        # The convergence probe rides the checkpoint materialization as
+        # an observed metric (round-15, guide §1): a separate
+        # filter(_changed).count() was one extra Spark job PER ROUND —
+        # the observed sum streams through the same pass that
+        # materializes the round, so each round is exactly one job.
+        obs = Observation(f"cc_changed_r{rnd}")
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("_changed").cast("long")).alias("n")
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["n"] or 0)
         labels = new_labels.select("doc_id", "component_id")
         if changed == 0:
             break
