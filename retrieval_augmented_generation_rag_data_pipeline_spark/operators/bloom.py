@@ -96,6 +96,7 @@ def build_bloom(
     key_col: str,
     fpp: float = 0.01,
     expected_items: int | None = None,
+    measured_distinct: int | None = None,
 ) -> tuple[np.ndarray, int, int]:
     """Build a Bloom bitmap over `keys[key_col]` distributed-side.
 
@@ -134,9 +135,16 @@ def build_bloom(
             )
         n = expected_items
     else:
-        est = keys.agg(
-            F.approx_count_distinct(key_col, rsd=0.15).alias("n")
-        ).first()["n"]
+        if measured_distinct is None:
+            est = keys.agg(
+                F.approx_count_distinct(key_col, rsd=0.15).alias("n")
+            ).first()["n"]
+        else:
+            # caller already measured the HLL (e.g. as an observed
+            # metric riding its own materialization job —
+            # incremental_dedup); skip the sizing job, keep the same
+            # inflation and the same measured-empty shortcut semantics
+            est = measured_distinct
         n = int((est or 0) * 1.3)
         if n <= 0:
             # measured-empty key set: everything is definitively absent

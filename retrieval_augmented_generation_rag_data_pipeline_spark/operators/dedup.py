@@ -1286,10 +1286,24 @@ def incremental_dedup(
     from .bloom import build_bloom, with_bloom_contains
     from .text import chunk_text
 
-    ex_digests = chunk_text(
-        existing, id_col=id_col, text_col=text_col, chunk_words=chunk_words
-    ).select(F.md5("chunk_text").alias("_d")).localCheckpoint(eager=True)
-    bitmap, m, k = build_bloom(ex_digests, "_d", fpp=fpp)
+    from pyspark.sql import Observation
+
+    # the bitmap-sizing HLL rides the checkpoint materialization as an
+    # observed metric (round-15, guide §1) instead of its own sizing
+    # job over the checkpointed digests — same sketch, same estimate,
+    # one less Spark job
+    obs = Observation("incremental_dedup_hll")
+    ex_digests = (
+        chunk_text(
+            existing, id_col=id_col, text_col=text_col, chunk_words=chunk_words
+        )
+        .select(F.md5("chunk_text").alias("_d"))
+        .observe(obs, F.approx_count_distinct("_d", rsd=0.15).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bitmap, m, k = build_bloom(
+        ex_digests, "_d", fpp=fpp, measured_distinct=int(obs.get["n"] or 0)
+    )
 
     new_chunks = chunk_text(
         new_docs, id_col=id_col, text_col=text_col, chunk_words=chunk_words
