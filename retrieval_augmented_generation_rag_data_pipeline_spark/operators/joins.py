@@ -650,7 +650,12 @@ def range_parted_offsets(
 
     The range exchange is pinned with a local checkpoint so the stats
     job and the downstream query read the same materialized partitions
-    (partition ids must agree between the two jobs).
+    (partition ids must agree between the two jobs). The checkpoint is
+    LAZY (round-15, guide §1): the stats collect is the first action,
+    so the persist rides that scan instead of paying a separate
+    eager-materialization pass over the full frame — one less job and
+    one less full-data pass per consumer; downstream actions read the
+    blocks the stats job persisted, so partition ids still agree.
 
     Honest plan note: consumers pay TWO full-data exchanges of ``df`` —
     the range exchange (hidden inside the eager checkpoint job) plus a
@@ -675,7 +680,7 @@ def range_parted_offsets(
     parted = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_part", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if weight_col is None:
         stats = (
@@ -783,7 +788,7 @@ def range_parted_offsets_grouped(
     parted = (
         df.repartitionByRange(n, *group_cols, *order_cols)
         .withColumn("_part", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if weight_col is None:
         stats = (
