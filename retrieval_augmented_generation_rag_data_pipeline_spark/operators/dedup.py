@@ -547,7 +547,10 @@ def connected_components(
     # join — measured 5x the loop's own cost at sf0.1)
     from pyspark.sql import Observation
 
-    und = cc_edge_list(edges, edge_cols).localCheckpoint(eager=True)
+    # LAZY pin: the persist rides round 1's checkpoint job (the first
+    # action that scans the edges) instead of paying a separate
+    # materialization pass; rounds 2+ read the persisted blocks
+    und = cc_edge_list(edges, edge_cols).localCheckpoint(eager=False)
     labels = None
     for rnd in range(max_iter):
         if rnd == 0:
