@@ -523,10 +523,11 @@ def mix_temperature(
     before the final ratio, so partition-order float drift can never
     reach the hash.
 
-    Scale shape: one map-side-combined aggregate to |sources| rows,
-    then two one-row stat frames broadcast back via crossJoin (the
-    bounded scalar-frame pattern used by the selection operators) —
-    the corpus is scanned ONCE and nothing per-doc ever shuffles."""
+    Scale shape: one map-side-combined aggregate to |sources| rows;
+    the total comes back as an exact long literal from the same
+    metadata-sized stats read that validates the spec, and only the
+    renormalizing sum remains a one-row broadcast frame — the corpus
+    is scanned ONCE and nothing per-doc ever shuffles."""
     # round-to-nearest, never truncate: a fractional weight column
     # (length-normalized tokens, sub-token weights) summed to 10.9
     # must count 11, not 10 — a bare cast("long") truncates toward
@@ -542,29 +543,39 @@ def mix_temperature(
     # scored frame, the renormalizing sum) — pinned so the corpus scan
     # behind it runs exactly once
     per = pin(df.groupBy(F.col(source_col).alias("source")).agg(n.alias("n")))
-    # per is already materialized (pin), so these two metadata-sized
-    # reads are cheap — they turn spec errors into a clear driver-side
-    # ValueError instead of NaN weights (ONE negative sum poisons every
-    # source's weight through the renormalizing sum: pow(neg, 0.3) is
-    # NaN and NaN propagates through sum) or a mid-job ANSI
-    # divide-by-zero (all-zero total in the share ratio)
-    if per.filter(F.col("n") < 0).limit(1).count() > 0:
+    # ONE metadata-sized stats read over the pinned aggregate serves
+    # both spec validations AND the total (round-15: this was two
+    # probe jobs plus a broadcast one-row total frame — three jobs
+    # where one suffices). The validations turn spec errors into a
+    # clear driver-side ValueError instead of NaN weights (ONE
+    # negative sum poisons every source's weight through the
+    # renormalizing sum: pow(neg, 0.3) is NaN and NaN propagates
+    # through sum) or a mid-job ANSI divide-by-zero (all-zero total in
+    # the share ratio). The total rides back as an exact long literal —
+    # the same integer the old one-row frame carried, so every share
+    # ratio is bit-identical.
+    stats = per.agg(
+        F.min("n").alias("_mn"),
+        F.max("n").alias("_mx"),
+        F.sum("n").cast("long").alias("_total"),
+    ).first()
+    if stats["_mn"] is not None and stats["_mn"] < 0:
         raise ValueError(
             "mix_temperature: a source has a negative weight sum — "
             "weights must be non-negative"
         )
-    if per.filter(F.col("n") > 0).limit(1).count() == 0:
+    if stats["_mx"] is None or stats["_mx"] <= 0:
         raise ValueError(
             "mix_temperature: no source has a positive weight sum "
             "(empty input or all-zero weights)"
         )
-    total = per.agg(F.sum("n").cast("long").alias("_total"))
-    p = per.crossJoin(F.broadcast(total)).select(
+    total = F.lit(int(stats["_total"])).cast("long")
+    p = per.select(
         "source",
         "n",
-        (F.col("n").cast("double") / F.col("_total")).alias("share"),
+        (F.col("n").cast("double") / total).alias("share"),
         F.round(
-            F.pow(F.col("n").cast("double") / F.col("_total"), F.lit(float(alpha))),
+            F.pow(F.col("n").cast("double") / total, F.lit(float(alpha))),
             6,
         ).alias("_pw"),
     )
