@@ -358,12 +358,25 @@ def verify_pairs_jaccard(
     tools/scale_probe.py ``pair_verify``: pairs/sec RISES 72k -> 323k
     -> 683k across 10x/30x/100x), never the corpus squared — the
     candidates stay however-bucketed their generator made them.
+
+    The shingle frame is ensure_parallelism'd (round-15: a one-file
+    corpus scans as ONE partition, serializing the tokenize+shingle
+    pass onto one core) and pinned — BOTH sides of the pair join
+    consume it, and unpinned each would replay the full
+    tokenize+shingle pass (the same trade dedup_corpus_edges'
+    verify path already takes; under pinning_disabled() plan tooling
+    still sees the full lineage).
     """
     from ..functions.binding import let
+    from .pinning import pin
 
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(tokens(F.col(text_col)), k)).alias("s"),
+    sh = pin(
+        ensure_parallelism(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                word_shingles(tokens(F.col(text_col)), k)
+            ).alias("s"),
+        )
     )
     # contract guard (see docstring): assert_true is NULL when passing,
     # so coalesce(guard, jac) returns jac untouched — zero-cost, but a

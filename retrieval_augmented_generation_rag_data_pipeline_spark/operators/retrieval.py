@@ -159,56 +159,63 @@ def bm25_search(
     Returns (doc_id, score, rank) for the top `topk` documents, rank by
     score desc then doc_id asc.
 
-    Plan shape: the exploded corpus terms are filtered against the
-    broadcast literal query-term array BEFORE the tf aggregation, so
-    everything past the scan is sized by matching postings. df(t)
-    comes from its own light lineage (per-doc array_intersect with the
-    query terms, partial-aggregating groupBy — document frequency only
-    matters for query terms) and broadcast-joins back at
-    <= |query_terms| rows; N and avgdl are one narrow aggregate over
-    doc lengths. The final top-k is TakeOrderedAndProject.
+    Plan shape (round-15, guide §8 "decide with small rows"): ONE
+    tokenize pass builds a pinned per-doc proxy (doc_id, dl,
+    matched-tokens-only array) — the only corpus-sized work; N/avgdl,
+    the tf aggregation, and df(t) are all derived from that proxy, so
+    the corpus is scanned and tokenized exactly once (the previous
+    shape paid three full tokenize passes: tf side, df side, stats
+    side). The exploded rows are filtered to query-term matches
+    BEFORE the explode even emits them (the array is pre-filtered),
+    so everything past the proxy is sized by matching postings. df(t)
+    is count_distinct(doc_id) over the pinned tf postings — exactly
+    the oracle's ``dft ... FROM tf`` derivation — and broadcast-joins
+    back at <= |query_terms| rows. Round-10 de-skew stands: df is a
+    partial-aggregating groupBy, never a partitionBy(term) window
+    (a stopword query term would weld its whole postings list onto
+    one task and cap downstream parallelism at |query_terms|).
+    The final top-k is TakeOrderedAndProject.
     """
+    from .pinning import pin
+
     # lowercase the query terms: corpus tokens come from
     # functions.hashing.tokens, which lowercases — a cased query term
     # ('Apple') would otherwise silently contribute zero matches
     qset = F.array(*[F.lit(t) for t in sorted({t.lower() for t in query_terms})])
-    # token array staged once for dl + explode (see doc_terms)
+    # token array staged once for dl + the match filter (see doc_terms);
+    # the per-doc proxy is pinned because THREE consumers (stats, tf,
+    # and through tf the df side) would each otherwise replay the full
+    # tokenize pass. Proxy rows are (id, long, matched-terms-only
+    # array) — a few bytes per doc at any corpus scale.
     staged = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     )
-    exploded = staged.select(
-        "doc_id",
-        F.size("_tk").cast("long").alias("dl"),
-        F.explode("_tk").alias("term"),
-    )
-    matched = exploded.filter(F.array_contains(qset, F.col("term")))
-    tf = matched.groupBy("doc_id", "dl", "term").agg(
-        F.count("*").cast("long").alias("tf")
-    )
-    # df(t) from its own light lineage (per-doc array_intersect against
-    # the query terms — already distinct — then a partial-aggregating
-    # groupBy), broadcast-joined back: <= |query_terms| rows. Round-10
-    # de-skew: the previous partitionBy(term) window not only welded a
-    # stopword query term's whole postings list onto one task, it
-    # capped EVERYTHING downstream of the window at |query_terms|-way
-    # parallelism — a 4-term query scored on 4 tasks however many
-    # executors the cluster has. The broadcast join keeps postings in
-    # their aggregation partitioning end-to-end.
-    df_small = (
+    per_doc = pin(
         staged.select(
             "doc_id",
-            F.explode(F.array_intersect("_tk", qset)).alias("term"),
+            F.size("_tk").cast("long").alias("dl"),
+            F.filter("_tk", lambda t: F.array_contains(qset, t)).alias("_mt"),
         )
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").cast("long").alias("df_t"))
+    )
+    tf = pin(
+        per_doc.select("doc_id", "dl", F.explode("_mt").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # df(t) over the pinned postings: tf rows are distinct per
+    # (doc_id, term) by construction, count_distinct guards the
+    # duplicate-doc_id edge case exactly as the old per-doc
+    # array_intersect lineage did. <= |query_terms| output rows.
+    df_small = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df_t")
     )
     with_df = tf.join(F.broadcast(df_small), "term")
-    stats = docs.select(
+    # N and avgdl from the pinned proxy: sum(dl) is the same integer
+    # sum the old sum(size(tokens(...))) produced, cast after — the
+    # division is bit-identical
+    stats = per_doc.select(
         F.count("*").cast("long").alias("n_docs"),
-        (
-            F.sum(F.size(tokens(F.col(text_col)))).cast("double")
-            / F.count("*")
-        ).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     idf = F.log(
         1.0
