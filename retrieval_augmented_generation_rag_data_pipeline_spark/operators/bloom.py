@@ -136,9 +136,19 @@ def build_bloom(
         n = expected_items
     else:
         if measured_distinct is None:
-            est = keys.agg(
-                F.approx_count_distinct(key_col, rsd=0.15).alias("n")
-            ).first()["n"]
+            # the sizing HLL rides the key frame's materialization as an
+            # observed metric (round-15, guide §1 — the same fold
+            # incremental_dedup already does): a standalone sizing agg
+            # was a SECOND full pass over the keys lineage before the
+            # bitmap fold below re-evaluated it. One checkpoint job
+            # serves both; the estimate is the identical sketch.
+            from pyspark.sql import Observation
+
+            obs = Observation("build_bloom_hll")
+            keys = keys.observe(
+                obs, F.approx_count_distinct(key_col, rsd=0.15).alias("n")
+            ).localCheckpoint(eager=True)
+            est = obs.get["n"]
         else:
             # caller already measured the HLL (e.g. as an observed
             # metric riding its own materialization job —
