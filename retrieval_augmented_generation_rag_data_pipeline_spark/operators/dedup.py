@@ -733,6 +733,7 @@ def dedup_corpus(
     verify_jaccard: float | None = None,
     survivor_scores: DataFrame | None = None,
     survivor_score_col: str = "score",
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup policy: one call from raw docs to a
     keep/drop decision per document.
@@ -780,10 +781,25 @@ def dedup_corpus(
     LSH shuffle + ``max_bucket_size`` skew cap; the closure is
     pointer-jumping min-label, O(log diameter) rounds. No stage sees
     more than (id, id) edge rows after the LSH bucket join.
+
+    ``vertices`` (round-15, guide §1.2 — don't recompute what a pinned
+    frame already holds): an optional (id_col) frame whose id SET must
+    equal ``df``'s (duplicates are harmless — the closure groups by
+    vertex). When ``df``'s lineage is expensive (prepare_corpus feeds a
+    normalize + semi-join pipeline), the default vertex-seed derivation
+    replays that whole lineage a third time just to list the ids;
+    callers holding a cheaper equivalent frame (the pinned quality
+    verdict) pass it here. Results are identical under the set-equality
+    precondition; omit it unless the equality is certain.
     """
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    vx = (
+        docs.select("doc_id")
+        if vertices is None
+        else vertices.select(F.col(id_col).alias("doc_id"))
+    )
     comp = connected_components(
-        docs.select("doc_id"),
+        vx,
         dedup_corpus_edges(
             docs,
             k=k,

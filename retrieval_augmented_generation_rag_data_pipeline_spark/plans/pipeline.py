@@ -236,11 +236,18 @@ def prepare_corpus(
 
     qf = pin(qf)
     norm = normalize_text(df, id_col, text_col)
-    cand = norm.join(
-        qf.filter(F.col("keep_quality")).select("doc_id"), "doc_id", "left_semi"
-    )
+    keep_ids = qf.filter(F.col("keep_quality")).select("doc_id")
+    cand = norm.join(keep_ids, "doc_id", "left_semi")
+    # vertices from the PINNED quality verdict (round-15, guide §1.2):
+    # cand's id set IS the quality-keep set (norm is one row per input
+    # row, the semi join only filters), so deriving the closure's
+    # vertex seed from cand would replay the scan -> normalize ->
+    # semi-join lineage a third time just to list ids the pinned qf
+    # already holds. Duplicate ids (duplicate input rows) are harmless
+    # — the closure groups by vertex.
     dd = dedup_corpus(
-        cand, id_col="doc_id", text_col="norm_text", **(dedup_kwargs or {})
+        cand, id_col="doc_id", text_col="norm_text", vertices=keep_ids,
+        **(dedup_kwargs or {})
     ).select("doc_id", "component_id", F.col("keep").alias("keep_dedup"))
     out = qf.join(dd, "doc_id", "left").withColumn(
         "keep", F.col("keep_quality") & F.coalesce(F.col("keep_dedup"), F.lit(False))
