@@ -1096,6 +1096,7 @@ def lm_cross_entropy(
     lm: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Per-document cross-entropy (and perplexity) under a frozen
     reference unigram LM — the CCNet quality signal (Wenzek et al.
@@ -1130,20 +1131,33 @@ def lm_cross_entropy(
     log-prob) -> one partial-aggregating per-doc sum. The only
     shuffle is the doc_id aggregation; the vocab table is a literal
     broadcast (<= max_vocab rows), never a driver-side map literal
-    scanned per token."""
+    scanned per token.
+
+    ``carry_cols`` (round-15, guide §2.4): per-doc metadata columns
+    (a language label, a domain) carried THROUGH the aggregation and
+    returned after ``doc_id`` — grouped consumers (lm_quality_buckets,
+    per-language budget selection) previously re-scanned the corpus
+    and shuffle-joined the label back onto the scored frame; riding
+    the groupBy key costs nothing (the map-side partial agg collapses
+    rows per doc before the exchange) and removes that join outright.
+    Each carried column must be CONSTANT per ``id_col`` value (it
+    joins the grouping key — a doc with two label values would split
+    into two score rows)."""
     if lm is None:
         lm = frozen_lm()
     vocab = docs.sparkSession.createDataFrame(
         list(lm["logp"].items()), "term string, _lp double"
     )
     oov = float(lm["oov_logp"])
+    carries = list(carry_cols)
     ex = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carries],
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
     summed = (
         ex.join(F.broadcast(vocab), "term", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carries)
         .agg(
             F.round(F.sum(F.coalesce(F.col("_lp"), F.lit(oov))), 6).alias(
                 "_ls"
@@ -1154,6 +1168,7 @@ def lm_cross_entropy(
     xent = -F.col("_ls") / F.col("n_tokens")
     return summed.select(
         "doc_id",
+        *carries,
         "n_tokens",
         xent.alias("xent"),
         F.round(F.exp(xent), 6).alias("ppl"),
@@ -1221,13 +1236,12 @@ def lm_quality_buckets(
             f"percentile_mode must be 'exact' or 'approx', got "
             f"{percentile_mode!r}"
         )
-    scored = lm_cross_entropy(docs, lm, id_col, text_col).join(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(group_col).alias("_g"),
-        ),
-        "doc_id",
-    )
+    # the group label rides lm_cross_entropy's aggregation key
+    # (round-15, guide §2.4) — the old shape re-scanned the corpus and
+    # shuffle-joined the label back onto the scored frame
+    scored = lm_cross_entropy(
+        docs, lm, id_col, text_col, carry_cols=[group_col]
+    ).withColumnRenamed(group_col, "_g")
     if thresholds is not None:
         spark = docs.sparkSession
         th = spark.createDataFrame(

@@ -3017,9 +3017,12 @@ def select_budget_grouped(spark, sf):
     from ..operators.sampling import select_token_budget_grouped as _stbg
 
     docs = _t(spark, sf, "documents")
-    scored = text.lm_cross_entropy(docs).select(
-        "doc_id", "xent", "n_tokens"
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+    # lang rides the scoring aggregation key (round-15, guide §2.4) —
+    # the old shape re-scanned the corpus and shuffle-joined the label
+    # back onto the scored frame
+    scored = text.lm_cross_entropy(docs, carry_cols=["lang"]).select(
+        "doc_id", "lang", "xent", "n_tokens"
+    )
     out = _stbg(
         scored,
         _BUDGETS_BY_LANG,
