@@ -622,15 +622,19 @@ def dsir_importance_weights(
     at TRAINING time.
 
     Returns (doc_id, logw) for EVERY input document: a zero-token doc
-    has weight 1 (log 0.0) — the empty product — via the
-    quality_classifier left-join-the-spine convention. The per-doc sum
+    has weight 1 (log 0.0) — the empty product — via an
+    ``explode_outer`` whose NULL-term row sums to exactly 0.0
+    (round-15, guide §2.4: the old shape left-joined the doc spine
+    back to restore the docs a plain explode dropped — a second
+    corpus scan plus a corpus-wide shuffle join). The per-doc sum
     is rounded ONCE at 6dp (the fold-order convention).
 
-    Plan (100 TB): explode -> broadcast join against the union-vocab
-    DIFF table (one row per token — the two models are pre-subtracted
-    driver-side, so one join does the work of two) -> one
-    map-side-combined per-doc sum -> broadcast-scale left join onto
-    the doc spine. Only the doc_id aggregation shuffles."""
+    Plan (100 TB): explode_outer -> broadcast join against the
+    union-vocab DIFF table (one row per token — the two models are
+    pre-subtracted driver-side, so one join does the work of two) ->
+    one map-side-combined per-doc sum. Only the doc_id aggregation
+    shuffles; ``tokens()`` never emits NULL elements, so a NULL term
+    row is exactly a token-less doc and never draws the OOV mass."""
     from .text import frozen_lm
 
     if raw_lm is None:
@@ -647,19 +651,22 @@ def dsir_importance_weights(
     dtab = docs.sparkSession.createDataFrame(
         sorted(diff.items()), "term string, _d double"
     )
-    summed = (
+    return (
         ensure_parallelism(spine)
-        .select("doc_id", F.explode(tokens(F.col("_t"))).alias("term"))
+        .select("doc_id", F.explode_outer(tokens(F.col("_t"))).alias("term"))
         .join(F.broadcast(dtab), "term", "left")
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(F.coalesce(F.col("_d"), F.lit(float(oov_diff)))), 6
-            ).alias("_lw")
+                F.sum(
+                    F.when(F.col("term").isNull(), F.lit(0.0)).otherwise(
+                        F.coalesce(F.col("_d"), F.lit(float(oov_diff)))
+                    )
+                ),
+                6,
+            ).alias("logw")
         )
-    )
-    return spine.join(summed, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("_lw"), F.lit(0.0)).alias("logw")
+        .select("doc_id", "logw")
     )
 
 

@@ -765,8 +765,11 @@ def quality_classifier(
 
     Returns (doc_id, n_tokens, logit, pred) for EVERY input document
     (unlike the LM family, a zero-token document has a well-defined
-    score — the bare intercept — so the doc spine is left-joined back
-    rather than letting the explode drop it):
+    score — the bare intercept — so the explode is an
+    ``explode_outer``: a token-less doc keeps one NULL-term row that
+    contributes 0 weight and 0 to n_tokens, instead of the corpus-wide
+    spine left-join the pre-round-15 shape paid to resurrect dropped
+    docs):
 
         logit = intercept + round(sum_t count(t) * w(t), 6)
         pred  = logit >= 0          [the classifier's keep verdict]
@@ -778,12 +781,18 @@ def quality_classifier(
     IEEE-754 deterministic, and the gate compares the LOGIT, never the
     sigmoid (monotone — same ranking, no engine-local exp).
 
-    Plan (100 TB): explode -> broadcast hash join against the
-    vocab-sized weight table -> one partial-aggregating per-doc sum ->
-    broadcast-scale left join onto the doc spine. The only shuffle is
-    the doc_id aggregation; the weight table is metadata-sized
-    (<= max_vocab rows) and rides a broadcast, never a per-token map
-    literal."""
+    Plan (100 TB): explode_outer -> broadcast hash join against the
+    vocab-sized weight table -> ONE partial-aggregating per-doc sum —
+    the whole operator is a single corpus pass and a single shuffle
+    (round-15, guide §2.4: the old spine left-join re-scanned the
+    corpus and shuffled it a second time just to restore zero-token
+    docs the plain explode dropped; the outer explode keeps them in
+    the aggregate — its NULL-term row contributes 0 weight, and
+    ``count(term)`` skips NULLs so n_tokens lands on 0). The weight
+    table is metadata-sized (<= max_vocab rows) and rides a
+    broadcast, never a per-token map literal. ``tokens()`` can never
+    emit NULL elements (split+filter), so a NULL term row is
+    EXACTLY a token-less doc."""
     if clf is None:
         clf = frozen_classifier()
     spine = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
@@ -792,24 +801,27 @@ def quality_classifier(
     )
     b = float(clf["intercept"])
     ex = ensure_parallelism(spine).select(
-        "doc_id", F.explode(tokens(F.col("_t"))).alias("term")
+        "doc_id", F.explode_outer(tokens(F.col("_t"))).alias("term")
     )
     summed = (
         ex.join(F.broadcast(weights), "term", "left")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(F.coalesce(F.col("_w"), F.lit(0.0))), 6).alias(
-                "_ws"
-            ),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("term").isNull(), F.lit(0.0)).otherwise(
+                        F.coalesce(F.col("_w"), F.lit(0.0))
+                    )
+                ),
+                6,
+            ).alias("_ws"),
+            F.count("term").cast("long").alias("n_tokens"),
         )
     )
     logit = F.lit(b) + F.coalesce(F.col("_ws"), F.lit(0.0))
-    return spine.join(summed, "doc_id", "left").select(
+    return summed.select(
         "doc_id",
-        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
-            "n_tokens"
-        ),
+        "n_tokens",
         logit.alias("logit"),
         (logit >= 0.0).alias("pred"),
     )
