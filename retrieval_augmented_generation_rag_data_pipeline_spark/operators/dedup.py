@@ -1227,8 +1227,10 @@ def chunk_dedup(
     row per input doc: a doc whose every chunk already appeared
     elsewhere keeps an empty string, and a doc that produced no chunks
     at all (empty / whitespace-only / NULL text) comes back as
-    ('', 0, 0) through a left join onto the input doc spine rather
-    than silently vanishing from the reassembled corpus.
+    ('', 0, 0) through chunk_text's ``keep_chunkless`` marker row
+    (round-15, guide §2.4: the marker aggregates through the per-doc
+    regroup, replacing the distinct-doc-spine left join that paid two
+    extra corpus-id shuffles just to resurrect chunkless docs).
 
     Scale: the winner per digest comes from `groupBy(digest).min(struct)`
     — partial aggregation combines map-side, so a boilerplate chunk
@@ -1241,13 +1243,23 @@ def chunk_dedup(
     """
     from .text import chunk_text
 
+    # keep_chunkless: a chunkless doc rides through as ONE marker row
+    # (NULL chunk_text -> NULL _d); real chunks never have NULL text,
+    # so the marker is unambiguous end-to-end
     chunks = chunk_text(
-        df, id_col=id_col, text_col=text_col, chunk_words=chunk_words
+        df, id_col=id_col, text_col=text_col, chunk_words=chunk_words,
+        keep_chunkless=True,
     ).withColumn("_d", F.md5("chunk_text"))
-    winners = chunks.groupBy("_d").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("_w")
+    # winners over REAL digests only — the marker rows form no digest
+    # group and must win nothing
+    winners = (
+        chunks.filter(F.col("_d").isNotNull())
+        .groupBy("_d")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("_w"))
     )
-    flagged = chunks.join(winners, "_d").withColumn(
+    # LEFT join: a marker row's NULL _d matches nothing and survives
+    # with _w NULL (its _keep is NULL -> collect_list/sum skip it)
+    flagged = chunks.join(winners, "_d", "left").withColumn(
         "_keep",
         (F.col("doc_id") == F.col("_w.doc_id"))
         & (F.col("chunk_idx") == F.col("_w.chunk_idx")),
@@ -1255,7 +1267,7 @@ def chunk_dedup(
     kept_struct = F.when(
         F.col("_keep"), F.struct("chunk_idx", "chunk_text")
     )  # NULL for dropped chunks -> collect_list skips them
-    rebuilt = (
+    return (
         flagged.groupBy("doc_id")
         .agg(
             F.array_join(
@@ -1265,24 +1277,14 @@ def chunk_dedup(
                 ),
                 " ",
             ).alias("text_dedup"),
-            F.sum(F.col("_keep").cast("long")).alias("n_chunks_kept"),
-            F.count("*").cast("long").alias("n_chunks_orig"),
+            # a chunkless doc's group is one all-NULL-_keep row: the
+            # sum is NULL -> 0; count(chunk_text) skips the marker so
+            # n_chunks_orig lands on 0
+            F.coalesce(
+                F.sum(F.col("_keep").cast("long")), F.lit(0).cast("long")
+            ).alias("n_chunks_kept"),
+            F.count("chunk_text").cast("long").alias("n_chunks_orig"),
         )
-    )
-    # left join onto the input spine: a chunkless doc (empty /
-    # whitespace / NULL text) emits zero chunk rows and would otherwise
-    # vanish from the output entirely — the one-row-per-input-doc
-    # contract a corpus rebuild depends on
-    spine = df.select(F.col(id_col).alias("doc_id")).distinct()
-    return spine.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
-        F.coalesce(F.col("n_chunks_kept"), F.lit(0).cast("long")).alias(
-            "n_chunks_kept"
-        ),
-        F.coalesce(F.col("n_chunks_orig"), F.lit(0).cast("long")).alias(
-            "n_chunks_orig"
-        ),
     )
 
 

@@ -35,6 +35,7 @@ def chunk_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_words: int = 32,
+    keep_chunkless: bool = False,
 ) -> DataFrame:
     """Split documents into fixed-size word chunks (W3 generalized — the
     reference chunks audio into 30s windows at src/transcription.py:157;
@@ -50,6 +51,15 @@ def chunk_text(
     own tokens(text) copy in a different operator, which codegen CSE
     cannot merge with the projection's, doubling the tokenize per row
     (round-6 review finding).
+
+    ``keep_chunkless=True`` (round-15) switches the explode to an
+    ``explode_outer``: a chunkless doc (empty/whitespace/NULL text)
+    keeps ONE row with NULL chunk_idx/chunk_text/n_words instead of
+    vanishing — consumers that must return one row per input doc
+    (chunk_dedup's corpus rebuild) aggregate that marker row directly
+    instead of left-joining a distinct doc spine back on afterwards
+    (two extra corpus-id shuffles). Real chunk rows never carry a NULL
+    chunk_text, so the marker is unambiguous.
     """
     toks = tokens(F.col(text_col))
 
@@ -75,8 +85,9 @@ def chunk_text(
         )
 
     chunks = let(toks, build_chunks)
+    explode_fn = F.explode_outer if keep_chunkless else F.explode
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        df.select(F.col(id_col).alias("doc_id"), explode_fn(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
@@ -919,14 +930,19 @@ def token_count_subword(
     undercount them systematically.
 
     Returns (doc_id, n_words, n_subword_tokens) for EVERY input doc
-    (zero-token docs -> 0/0 via the left-joined spine).
+    (zero-token docs -> 0/0 via an ``explode_outer`` marker row that
+    aggregates through the per-doc sum — round-15, guide §2.4: the old
+    shape left-joined a doc spine back on, a second corpus scan plus a
+    corpus-wide shuffle join).
 
-    Plan (100 TB): explode to words -> DISTINCT words -> the greedy
-    fold expression ONCE PER DISTINCT WORD (segmentation is a
+    Plan (100 TB): explode_outer to words -> DISTINCT words -> the
+    greedy fold expression ONCE PER DISTINCT WORD (segmentation is a
     vocabulary-sized dimension, not a per-token cost — the Zipf mass
-    of a corpus re-uses a tiny distinct-word set) -> join the counts
-    back (AQE picks broadcast while the distinct-word table fits; no
-    forced hint, distinct-word cardinality grows with the corpus) ->
+    of a corpus re-uses a tiny distinct-word set) -> LEFT-join the
+    counts back (AQE picks broadcast while the distinct-word table
+    fits; left, so a token-less doc's NULL-word marker row survives —
+    ``count(word)``/the NULL-skipping sum land it on 0/0; tokens()
+    never emits NULL elements, so the marker is unambiguous) ->
     one map-side-combined per-doc sum."""
     if vocab is None:
         vocab = frozen_subword()
@@ -942,28 +958,25 @@ def token_count_subword(
 
     words = pin(
         ensure_parallelism(spine).select(
-            "doc_id", F.explode(tokens(F.col("_t"))).alias("word")
+            "doc_id", F.explode_outer(tokens(F.col("_t"))).alias("word")
         )
     )
     dw = (
         words.select("word")
+        .filter(F.col("word").isNotNull())
         .distinct()
         .withColumn("_np", subword_segment_expr(F.col("word"), pieces))
     )
-    counts = (
-        words.join(dw, "word")
+    return (
+        words.join(dw, "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("_np").cast("long").alias("n_subword_tokens"),
+            F.count("word").cast("long").alias("n_words"),
+            F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias(
+                "n_subword_tokens"
+            ),
         )
-    )
-    return spine.join(counts, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
-        F.coalesce(F.col("n_subword_tokens"), F.lit(0).cast("long")).alias(
-            "n_subword_tokens"
-        ),
+        .select("doc_id", "n_words", "n_subword_tokens")
     )
 
 
