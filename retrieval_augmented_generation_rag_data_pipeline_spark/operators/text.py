@@ -1027,8 +1027,10 @@ def lang_id_trained(
     own transcendental math on unshared inputs.
 
     Returns (doc_id, pred_lang, lang_score) for EVERY input document
-    (a zero-trigram doc scores bare priors — the quality_classifier
-    spine convention):
+    (a zero-trigram doc scores bare priors — via the explode_outer
+    marker row, the round-15 quality_classifier convention: the old
+    spine left-join re-scanned the corpus and shuffled it a second
+    time just to restore docs the plain explode dropped):
 
         score_l    = prior_l + round(sum_g logp(g|l), 6)
         pred_lang  = argmax_l score_l   [ties -> lexicographic code,
@@ -1040,14 +1042,16 @@ def lang_id_trained(
     ONCE per language on the fold-order-sensitive sum; adding the
     shared prior literal afterwards is IEEE-754 deterministic.
 
-    Plan (100 TB): explode char trigrams -> ONE broadcast hash join
-    against the WIDE (term, w_<lang>...) weight table (one row per
-    trigram, not per trigram-language pair — the language axis rides
-    as columns so the corpus explodes once and aggregates once) ->
-    one map-side-combined per-doc sum per language -> broadcast-scale
-    left join onto the doc spine. The only shuffle is the doc_id
-    aggregation; the weight table is metadata-sized (<= max_ngrams
-    rows)."""
+    Plan (100 TB): explode_outer char trigrams -> ONE broadcast hash
+    join against the WIDE (term, w_<lang>...) weight table (one row
+    per trigram, not per trigram-language pair — the language axis
+    rides as columns so the corpus explodes once and aggregates once)
+    -> one map-side-combined per-doc sum per language. The whole
+    operator is a single corpus pass and a single shuffle (the doc_id
+    aggregation); a zero-trigram doc's NULL-term marker row sums to
+    exactly 0.0 per language (char_ngrams never emits NULL elements,
+    so the marker is unambiguous) and the priors add after. The
+    weight table is metadata-sized (<= max_ngrams rows)."""
     if model is None:
         model = frozen_langid()
     langs = list(model["langs"])
@@ -1063,7 +1067,7 @@ def lang_id_trained(
     weights = docs.sparkSession.createDataFrame(rows, schema)
     ex = ensure_parallelism(spine).select(
         "doc_id",
-        F.explode(char_ngrams(F.lower(F.col("_t")), n)).alias("term"),
+        F.explode_outer(char_ngrams(F.lower(F.col("_t")), n)).alias("term"),
     )
     summed = (
         ex.join(F.broadcast(weights), "term", "left")
@@ -1072,9 +1076,13 @@ def lang_id_trained(
             *[
                 F.round(
                     F.sum(
-                        F.coalesce(
-                            F.col(f"_w_{l}"),
-                            F.lit(float(model["floors"][l])),
+                        F.when(
+                            F.col("term").isNull(), F.lit(0.0)
+                        ).otherwise(
+                            F.coalesce(
+                                F.col(f"_w_{l}"),
+                                F.lit(float(model["floors"][l])),
+                            )
                         )
                     ),
                     6,
@@ -1098,7 +1106,7 @@ def lang_id_trained(
             c = scores[langs[i]] >= scores[m]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
-    return spine.join(summed, "doc_id", "left").select(
+    return summed.select(
         "doc_id",
         pred.alias("pred_lang"),
         F.round(F.greatest(*scores.values()), 6).alias("lang_score"),
