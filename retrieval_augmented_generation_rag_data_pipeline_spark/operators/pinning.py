@@ -64,6 +64,39 @@ def pin_all(*dfs: DataFrame) -> list[DataFrame]:
         return [f.result() for f in futures]
 
 
+def build_all(*thunks):
+    """Construct-and-pin several INDEPENDENT frames concurrently
+    (guide §2.6) — ``pin_all`` for sides whose CONSTRUCTION already
+    fires Spark jobs.
+
+    ``pin_all`` overlaps only the final checkpoint materializations;
+    when an operator pins internally, those pins submit their jobs at
+    the operator CALL (lazy localCheckpoint under AQE — see pin_all),
+    i.e. while the query function is still being composed, serially.
+    hybrid_rrf measured: bm25_search() construction runs the whole
+    tokenize/proxy pipeline before the dense side's scan can start —
+    the two independent corpus passes back-to-back where max() would
+    do. Passing zero-arg builders moves construction itself onto the
+    pool, so every job either side fires overlaps the other side's.
+
+    Each thread runs under a copy of the caller's contextvars:
+    inside ``pinning_disabled()`` all pins no-op, construction fires
+    no jobs, and this degenerates to calling the thunks on the pool
+    and collecting their lazy frames (plan tooling sees the full
+    lineage, same as today)."""
+    import contextvars
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) <= 1:
+        return [pin(t()) for t in thunks]
+    ctx = contextvars.copy_context()
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(ctx.copy().run, lambda t=t: pin(t())) for t in thunks
+        ]
+        return [f.result() for f in futures]
+
+
 def pinning_is_disabled() -> bool:
     """True inside a ``pinning_disabled()`` block — i.e. a
     plan-inspection context. Operators whose CONSTRUCTION runs Spark

@@ -3843,16 +3843,27 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
 
 @_q("hybrid_rrf", _HYBRID_SQL)
 def hybrid_rrf(spark, sf):
+    from ..operators.pinning import build_all
+
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dense = vectors.knn_topk(q, emb, k=20).select(
-        F.col("vec_id").alias("doc_id"), "rank"
+    # build_all: the two ranking sides are independent corpus passes
+    # (dense: embeddings scan + cosine; sparse: documents tokenize +
+    # BM25 proxy). bm25_search pins internally, so its jobs fire at
+    # CALL time — composing the sides sequentially serializes them
+    # (guide §2.6); building on the pool overlaps the passes. Results
+    # identical: pins never change rows, rrf_fuse sees the same two
+    # top-20 frames.
+    dense, bm = build_all(
+        lambda: vectors.knn_topk(q, emb, k=20).select(
+            F.col("vec_id").alias("doc_id"), "rank"
+        ),
+        lambda: retrieval.bm25_search(
+            _t(spark, sf, "documents"), _BM25_TERMS, topk=20
+        ).select("doc_id", "rank"),
     )
-    bm = retrieval.bm25_search(
-        _t(spark, sf, "documents"), _BM25_TERMS, topk=20
-    ).select("doc_id", "rank")
     return retrieval.rrf_fuse([dense, bm], topk=20)
 
 

@@ -78,6 +78,30 @@ def test_pinning_disabled_is_thread_scoped(spark):
     assert pin(df) is not df  # re-enabled after the block
 
 
+def test_build_all_pins_and_respects_disable(spark):
+    """build_all (round-15 §2.6) constructs-and-pins thunks on a pool:
+    results are the thunks' frames (same rows), pinned — and inside
+    pinning_disabled() the pins no-op so construction fires no jobs
+    and plan tooling sees the full lineage."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import (
+        build_all,
+        pinning_disabled,
+    )
+
+    a, b = build_all(
+        lambda: spark.range(3), lambda: spark.range(5, 8)
+    )
+    assert sorted(r.id for r in a.collect()) == [0, 1, 2]
+    assert sorted(r.id for r in b.collect()) == [5, 6, 7]
+    # pinned: plan truncated to a checkpoint (LogicalRDD) scan
+    assert "LogicalRDD" in a._jdf.queryExecution().analyzed().toString()
+
+    with pinning_disabled():
+        (c,) = build_all(lambda: spark.range(2))
+        assert "LogicalRDD" not in c._jdf.queryExecution().analyzed().toString()
+        assert sorted(r.id for r in c.collect()) == [0, 1]
+
+
 def test_no_row_at_a_time_python_in_headline_plans():
     """BatchEvalPython (row-at-a-time UDF) must never appear; the only
     Python in any headline plan is Arrow-vectorized."""
