@@ -611,36 +611,49 @@ def dedup_corpus_edges(
     # scale), the inner join then drops unique-digest docs for free,
     # and AQE sees a build side small enough to broadcast. Same
     # null-safe digest grouping and hot-key salting as dedup_exact.
-    d = docs.select("doc_id", F.md5("text").alias("_digest"))
-    dup_groups = (
-        d.groupBy("_digest")
-        .agg(
-            F.min("doc_id").alias("canonical_id"),
-            F.count("*").cast("long").alias("group_size"),
+    def _exact_side():
+        d = docs.select("doc_id", F.md5("text").alias("_digest"))
+        dup_groups = (
+            d.groupBy("_digest")
+            .agg(
+                F.min("doc_id").alias("canonical_id"),
+                F.count("*").cast("long").alias("group_size"),
+            )
+            .filter(F.col("group_size") >= 2)
         )
-        .filter(F.col("group_size") >= 2)
-    )
-    exact_edges = (
-        hot_salted_count_join(
-            d,
-            dup_groups,
-            key="_digest",
-            count_col="group_size",
-            salt_src="doc_id",
-            null_safe=True,
+        return (
+            hot_salted_count_join(
+                d,
+                dup_groups,
+                key="_digest",
+                count_col="group_size",
+                salt_src="doc_id",
+                null_safe=True,
+            )
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(
+                F.col("canonical_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
         )
-        .filter(F.col("doc_id") != F.col("canonical_id"))
-        .select(
-            F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
-        )
-    )
+
     # the closure is invariant to duplicate edges (min over neighbors),
     # so when nothing consumes the per-pair band count the pair-dedup
     # shuffle is skipped outright (guide §2.4); min_bands > 1 or a
     # verify threshold still needs distinct pairs + counts
     need_counts = min_bands > 1 or verify_jaccard is not None
-    near_edges = lsh_candidate_pairs(
-        docs, k=k, max_bucket_size=max_bucket_size, dedupe_pairs=need_counts
+    # construct_all (guide §2.6): the exact side's construction runs
+    # the digest-agg checkpoint + hot-key probe (JVM jobs) while the
+    # LSH side's construction is driver-side expression building —
+    # independent, so they overlap on two threads; both frames stay
+    # lazy for the closure's single edge-list materialization.
+    from .pinning import construct_all
+
+    exact_edges, near_edges = construct_all(
+        _exact_side,
+        lambda: lsh_candidate_pairs(
+            docs, k=k, max_bucket_size=max_bucket_size, dedupe_pairs=need_counts
+        ),
     )
     if min_bands > 1:
         near_edges = near_edges.filter(F.col("n_bands") >= min_bands)

@@ -97,6 +97,32 @@ def build_all(*thunks):
         return [f.result() for f in futures]
 
 
+def construct_all(*thunks):
+    """Run several INDEPENDENT frame-builders concurrently and return
+    their frames UNPINNED (guide §2.6) — ``build_all`` minus the pin,
+    for operators whose construction fires Spark jobs but whose
+    results must stay lazy (an edge list that a downstream lazy
+    checkpoint will materialize exactly once, e.g.).
+
+    dedup_corpus_edges measured: the exact side's construction runs
+    the digest-aggregate checkpoint + bounded hot-key read (3 JVM
+    jobs, ~0.5-0.8 s warm) while the LSH side's construction is pure
+    driver-side expression building (~0.6 s, no jobs) — py4j releases
+    the GIL during JVM calls, so on two threads the plan building
+    proceeds while the probe jobs run. Contextvars are copied per
+    thread, so ``pinning_disabled()`` still reaches each builder
+    (hot_salted_count_join's plan-inspection path consults it)."""
+    import contextvars
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    ctx = contextvars.copy_context()
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(ctx.copy().run, t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def pinning_is_disabled() -> bool:
     """True inside a ``pinning_disabled()`` block — i.e. a
     plan-inspection context. Operators whose CONSTRUCTION runs Spark
