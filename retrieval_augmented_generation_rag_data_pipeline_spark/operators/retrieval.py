@@ -59,7 +59,10 @@ def doc_terms(
     evaluates the tokenizer twice per row (CollapseProject refuses to
     inline the staged non-cheap multi-referenced alias, so the staging
     sticks — no filter reaches below the explode here)."""
-    staged = ensure_parallelism(docs).select(
+    # key=id_col: HashPartitioning(doc_id) is a SUBSET of the tf agg's
+    # clustering (doc_id, dl, term), so the keyed repartition satisfies
+    # its ClusteredDistribution and the agg shuffle disappears (§2.4)
+    staged = ensure_parallelism(docs, key=id_col).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     )
     exploded = staged.select(
@@ -187,7 +190,10 @@ def bm25_search(
     # and through tf the df side) would each otherwise replay the full
     # tokenize pass. Proxy rows are (id, long, matched-terms-only
     # array) — a few bytes per doc at any corpus scale.
-    staged = ensure_parallelism(docs).select(
+    # key=id_col: the pinned proxy's partitioning survives the
+    # checkpoint (LogicalRDD keeps outputPartitioning), so the tf
+    # aggregation downstream needs no exchange of its own (§2.4)
+    staged = ensure_parallelism(docs, key=id_col).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     )
     per_doc = pin(

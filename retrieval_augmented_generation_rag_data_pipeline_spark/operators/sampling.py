@@ -652,7 +652,9 @@ def dsir_importance_weights(
         sorted(diff.items()), "term string, _d double"
     )
     return (
-        ensure_parallelism(spine)
+        # key="doc_id": the per-doc sum below is the seam's next
+        # shuffle — keyed repartition is the only exchange (§2.4)
+        ensure_parallelism(spine, key="doc_id")
         .select("doc_id", F.explode_outer(tokens(F.col("_t"))).alias("term"))
         .join(F.broadcast(dtab), "term", "left")
         .groupBy("doc_id")

@@ -384,7 +384,10 @@ def decontaminate(
     is test-set-sized — the optimizer broadcasts it and the doc corpus
     never shuffles; nothing ever materializes a pair list.
     """
-    doc_grams = ensure_parallelism(docs).select(
+    # key=id_col: the contaminated-id distinct below clusters by _did
+    # (the alias carries the partitioning), so the keyed repartition
+    # is the doc side's only exchange (§2.4)
+    doc_grams = ensure_parallelism(docs, key=id_col).select(
         F.col(id_col).alias("_did"),
         F.explode(
             F.array_distinct(
@@ -811,7 +814,9 @@ def quality_classifier(
         list(clf["weights"].items()), "term string, _w double"
     )
     b = float(clf["intercept"])
-    ex = ensure_parallelism(spine).select(
+    # key="doc_id": the groupBy below is the seam's next shuffle, so
+    # the keyed repartition is the operator's ONLY exchange (§2.4)
+    ex = ensure_parallelism(spine, key="doc_id").select(
         "doc_id", F.explode_outer(tokens(F.col("_t"))).alias("term")
     )
     summed = (
@@ -956,8 +961,10 @@ def token_count_subword(
     # the ngram_jaccard_pairs inverted-index rule
     from .pinning import pin
 
+    # key="doc_id": the pinned word list's partitioning survives the
+    # checkpoint, so the per-doc aggregation downstream reuses it (§2.4)
     words = pin(
-        ensure_parallelism(spine).select(
+        ensure_parallelism(spine, key="doc_id").select(
             "doc_id", F.explode_outer(tokens(F.col("_t"))).alias("word")
         )
     )
@@ -1065,7 +1072,9 @@ def lang_id_trained(
     ]
     schema = "term string, " + ", ".join(f"_w_{l} double" for l in langs)
     weights = docs.sparkSession.createDataFrame(rows, schema)
-    ex = ensure_parallelism(spine).select(
+    # key="doc_id": the per-doc score aggregation below is the seam's
+    # next shuffle — keyed repartition makes it the only exchange (§2.4)
+    ex = ensure_parallelism(spine, key="doc_id").select(
         "doc_id",
         F.explode_outer(char_ngrams(F.lower(F.col("_t")), n)).alias("term"),
     )
@@ -1183,7 +1192,11 @@ def lm_cross_entropy(
     )
     oov = float(lm["oov_logp"])
     carries = list(carry_cols)
-    ex = ensure_parallelism(docs).select(
+    # key=id_col: the per-doc aggregation below is the seam's next
+    # shuffle; HashPartitioning(id_col) rides through the alias
+    # (AliasAwareOutputPartitioning) and satisfies the groupBy's
+    # ClusteredDistribution(doc_id, carries) — one exchange total (§2.4)
+    ex = ensure_parallelism(docs, key=id_col).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in carries],
         F.explode(tokens(F.col(text_col))).alias("term"),
