@@ -1395,7 +1395,10 @@ def lm_cross_entropy_bigram(
             ),
         ).otherwise(F.array().cast("array<struct<t:string,s:string>>")),
     )
-    pairs = ensure_parallelism(docs).select(
+    # key=id_col: the per-doc sum below is the seam's next shuffle
+    # (the three broadcast joins preserve streamed-side partitioning),
+    # so the keyed repartition is the only exchange (§2.4)
+    pairs = ensure_parallelism(docs, key=id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(zipped).alias("_p")
     ).select("doc_id", F.col("_p.t").alias("t"), F.col("_p.s").alias("s"))
     scored = (
