@@ -1386,7 +1386,14 @@ def span_hits(
         raise ValueError(
             f"span_hits: min_docs must be >= 2, got {min_docs}"
         )
-    sh = ensure_parallelism(docs).select(
+    # key=id_col: the level-1 (h, doc_id) aggregate below is satisfied
+    # by hash(doc_id) (subset rule), so on under-split inputs the seam
+    # is the postings branch's only exchange — a corpus-postings-sized
+    # shuffle removed (§2.4). At scale the seam is a no-op and the
+    # (h, doc_id)-keyed exchange (and its hot-h spreading) is
+    # unchanged; level 2 re-keys by h either way on the tiny combined
+    # output.
+    sh = ensure_parallelism(docs, key=id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             hash_pair_array(word_shingles(tokens(F.col(text_col)), k))
