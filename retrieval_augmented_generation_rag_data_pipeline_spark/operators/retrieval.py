@@ -59,10 +59,14 @@ def doc_terms(
     evaluates the tokenizer twice per row (CollapseProject refuses to
     inline the staged non-cheap multi-referenced alias, so the staging
     sticks — no filter reaches below the explode here)."""
-    # key=id_col: HashPartitioning(doc_id) is a SUBSET of the tf agg's
-    # clustering (doc_id, dl, term), so the keyed repartition satisfies
-    # its ClusteredDistribution and the agg shuffle disappears (§2.4)
-    staged = ensure_parallelism(docs, key=id_col).select(
+    # deliberately NOT keyed (round-15): hash(doc_id) would satisfy the
+    # tf agg's clustering and drop its exchange, but this aggregate's
+    # output is ~one row per (doc, term) — postings-sized — so the
+    # removed exchange was the one place the partial agg rebalanced the
+    # pipeline; measured at ~sf1 the keyed form ran 2.4 -> 3.8 s SLOWER
+    # (sf0.1 was a wash). Keying only pays where the aggregate
+    # collapses to ~one row per key (the per-doc scorers).
+    staged = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     )
     exploded = staged.select(
