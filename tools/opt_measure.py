@@ -6,7 +6,7 @@ run (guide §1.4 — computes every column, so column-pruning effects are
 visible as the count-vs-noop gap), the Spark JOB COUNT the query
 submits (driver-side fixed overhead dominates small-SF readings, and
 every eager localCheckpoint / collect / convergence probe is a job),
-and the formatted explain dumped to plans/r15/<q>_<tag>.txt.
+and the formatted explain dumped to plans/<round>/<q>_<tag>.txt.
 
 Usage:
   python tools/opt_measure.py [--tag before] [--runs 3] [--noop] [q ...]
@@ -38,7 +38,8 @@ from retrieval_augmented_generation_rag_data_pipeline_spark.session import (  # 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*", default=None)
-    ap.add_argument("--tag", default=None, help="dump explain to plans/r15/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="dump explain to plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r16", help="plans/<round>/ subdir for explain dumps")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--noop", action="store_true", help="also time a noop-sink run")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -48,7 +49,7 @@ def main() -> None:
     sc = spark.sparkContext
     spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()  # warmup
 
-    plans_dir = REPO / "plans" / "r15"
+    plans_dir = REPO / "plans" / args.round
     if args.tag:
         plans_dir.mkdir(parents=True, exist_ok=True)
 
