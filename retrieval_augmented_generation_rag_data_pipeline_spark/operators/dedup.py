@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -116,6 +116,20 @@ def minhash_signatures(
     )
 
 
+def band_key_col(sig_col: str, band: int) -> Column:
+    """LSH band-key string for one band over a staged signature column —
+    the single definition shared by minhash_band_keys (exploded rows)
+    and text.decontaminate_fuzzy's collected-InSet fast path, so the
+    two can never band differently."""
+    return F.concat_ws(
+        ":",
+        *[
+            F.col(sig_col)[band * LSH_ROWS + r].cast("string")
+            for r in range(LSH_ROWS)
+        ],
+    )
+
+
 def minhash_band_keys(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -147,13 +161,7 @@ def minhash_band_keys(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col("_sig")[b * LSH_ROWS + r].cast("string")
-                        for r in range(LSH_ROWS)
-                    ],
-                ).alias("key"),
+                band_key_col("_sig", b).alias("key"),
             )
             for b in range(LSH_BANDS)
         ]

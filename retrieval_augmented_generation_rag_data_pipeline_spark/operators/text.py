@@ -13,7 +13,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.binding import let
-from ..functions.hashing import hash_array, md5_long, tokens, word_shingles
+from ..functions.hashing import (
+    hash_array,
+    md5_long,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
 from ..session import ensure_parallelism
 
 # Tiny function-word profiles for the n-gram/stopword language heuristic.
@@ -363,6 +369,32 @@ def normalize_text(
     return df.select(F.col(id_col).alias("doc_id"), clean.alias("norm_text"))
 
 
+# Collected-InSet ceiling for the decontaminate fast paths (round 16,
+# guide §2.4/§3.1 — same curated-scale convention as web.SUFFIX_INSET_MAX
+# and joins.HOT_INSET_MAX): a benchmark is test-set-sized, so its
+# distinct gram hashes / band keys are collected to the driver once and
+# probed as an InSet literal on the single corpus scan — zero joins,
+# zero doc-side shuffles past the parallelism seam. Past the ceiling
+# (a benchmark so large its sketch set exceeds bounded-collect scale)
+# the operators fall back to the broadcast semi/anti-join shape.
+BENCH_INSET_MAX = 4096
+
+
+def _drop_marked_rows(staged: DataFrame, drop: Column, payload_col: str) -> DataFrame:
+    """Keep rows where ``drop`` is falsy via the explode-marker shape.
+
+    NOT a .filter(): a filter over the sketch expression gets
+    predicate-pushed below the ensure_parallelism repartition and the
+    whole tokenize->shingle->md5 chain re-evaluates on the raw (often
+    single-partition) input — the minhash_band_keys lesson. A
+    when(...)-guarded one/zero-element array explode drops rows in the
+    generator itself, which nothing can push down. (explode of the
+    NULL otherwise-branch emits no row.)"""
+    return staged.select(
+        F.explode(F.when(~drop, F.array(F.col(payload_col)))).alias("_r")
+    ).select("_r.*")
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -377,24 +409,64 @@ def decontaminate(
     open-data pipelines since; n=8 is the conventional window).
 
     Returns ``docs`` rows whose text contains no benchmark n-gram.
-    Plan shape: both corpora explode to distinct n-gram HASHES (narrow,
+
+    Fast path (round 16, guide §2.4 "remove shuffles outright"): the
+    benchmark's distinct gram hashes are test-set-sized, so they are
+    collected once (bounded by BENCH_INSET_MAX) and each doc row is
+    tested inline with exists(grams, h -> h IN set) — an InSet probe
+    on the one corpus scan; no semi join, no contaminated-id distinct,
+    no anti join. Per-row semantics — identical to the join shape when
+    ``id_col`` is unique (the house invariant; a duplicated contaminated
+    id would anti-join away its clean twin rows, which no caller wants).
+
+    Fallback (benchmark sketch set above the ceiling, or inside a
+    pinning_disabled plan-inspection block where construction must not
+    run jobs): both corpora explode to distinct n-gram HASHES (narrow,
     scan-side, the same staged tokenize→shingle→md5 pipeline as the
     dedup sketches); contaminated ids = one semi join on the hash;
     the result = one anti join on the id. At 100 TB the benchmark side
     is test-set-sized — the optimizer broadcasts it and the doc corpus
     never shuffles; nothing ever materializes a pair list.
     """
-    # key=id_col: the contaminated-id distinct below clusters by _did
-    # (the alias carries the partitioning), so the keyed repartition
-    # is the doc side's only exchange (§2.4)
-    doc_grams = ensure_parallelism(docs, key=id_col).select(
-        F.col(id_col).alias("_did"),
-        F.explode(
+    from .pinning import pinning_is_disabled
+
+    if not pinning_is_disabled():
+        # one shuffle-free job: per-row distinct gram arrays, deduped on
+        # the driver (a distinct().limit().collect() pipeline costs a
+        # repartition + distinct exchange + AQE rounds — measured 1.2 s
+        # of the old 1.4 s total at sf0.1 for a 20-row benchmark)
+        gram_rows = benchmark.select(
             F.array_distinct(
-                hash_array(word_shingles(tokens(F.col(text_col)), n))
+                hash_array(word_shingles(tokens(F.col(bench_text_col)), n))
+            ).alias("_g")
+        ).limit(BENCH_INSET_MAX + 1)
+        collected = gram_rows.collect()
+        hashes_set: set[int] = set()
+        for r in collected:
+            hashes_set.update(r["_g"] or ())
+        if (
+            len(collected) <= BENCH_INSET_MAX
+            and len(hashes_set) <= BENCH_INSET_MAX
+        ):
+            if not hashes_set:
+                return docs
+            hashes = sorted(hashes_set)
+            staged = ensure_parallelism(docs).select(
+                F.struct(*[F.col(c) for c in docs.columns]).alias("_p"),
+                hash_array(word_shingles(tokens(F.col(text_col)), n)).alias(
+                    "_g"
+                ),
             )
-        ).alias("_h"),
-    )
+            # emitted as ONE SQL string: Column.isin() costs one py4j
+            # literal conversion per element (~0.6 s for 1k hashes,
+            # dominating the query's own runtime at bench scale — the
+            # minhash_signature lesson); the parsed IN list optimizes
+            # to the same InSet
+            in_list = ",".join(f"{h}L" for h in hashes)
+            hit = F.expr(
+                f"coalesce(exists(_g, h -> h in ({in_list})), false)"
+            )
+            return _drop_marked_rows(staged, hit, "_p")
     bench_grams = (
         ensure_parallelism(benchmark)
         .select(
@@ -405,6 +477,17 @@ def decontaminate(
             ).alias("_h")
         )
         .distinct()
+    )
+    # key=id_col: the contaminated-id distinct below clusters by _did
+    # (the alias carries the partitioning), so the keyed repartition
+    # is the doc side's only exchange (§2.4)
+    doc_grams = ensure_parallelism(docs, key=id_col).select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.array_distinct(
+                hash_array(word_shingles(tokens(F.col(text_col)), n))
+            )
+        ).alias("_h"),
     )
     contaminated = (
         doc_grams.join(bench_grams, "_h", "left_semi").select("_did").distinct()
@@ -446,17 +529,78 @@ def decontaminate_fuzzy(
     on the answer STRING instead; sketch-based tiers are the wrong
     tool below the shingle width.
 
-    Plan shape: both corpora run the SHARED tokenize -> shingle ->
-    MinHash -> band chain (dedup.minhash_band_keys — the
+    Both corpora run the SHARED tokenize -> shingle -> MinHash -> band
+    chain (dedup.minhash_band_keys / band_key_col — the
     lsh_candidate_pairs machinery, so fuzzy-decon and dedup can never
-    band differently); contaminated ids = ONE semi join of doc band
-    keys against the DISTINCT benchmark band keys (bipartite — no
+    band differently).
+
+    Fast path (round 16, guide §2.4): the benchmark's distinct
+    (band, key) rows are test-set-sized, so they are collected once
+    (bounded by BENCH_INSET_MAX) and each doc row is tested inline —
+    per-band InSet probes over the staged signature on the one corpus
+    scan; no semi join, no contaminated-id distinct, no anti join.
+    Per-row semantics — identical to the join shape when ``id_col``
+    is unique (the house invariant).
+
+    Fallback (oversized benchmark sketch set, or a pinning_disabled
+    plan-inspection block): contaminated ids = ONE semi join of doc
+    band keys against the DISTINCT benchmark band keys (bipartite — no
     bucket pair expansion at all); result = one anti join on the id.
     At 100 TB the benchmark side is test-set-sized, broadcasts, and
     the doc corpus never shuffles."""
-    from .dedup import minhash_band_keys
+    from .dedup import _shingle_hashes, band_key_col, minhash_band_keys
+    from .pinning import pinning_is_disabled
 
-    doc_bands = minhash_band_keys(docs, id_col, text_col, k)
+    if not pinning_is_disabled():
+        # one shuffle-free job: per-row band-key arrays via the SAME
+        # signature/band expressions, deduped on the driver (the
+        # distinct().limit().collect() pipeline costs a repartition +
+        # distinct exchange + AQE rounds — the decontaminate lesson)
+        from ..functions.hashing import LSH_BANDS
+
+        bench_sigs = benchmark.select(
+            hash_array(
+                word_shingles(tokens(F.col(bench_text_col)), k)
+            ).alias("_h")
+        ).select(
+            (F.size("_h") > 0).alias("_ok"),
+            minhash_signature("_h").alias("_sig"),
+        )
+        key_arr = F.array(*[band_key_col("_sig", b) for b in range(LSH_BANDS)])
+        collected = (
+            bench_sigs.select(F.when(F.col("_ok"), key_arr).alias("_k"))
+            .limit(BENCH_INSET_MAX + 1)
+            .collect()
+        )
+        band_sets: dict[int, set[str]] = {}
+        for r in collected:
+            if r["_k"] is not None:
+                for b, key in enumerate(r["_k"]):
+                    band_sets.setdefault(b, set()).add(key)
+        n_keys = sum(len(s) for s in band_sets.values())
+        if len(collected) <= BENCH_INSET_MAX and n_keys <= BENCH_INSET_MAX:
+            if not band_sets:
+                return docs
+            by_band = {b: sorted(s) for b, s in band_sets.items()}
+            # the same staged-projection discipline as minhash_band_keys:
+            # one (payload, _h) projection, one (_ok, _sig) projection,
+            # band keys as cheap array indexing over the staged _sig
+            payload = F.struct(*[F.col(c) for c in docs.columns])
+            sigs = _shingle_hashes(
+                docs.select(payload.alias("_p"), F.col(text_col)),
+                id_col="_p",
+                text_col=text_col,
+                k=k,
+            ).select(
+                F.col("doc_id").alias("_p"),
+                (F.size("_h") > 0).alias("_ok"),
+                minhash_signature("_h").alias("_sig"),
+            )
+            hit = None
+            for b in sorted(by_band):
+                probe = band_key_col("_sig", b).isin(by_band[b])
+                hit = probe if hit is None else (hit | probe)
+            return _drop_marked_rows(sigs, F.col("_ok") & hit, "_p")
     # the benchmark needs only a per-row grouping key for its own
     # signatures; a content hash is deterministic under stage retry
     # (the house rand()/monotonic-id rule) and identical bench rows
@@ -470,6 +614,7 @@ def decontaminate_fuzzy(
         .select("band", "key")
         .distinct()
     )
+    doc_bands = minhash_band_keys(docs, id_col, text_col, k)
     contaminated = (
         doc_bands.join(F.broadcast(bench_bands), ["band", "key"], "left_semi")
         .select(F.col("doc_id").alias("_did"))
