@@ -40,34 +40,66 @@ def pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-def pin_all(*dfs: DataFrame) -> list[DataFrame]:
-    """Pin several INDEPENDENT frames concurrently (guide §2.6).
+def construct_all(*thunks):
+    """Run several INDEPENDENT frame-builders concurrently and return
+    their frames UNPINNED (guide §2.6) — the ONE pool implementation
+    ``build_all`` and ``pin_all`` wrap — for operators whose
+    construction fires Spark jobs but whose results must stay lazy (an
+    edge list that a downstream lazy checkpoint will materialize
+    exactly once, e.g.).
 
-    A lazy localCheckpoint is not free at call time — under AQE it
-    submits the checkpointed plan's shuffle-stage jobs synchronously —
-    so two sibling ``pin()`` calls serialize their materializations
-    (measured: the eval queries' exact + ANN pins run back-to-back,
-    0.4s + 1.5s warm, where max() would do). Submit them from driver
-    threads so the jobs overlap; plans and results are unchanged.
-    Each thread runs under a copy of the caller's contextvars so a
-    ``pinning_disabled()`` block still turns every pin into a no-op
-    (in that case nothing blocks and the pool is near-free).
+    dedup_corpus_edges measured: the exact side's construction runs
+    the digest-aggregate checkpoint + bounded hot-key read (3 JVM
+    jobs, ~0.5-0.8 s warm) while the LSH side's construction is pure
+    driver-side expression building (~0.6 s, no jobs) — py4j releases
+    the GIL during JVM calls, so on two threads the plan building
+    proceeds while the probe jobs run.
+
+    Two kinds of caller context are propagated into each worker
+    thread (round 16, ADVICE):
+
+    - contextvars — ``pinning_disabled()`` still reaches each builder
+      (hot_salted_count_join's plan-inspection path consults it); in
+      that case all pins no-op, construction fires no jobs, and this
+      degenerates to calling the thunks on the pool and collecting
+      their lazy frames.
+    - SparkContext LOCAL PROPERTIES (job group/description, scheduler
+      pool, cancellation flags) — the same clone-and-set mechanism
+      ``pyspark.InheritableThread`` uses. Under pinned-thread mode a
+      plain pool thread starts with EMPTY local properties, so jobs
+      fired from the pool would escape jobGroup cancellation and lose
+      their UI/event-log ``spark.job.description`` attribution
+      (observed: prepare_corpus's overlapped pin jobs logged with no
+      description). Each worker gets its own clone so a property set
+      later by one branch can never leak into a sibling.
     """
     import contextvars
     from concurrent.futures import ThreadPoolExecutor
 
-    if len(dfs) <= 1:
-        return [pin(df) for df in dfs]
+    from pyspark import SparkContext
+
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
     ctx = contextvars.copy_context()
-    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        futures = [pool.submit(ctx.copy().run, pin, df) for df in dfs]
+    sc = SparkContext._active_spark_context
+    props = sc._jsc.sc().getLocalProperties() if sc is not None else None
+
+    def _run(t):
+        if props is not None:
+            sc._jsc.sc().setLocalProperties(props.clone())
+        return t()
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(ctx.copy().run, _run, t) for t in thunks
+        ]
         return [f.result() for f in futures]
 
 
 def build_all(*thunks):
     """Construct-and-pin several INDEPENDENT frames concurrently
-    (guide §2.6) — ``pin_all`` for sides whose CONSTRUCTION already
-    fires Spark jobs.
+    (guide §2.6) — ``construct_all`` plus the pin, for sides whose
+    CONSTRUCTION already fires Spark jobs.
 
     ``pin_all`` overlaps only the final checkpoint materializations;
     when an operator pins internally, those pins submit their jobs at
@@ -77,50 +109,22 @@ def build_all(*thunks):
     tokenize/proxy pipeline before the dense side's scan can start —
     the two independent corpus passes back-to-back where max() would
     do. Passing zero-arg builders moves construction itself onto the
-    pool, so every job either side fires overlaps the other side's.
-
-    Each thread runs under a copy of the caller's contextvars:
-    inside ``pinning_disabled()`` all pins no-op, construction fires
-    no jobs, and this degenerates to calling the thunks on the pool
-    and collecting their lazy frames (plan tooling sees the full
-    lineage, same as today)."""
-    import contextvars
-    from concurrent.futures import ThreadPoolExecutor
-
-    if len(thunks) <= 1:
-        return [pin(t()) for t in thunks]
-    ctx = contextvars.copy_context()
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [
-            pool.submit(ctx.copy().run, lambda t=t: pin(t())) for t in thunks
-        ]
-        return [f.result() for f in futures]
+    pool, so every job either side fires overlaps the other side's."""
+    return construct_all(*(lambda t=t: pin(t()) for t in thunks))
 
 
-def construct_all(*thunks):
-    """Run several INDEPENDENT frame-builders concurrently and return
-    their frames UNPINNED (guide §2.6) — ``build_all`` minus the pin,
-    for operators whose construction fires Spark jobs but whose
-    results must stay lazy (an edge list that a downstream lazy
-    checkpoint will materialize exactly once, e.g.).
+def pin_all(*dfs: DataFrame) -> list[DataFrame]:
+    """Pin several INDEPENDENT frames concurrently (guide §2.6).
 
-    dedup_corpus_edges measured: the exact side's construction runs
-    the digest-aggregate checkpoint + bounded hot-key read (3 JVM
-    jobs, ~0.5-0.8 s warm) while the LSH side's construction is pure
-    driver-side expression building (~0.6 s, no jobs) — py4j releases
-    the GIL during JVM calls, so on two threads the plan building
-    proceeds while the probe jobs run. Contextvars are copied per
-    thread, so ``pinning_disabled()`` still reaches each builder
-    (hot_salted_count_join's plan-inspection path consults it)."""
-    import contextvars
-    from concurrent.futures import ThreadPoolExecutor
-
-    if len(thunks) <= 1:
-        return [t() for t in thunks]
-    ctx = contextvars.copy_context()
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(ctx.copy().run, t) for t in thunks]
-        return [f.result() for f in futures]
+    A lazy localCheckpoint is not free at call time — under AQE it
+    submits the checkpointed plan's shuffle-stage jobs synchronously —
+    so two sibling ``pin()`` calls serialize their materializations
+    (measured: the eval queries' exact + ANN pins run back-to-back,
+    0.4s + 1.5s warm, where max() would do). Submit them from driver
+    threads (``construct_all`` — contextvars and Spark local
+    properties propagate, see there) so the jobs overlap; plans and
+    results are unchanged."""
+    return construct_all(*(lambda d=d: pin(d) for d in dfs))
 
 
 def pinning_is_disabled() -> bool:

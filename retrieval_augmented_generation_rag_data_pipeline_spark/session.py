@@ -66,6 +66,15 @@ def ensure_parallelism(df, min_partitions: int | None = None, key=None):
     bounded (one doc's rows on one task is exactly what the downstream
     aggregation forces anyway); leave it None for global/top-k or
     differently-keyed consumers, where round-robin spread is right.
+
+    Cardinality edge (round-16, ADVICE): a keyed repartition spreads
+    at most DISTINCT-KEY-COUNT partitions — when distinct keys <
+    min_partitions (degenerate tiny or duplicate-heavy inputs) some
+    partitions stay empty and the delivered parallelism is the key
+    cardinality, not min_partitions. Current call sites key on unique
+    doc ids (cardinality >> cores at any real SF), so this is
+    documented rather than guarded; pass key=None for inputs whose
+    key cardinality can collapse.
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism

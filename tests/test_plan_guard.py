@@ -102,6 +102,53 @@ def test_build_all_pins_and_respects_disable(spark):
         assert sorted(r.id for r in c.collect()) == [0, 1]
 
 
+def test_construct_all_lazy_disable_and_local_props(spark):
+    """construct_all (the pool core, round 16): returns the thunks'
+    frames UNPINNED (lazy — no LogicalRDD truncation), propagates the
+    pinning_disabled contextvar into builder threads, and clones the
+    caller's SparkContext local properties (job description etc.) into
+    each worker so pool-fired jobs keep jobGroup cancellation and UI
+    attribution."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.pinning import (
+        construct_all,
+        pinning_disabled,
+        pinning_is_disabled,
+    )
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.job.description", "construct_all-test")
+    try:
+        seen = {}
+
+        def side_a():
+            seen["disabled_a"] = pinning_is_disabled()
+            seen["desc_a"] = sc.getLocalProperty("spark.job.description")
+            return spark.range(3)
+
+        def side_b():
+            seen["desc_b"] = sc.getLocalProperty("spark.job.description")
+            return spark.range(5, 8)
+
+        a, b = construct_all(side_a, side_b)
+        assert sorted(r.id for r in a.collect()) == [0, 1, 2]
+        assert sorted(r.id for r in b.collect()) == [5, 6, 7]
+        # unpinned: full lineage visible, no checkpoint scan
+        assert "LogicalRDD" not in a._jdf.queryExecution().analyzed().toString()
+        assert seen["disabled_a"] is False
+        assert seen["desc_a"] == "construct_all-test"
+        assert seen["desc_b"] == "construct_all-test"
+
+        with pinning_disabled():
+            (c,) = construct_all(lambda: spark.range(2))
+            assert sorted(r.id for r in c.collect()) == [0, 1]
+            flags = construct_all(
+                lambda: pinning_is_disabled(), lambda: pinning_is_disabled()
+            )
+            assert flags == [True, True]
+    finally:
+        sc.setLocalProperty("spark.job.description", None)
+
+
 def test_no_row_at_a_time_python_in_headline_plans():
     """BatchEvalPython (row-at-a-time UDF) must never appear; the only
     Python in any headline plan is Arrow-vectorized."""
