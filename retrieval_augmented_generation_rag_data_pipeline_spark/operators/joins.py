@@ -70,32 +70,50 @@ def asof_align(
     the nulls-first/nulls-last window fills to the file's SMALLEST
     chunk end, silently stealing a chunk from the next segment and
     shifting every later segment's text by one.
+
+    Expression transport (round 16, the minhash_signature lesson): the
+    whole alignment is emitted as selectExpr/SQL strings — the Column
+    API costs one py4j round trip per node, and this operator's ~1500
+    nodes measured ~0.9 s of pure driver chatter per construction at
+    bench scale. The parsed expressions are semantically identical
+    (same windows, frames, struct fills, casts); the doubles are cast
+    explicitly because bare SQL ``1.0`` parses as decimal.
     """
-    segments = segments.filter(F.col("spk_end").isNotNull())
-    wc = Window.partitionBy(file_col).orderBy(chunk_order)
-    c = (
-        chunks.filter(F.col("t_end").isNotNull())
-        .withColumn("_k", F.row_number().over(wc) - 1)
-        .select(
-            F.col(file_col).alias("_file"),
-            "_k",
-            F.trim(F.col("text")).alias("_text"),
-            F.col("t_start").alias("_t0"),
-            F.col("t_end").alias("_t1"),
-            F.coalesce(F.col("confidence"), F.lit(1.0)).alias("_conf"),
-        )
+    segments = segments.filter("spk_end IS NOT NULL")
+    # the file->_file rename lives in its OWN projection ABOVE the
+    # row_number window: alias-aware output partitioning rewrites
+    # hash(file) -> hash(_file) only when the alias sits directly over
+    # the exchange's output — fused into the window projection, the
+    # partitioning dies at the rename and the merged union below pays
+    # a fourth exchange (measured: plan_guard caught Exchange 3 -> 4)
+    c = chunks.filter("t_end IS NOT NULL").selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY `{file_col}` "
+        f"ORDER BY `{chunk_order}`) - 1 AS _k",
+    ).selectExpr(
+        f"`{file_col}` AS _file",
+        "_k",
+        "trim(text) AS _text",
+        "t_start AS _t0",
+        "t_end AS _t1",
+        "coalesce(confidence, CAST(1.0 AS DOUBLE)) AS _conf",
     )
 
     # preserve the caller's seg-id dtype through the unions below — a
     # hard cast to long would null out string/decimal seg ids
-    seg_dt = segments.schema[seg_order].dataType
-    ws = Window.partitionBy(file_col).orderBy(seg_order)
-    s = segments.withColumn("_j", F.row_number().over(ws) - 1).select(
-        F.col(file_col).alias("_sfile"),
+    seg_sql = segments.schema[seg_order].dataType.simpleString()
+    t0_sql = c.schema["_t0"].dataType.simpleString()
+    t1_sql = c.schema["_t1"].dataType.simpleString()
+    s = segments.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY `{file_col}` "
+        f"ORDER BY `{seg_order}`) - 1 AS _j",
+    ).selectExpr(
+        f"`{file_col}` AS _sfile",
         "_j",
-        F.col(seg_order).alias("_seg_id"),
+        f"`{seg_order}` AS _seg_id",
         "speaker",
-        F.col("spk_end").alias("_te"),
+        "spk_end AS _te",
     )
 
     # g_j: globally nearest chunk per segment (ties -> lowest chunk index,
@@ -111,23 +129,22 @@ def asof_align(
     # aggregate and no join-back needed (that branch re-scanned the
     # chunk table and cost an extra exchange + window + two aggregates
     # + a broadcast join).
-    ce = c.select("_file", "_k", "_t1")
-    merged = ce.select(
+    merged = c.selectExpr(
         "_file",
-        F.col("_t1").alias("_t"),
-        F.lit(0).alias("_typ"),
-        F.col("_t1").alias("_ce"),
-        F.col("_k").alias("_ck"),
-        F.lit(None).cast("long").alias("_j"),
-        F.lit(None).cast(seg_dt).alias("_seg_id"),
-        F.lit(None).cast("string").alias("speaker"),
+        "_t1 AS _t",
+        "0 AS _typ",
+        "_t1 AS _ce",
+        "_k AS _ck",
+        "CAST(NULL AS BIGINT) AS _j",
+        f"CAST(NULL AS {seg_sql}) AS _seg_id",
+        "CAST(NULL AS STRING) AS speaker",
     ).unionByName(
-        s.select(
-            F.col("_sfile").alias("_file"),
-            F.col("_te").alias("_t"),
-            F.lit(1).alias("_typ"),
-            F.lit(None).cast(c.schema["_t1"].dataType).alias("_ce"),
-            F.lit(None).cast("long").alias("_ck"),
+        s.selectExpr(
+            "_sfile AS _file",
+            "_te AS _t",
+            "1 AS _typ",
+            f"CAST(NULL AS {t1_sql}) AS _ce",
+            "CAST(NULL AS BIGINT) AS _ck",
             "_j",
             "_seg_id",
             "speaker",
@@ -144,55 +161,45 @@ def asof_align(
     # The segment's own row holds a null _ce, so including currentRow in
     # the reverse frame is harmless, and equal-time chunks sort after
     # the segment in reverse order, keeping the successor strictly later.
-    wm = Window.partitionBy("_file").orderBy("_t", "_typ")
-    wm_rev = Window.partitionBy("_file").orderBy(F.desc("_t"), F.desc("_typ"))
     # Chunk-only (e, k) structs — null on segment rows so max/min skip
     # them, like last(ignorenulls) did for the scalar fills. -_ck is
     # safe: _k is a row_number-derived index (>= 0, far from overflow).
-    chunk_fwd = F.when(
-        F.col("_typ") == 0, F.struct(F.col("_ce").alias("e"), (-F.col("_ck")).alias("nk"))
+    grow = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    pred = (
+        "max(CASE WHEN _typ = 0 THEN named_struct('e', _ce, 'nk', -_ck) END)"
+        f" OVER (PARTITION BY _file ORDER BY _t, _typ {grow})"
     )
-    chunk_rev = F.when(
-        F.col("_typ") == 0, F.struct(F.col("_ce").alias("e"), F.col("_ck").alias("k"))
-    )
-    pred = F.max(chunk_fwd).over(
-        wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    succ = F.min(chunk_rev).over(
-        wm_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    succ = (
+        "min(CASE WHEN _typ = 0 THEN named_struct('e', _ce, 'k', _ck) END)"
+        f" OVER (PARTITION BY _file ORDER BY _t DESC, _typ DESC {grow})"
     )
     # segments in chunk-less files have null pred AND succ -> null _g
     # -> dropped by the filter, matching the reference's no-transcript
     # break (previously an inner join against first_k did the drop)
     nearest = (
-        merged.withColumn("_pred", pred)
-        .withColumn("_succ", succ)
-        .filter(F.col("_typ") == 1)
-        .select(
+        merged.selectExpr(
+            "_file", "_j", "_seg_id", "speaker", "_t", "_typ",
+            f"{pred} AS _pred", f"{succ} AS _succ",
+        )
+        .filter("_typ = 1")
+        .selectExpr(
             "_file",
             "_j",
             "_seg_id",
             "speaker",
-            F.when(F.col("_pred").isNull(), F.col("_succ.k"))
-            .when(F.col("_succ").isNull(), -F.col("_pred.nk"))
-            .when(
-                (F.col("_t") - F.col("_pred.e")) <= (F.col("_succ.e") - F.col("_t")),
-                -F.col("_pred.nk"),
-            )
-            .otherwise(F.col("_succ.k"))
-            .alias("_g"),
+            "CASE WHEN _pred IS NULL THEN _succ.k"
+            " WHEN _succ IS NULL THEN -_pred.nk"
+            " WHEN (_t - _pred.e) <= (_succ.e - _t) THEN -_pred.nk"
+            " ELSE _succ.k END AS _g",
         )
-        .filter(F.col("_g").isNotNull())
+        .filter("_g IS NOT NULL")
     )
 
     # b_j = j + running max(g_i - i): consumed-prefix boundary per segment.
-    wj = Window.partitionBy("_file").orderBy("_j")
-    bounds = nearest.withColumn(
-        "_b",
-        F.col("_j")
-        + F.max(F.col("_g") - F.col("_j")).over(
-            wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    bounds = nearest.selectExpr(
+        "*",
+        f"_j + max(_g - _j) OVER (PARTITION BY _file ORDER BY _j {grow})"
+        " AS _b",
     )
 
     # b is strictly increasing (b_j - b_{j-1} >= 1), so the segment
@@ -201,28 +208,28 @@ def asof_align(
     # merge, not a range join. Chunks past the last boundary stay
     # unassigned (reference: leftovers after the final segment are
     # dropped), as are chunk-less segments (empty range -> no rows).
-    bm = c.select(
+    bm = c.selectExpr(
         "_file",
-        F.col("_k").alias("_pos"),
-        F.lit(0).alias("_typ"),
+        "_k AS _pos",
+        "0 AS _typ",
         "_k",
         "_text",
         "_t0",
         "_t1",
         "_conf",
-        F.lit(None).cast("long").alias("_j"),
-        F.lit(None).cast(seg_dt).alias("_seg_id"),
-        F.lit(None).cast("string").alias("speaker"),
+        "CAST(NULL AS BIGINT) AS _j",
+        f"CAST(NULL AS {seg_sql}) AS _seg_id",
+        "CAST(NULL AS STRING) AS speaker",
     ).unionByName(
-        bounds.select(
+        bounds.selectExpr(
             "_file",
-            F.col("_b").alias("_pos"),
-            F.lit(1).alias("_typ"),
-            F.lit(None).cast("long").alias("_k"),
-            F.lit(None).cast("string").alias("_text"),
-            F.lit(None).cast(c.schema["_t0"].dataType).alias("_t0"),
-            F.lit(None).cast(c.schema["_t1"].dataType).alias("_t1"),
-            F.lit(None).cast("double").alias("_conf"),
+            "_b AS _pos",
+            "1 AS _typ",
+            "CAST(NULL AS BIGINT) AS _k",
+            "CAST(NULL AS STRING) AS _text",
+            f"CAST(NULL AS {t0_sql}) AS _t0",
+            f"CAST(NULL AS {t1_sql}) AS _t1",
+            "CAST(NULL AS DOUBLE) AS _conf",
             "_j",
             "_seg_id",
             "speaker",
@@ -233,21 +240,20 @@ def asof_align(
     # last non-null in reverse order; at equal pos the bound sorts first
     # in reverse, so a chunk exactly on a boundary is assigned to it.
     # One struct-valued last() instead of three scalar fills.
-    wb_rev = Window.partitionBy("_file").orderBy(F.desc("_pos"), F.desc("_typ"))
-    own_src = F.when(
-        F.col("_typ") == 1, F.struct("_j", "_seg_id", "speaker")
-    )
-    owner = F.last(own_src, ignorenulls=True).over(
-        wb_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    owner = (
+        "last(CASE WHEN _typ = 1 THEN"
+        " named_struct('_j', _j, '_seg_id', _seg_id, 'speaker', speaker)"
+        " END, true)"
+        f" OVER (PARTITION BY _file ORDER BY _pos DESC, _typ DESC {grow})"
     )
     assigned = (
-        bm.withColumn("_own", owner)
-        .filter((F.col("_typ") == 0) & F.col("_own._j").isNotNull())
-        .select(
-            F.col("_file").alias("_sfile"),
-            F.col("_own._j").alias("_j"),
-            F.col("_own._seg_id").alias("_seg_id"),
-            F.col("_own.speaker").alias("speaker"),
+        bm.selectExpr("*", f"{owner} AS _own")
+        .filter("_typ = 0 AND _own._j IS NOT NULL")
+        .selectExpr(
+            "_file AS _sfile",
+            "_own._j AS _j",
+            "_own._seg_id AS _seg_id",
+            "_own.speaker AS speaker",
             "_k",
             "_text",
             "_t0",
@@ -259,20 +265,17 @@ def asof_align(
     return (
         assigned.groupBy("_sfile", "_j", "_seg_id", "speaker")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_k", "_text"))),
-                    lambda x: x["_text"],
-                ),
-                " ",
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(_k, _text))), x -> x._text), ' ')"
             ).alias("text"),
-            F.min_by("_t0", "_k").alias("t_start"),
-            F.max_by("_t1", "_k").alias("t_end"),
+            F.expr("min_by(_t0, _k)").alias("t_start"),
+            F.expr("max_by(_t1, _k)").alias("t_end"),
             F.avg("_conf").alias("confidence"),
         )
-        .select(
-            F.col("_sfile").alias(file_col),
-            F.col("_seg_id").alias("seg_id"),
+        .selectExpr(
+            f"_sfile AS `{file_col}`",
+            "_seg_id AS seg_id",
             "speaker",
             "text",
             "t_start",
