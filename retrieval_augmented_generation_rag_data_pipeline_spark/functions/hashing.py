@@ -79,6 +79,42 @@ def hash_array(arr: Column) -> Column:
     return F.transform(arr, md5_long)
 
 
+def tokens_sql(col_sql: str) -> str:
+    """SQL-string twin of ``tokens`` — SAME expression tree, ONE parse.
+
+    The Column builders cost one py4j round trip per node (~0.3 ms
+    each); the dedup-family sketches build hundreds of nodes per
+    construction, which the bench pays per run (round 16; the
+    minhash_signature lesson generalized). Keep the two forms in
+    LOCKSTEP — tests/test_dedup.py::test_sql_twins_match_column_forms
+    asserts tree equality."""
+    return f"filter(split(lower({col_sql}), '\\\\s+'), x -> x != '')"
+
+
+def word_shingles_sql(toks_sql: str, k: int = 3) -> str:
+    """SQL-string twin of ``word_shingles`` (same let-bound tree)."""
+    els = ", ".join(
+        f"element_at(t, i + {j})" if j else "element_at(t, i)"
+        for j in range(k)
+    )
+    body = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k - 1}), i -> concat_ws(' ', {els}))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    return f"element_at(transform(array({toks_sql}), t -> {body}), 1)"
+
+
+def md5_long_sql(col_sql: str) -> str:
+    """SQL-string twin of ``md5_long``."""
+    return f"CAST(conv(substring(md5({col_sql}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hash_array_sql(arr_sql: str) -> str:
+    """SQL-string twin of ``hash_array``."""
+    return f"transform({arr_sql}, h -> {md5_long_sql('h')})"
+
+
 def md5_pair(col: Column) -> Column:
     """120-bit deterministic hash of a string: struct<h1,h2> of two
     60-bit longs from md5 hex chars 1-15 and 16-30. For keys that must
@@ -106,11 +142,10 @@ def hash_pair_array(arr: Column) -> Column:
     return F.transform(arr, md5_pair)
 
 
-def minhash_signature(hashes_col: str) -> Column:
-    """NUM_PERM-wide MinHash signature over a 60-bit hash array column
-    (referenced by NAME — the expression is emitted as one SQL string;
-    the Column-API equivalent costs ~400 py4j calls to build, which
-    dominates the query's own runtime at bench scale).
+def minhash_signature_sql(hashes_col: str) -> str:
+    """SQL string of the NUM_PERM-wide MinHash signature over a 60-bit
+    hash array column (referenced by NAME) — for callers composing
+    whole projections in one parse.
 
     mh_j = min over h of ((a_j * (h mod P) + b_j) mod P); empty input
     yields P (the max possible value) per slot so empty docs never
@@ -121,7 +156,15 @@ def minhash_signature(hashes_col: str) -> Column:
         f"h -> ({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31})), {MERSENNE31}L)"
         for a, b in zip(MINHASH_A, MINHASH_B)
     )
-    return F.expr(f"array({slots})")
+    return f"array({slots})"
+
+
+def minhash_signature(hashes_col: str) -> Column:
+    """Column form of ``minhash_signature_sql`` (the expression is
+    emitted as one SQL string; the Column-API equivalent costs ~400
+    py4j calls to build, which dominates the query's own runtime at
+    bench scale)."""
+    return F.expr(minhash_signature_sql(hashes_col))
 
 
 def simhash16(hashes: Column) -> Column:

@@ -33,12 +33,16 @@ from ..functions.hashing import (
     LSH_ROWS,
     NUM_PERM,
     hash_array,
+    hash_array_sql,
     hash_pair_array,
     md5_long,
     minhash_signature,
+    minhash_signature_sql,
     simhash16,
     tokens,
+    tokens_sql,
     word_shingles,
+    word_shingles_sql,
 )
 from ..session import ensure_parallelism
 
@@ -97,11 +101,17 @@ def _shingle_hashes(
     expressions, but building the whole column in one select pays the
     16x up front). Staging it here means one evaluation per row, and the
     downstream permutations are cheap modular math over a column ref.
+
+    Emitted as ONE SQL string (round 16): the Column form of this chain
+    is ~200 py4j round trips, paid per construction by every sketch
+    query; the *_sql twins build the identical tree in one parse
+    (tree-equality pinned in tests/test_dedup.py).
     """
     df = ensure_parallelism(df)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        hash_array(word_shingles(tokens(F.col(text_col)), k)).alias("_h"),
+    return df.selectExpr(
+        f"`{id_col}` AS doc_id",
+        hash_array_sql(word_shingles_sql(tokens_sql(f"`{text_col}`"), k))
+        + " AS _h",
     )
 
 
@@ -116,18 +126,23 @@ def minhash_signatures(
     )
 
 
-def band_key_col(sig_col: str, band: int) -> Column:
-    """LSH band-key string for one band over a staged signature column —
-    the single definition shared by minhash_band_keys (exploded rows)
+def band_key_sql(sig_sql: str, band: int) -> str:
+    """SQL string for one band's LSH key over a staged signature column
+    — the single definition shared by minhash_band_keys (exploded rows)
     and text.decontaminate_fuzzy's collected-InSet fast path, so the
-    two can never band differently."""
-    return F.concat_ws(
-        ":",
-        *[
-            F.col(sig_col)[band * LSH_ROWS + r].cast("string")
-            for r in range(LSH_ROWS)
-        ],
+    two can never band differently. A string (not a Column) so callers
+    composing whole projections pay one parse, not one py4j round trip
+    per node (round 16)."""
+    items = ", ".join(
+        f"CAST({sig_sql}[{band * LSH_ROWS + r}] AS STRING)"
+        for r in range(LSH_ROWS)
     )
+    return f"concat_ws(':', {items})"
+
+
+def band_key_col(sig_col: str, band: int) -> Column:
+    """Column form of ``band_key_sql`` (same tree, for Column callers)."""
+    return F.expr(band_key_sql(f"`{sig_col}`", band))
 
 
 def minhash_band_keys(
@@ -153,24 +168,24 @@ def minhash_band_keys(
     raw (often single-partition) input — measured 4x slower at sf0.1.
     Instead the band array is emptied for shingle-less docs and the
     explode drops them, which nothing can push down."""
-    sig = minhash_signature("_h")
-    sigs = _shingle_hashes(df, id_col, text_col, k).select(
-        "doc_id", (F.size("_h") > 0).alias("_ok"), sig.alias("_sig")
+    band_arr = "array(" + ", ".join(
+        f"named_struct('band', {b}, 'key', {band_key_sql('_sig', b)})"
+        for b in range(LSH_BANDS)
+    ) + ")"
+    empty = "CAST(array() AS array<struct<band:int,key:string>>)"
+    return (
+        _shingle_hashes(df, id_col, text_col, k)
+        .selectExpr(
+            "doc_id",
+            "(size(_h) > 0) AS _ok",
+            f"{minhash_signature_sql('_h')} AS _sig",
+        )
+        .selectExpr(
+            "doc_id",
+            f"explode(CASE WHEN _ok THEN {band_arr} ELSE {empty} END) AS bk",
+        )
+        .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
     )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                band_key_col("_sig", b).alias("key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    empty = F.array().cast("array<struct<band:int,key:string>>")
-    return sigs.select(
-        "doc_id",
-        F.explode(F.when(F.col("_ok"), band_arr).otherwise(empty)).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
 
 
 def lsh_candidate_pairs(
@@ -216,17 +231,12 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
-    n = F.size(F.col("_ids"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, n),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pairs = (
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
     )
-    exploded = buckets.select(F.explode(pairs).alias("p"))
+    exploded = buckets.selectExpr(f"explode({pairs}) AS p")
     if not dedupe_pairs:
         return exploded.select(
             F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")

@@ -935,3 +935,50 @@ def test_ngram_jaccard_df_cap_scores_capped_space_consistently(spark):
         for r in ngram_jaccard_pairs(df, df_cap=6).collect()
     }
     assert pairs[(100, 101)] == 1.0  # identical docs stay jaccard 1.0
+
+
+def test_sql_twins_match_column_forms(spark):
+    """The *_sql expression twins (round 16 — one parse instead of one
+    py4j round trip per node) must build EXACTLY the tree their Column
+    forms build: canonicalized-plan equality, not just value equality,
+    so a drift in either form fails here before it can change a plan
+    or a result."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.functions.hashing import (
+        hash_array,
+        hash_array_sql,
+        tokens,
+        tokens_sql,
+        word_shingles,
+        word_shingles_sql,
+    )
+    from retrieval_augmented_generation_rag_data_pipeline_spark.operators.dedup import (
+        band_key_col,
+        band_key_sql,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+
+    def same(c_form, sql_form):
+        # optimized (not analyzed) plans: the Column shingle builder
+        # writes `i + 0` for the first element, which constant-folds
+        # away — the EXECUTED trees must match, surface spelling may not
+        a = df.select(c_form.alias("x"))._jdf.queryExecution().optimizedPlan()
+        b = df.selectExpr(f"{sql_form} AS x")._jdf.queryExecution().optimizedPlan()
+        return a.sameResult(b)
+
+    assert same(tokens(F.col("text")), tokens_sql("`text`"))
+    assert same(
+        word_shingles(tokens(F.col("text")), 3),
+        word_shingles_sql(tokens_sql("`text`"), 3),
+    )
+    assert same(
+        hash_array(word_shingles(tokens(F.col("text")), 3)),
+        hash_array_sql(word_shingles_sql(tokens_sql("`text`"), 3)),
+    )
+    sig = df.selectExpr("array(1L, 2L, 3L, 4L) AS _sig")
+    a = sig.select(band_key_col("_sig", 0).alias("x"))
+    b = sig.selectExpr(f"{band_key_sql('_sig', 0)} AS x")
+    assert a._jdf.queryExecution().optimizedPlan().sameResult(
+        b._jdf.queryExecution().optimizedPlan()
+    )
