@@ -142,6 +142,20 @@ def hash_pair_array(arr: Column) -> Column:
     return F.transform(arr, md5_pair)
 
 
+def md5_pair_sql(col_sql: str) -> str:
+    """SQL-string twin of ``md5_pair`` (same let-bound tree)."""
+    return (
+        f"element_at(transform(array(md5({col_sql})), m -> named_struct("
+        "'h1', CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT), "
+        "'h2', CAST(conv(substring(m, 16, 15), 16, 10) AS BIGINT))), 1)"
+    )
+
+
+def hash_pair_array_sql(arr_sql: str) -> str:
+    """SQL-string twin of ``hash_pair_array``."""
+    return f"transform({arr_sql}, x -> {md5_pair_sql('x')})"
+
+
 def minhash_signature_sql(hashes_col: str) -> str:
     """SQL string of the NUM_PERM-wide MinHash signature over a 60-bit
     hash array column (referenced by NAME) — for callers composing

@@ -35,6 +35,7 @@ from ..functions.hashing import (
     hash_array,
     hash_array_sql,
     hash_pair_array,
+    hash_pair_array_sql,
     md5_long,
     minhash_signature,
     minhash_signature_sql,
@@ -1411,12 +1412,14 @@ def span_hits(
     # (h, doc_id)-keyed exchange (and its hot-h spreading) is
     # unchanged; level 2 re-keys by h either way on the tiny combined
     # output.
-    sh = ensure_parallelism(docs, key=id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            hash_pair_array(word_shingles(tokens(F.col(text_col)), k))
-        ).alias("_i", "h"),
-    ).select("doc_id", (F.col("_i") + 1).cast("long").alias("pos"), "h")
+    sh = ensure_parallelism(docs, key=id_col).selectExpr(
+        f"`{id_col}` AS doc_id",
+        "posexplode("
+        + hash_pair_array_sql(
+            word_shingles_sql(tokens_sql(f"`{text_col}`"), k)
+        )
+        + ") AS (_i, h)",
+    ).selectExpr("doc_id", "CAST((_i + 1) AS BIGINT) AS pos", "h")
     # two-level agg over the shared postings lineage (Catalyst prunes
     # `pos` on this branch): level 1 combines per (h, doc_id) —
     # map-side partial, and the exchange key spreads a universal h
@@ -1596,43 +1599,38 @@ def strip_duplicated_spans(
     the kept-token array is let-bound — text and n_dropped both
     consume it, and unbound it would be filtered twice per row.
     """
-    from ..functions.binding import let
-
     regions = duplicated_spans(
         docs, k, min_docs, id_col, text_col, min_region_len
     )
     reg = regions.groupBy("doc_id").agg(
         F.collect_list(F.struct("region_start", "region_len")).alias("_regs")
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    base = docs.selectExpr(
+        f"`{id_col}` AS doc_id", f"{tokens_sql(f'`{text_col}`')} AS _tk"
     )
-    empty = F.array().cast(
-        "array<struct<region_start:bigint,region_len:bigint>>"
+    empty = (
+        "CAST(array() AS "
+        "array<struct<region_start:bigint,region_len:bigint>>)"
     )
-    joined = base.join(reg, "doc_id", "left").select(
-        "doc_id", "_tk", F.coalesce("_regs", empty).alias("_regs")
+    joined = base.join(reg, "doc_id", "left").selectExpr(
+        "doc_id", "_tk", f"coalesce(_regs, {empty}) AS _regs"
     )
-    # i is 0-based; region_start is the 1-based token offset
-    kept = F.filter(
-        "_tk",
-        lambda t, i: ~F.exists(
-            "_regs",
-            lambda r: ((i + 1) >= r.region_start)
-            & ((i + 1) < r.region_start + r.region_len),
-        ),
+    # i is 0-based; region_start is the 1-based token offset; the kept
+    # array is let-bound (text and n_dropped both consume it); the
+    # whole epilogue is one SQL string (round 16 py4j discipline)
+    kept = (
+        "filter(_tk, (t, i) -> NOT exists(_regs, "
+        "r -> ((i + 1) >= r.region_start) AND "
+        "((i + 1) < (r.region_start + r.region_len))))"
     )
-    return joined.select(
-        "doc_id",
-        let(
-            kept,
-            lambda kt: F.struct(
-                F.concat_ws(" ", kt).alias("text"),
-                (F.size("_tk") - F.size(kt)).cast("long").alias("n_dropped"),
-            ),
-        ).alias("_o"),
-    ).select("doc_id", F.col("_o.text").alias("text"),
-             F.col("_o.n_dropped").alias("n_dropped"))
+    out = (
+        "element_at(transform(array(" + kept + "), kt -> named_struct("
+        "'text', concat_ws(' ', kt), "
+        "'n_dropped', CAST((size(_tk) - size(kt)) AS BIGINT))), 1)"
+    )
+    return joined.selectExpr("doc_id", f"{out} AS _o").selectExpr(
+        "doc_id", "_o.text AS text", "_o.n_dropped AS n_dropped"
+    )
 
 
 def strip_duplicated_spans_raw(
@@ -1703,60 +1701,47 @@ def strip_duplicated_spans_raw(
     changed_docs = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         .join(regs, "doc_id")
-        .select(
+        .selectExpr(
             "doc_id",
             "_text",
             "_regs",
-            F.regexp_extract_all("_text", F.lit(r"\S+"), 0).alias("_tks"),
-            F.split(F.col("_text"), r"\S+").alias("_gps"),
+            r"regexp_extract_all(_text, '\\S+', 0) AS _tks",
+            r"split(_text, '\\S+') AS _gps",
         )
     )
 
-    def _sl(arr: str, m):
+    # the whole char-range recovery is emitted as SQL strings (round
+    # 16 — one parse instead of one py4j round trip per node; the
+    # Column form of this epilogue was ~800 round trips per query
+    # construction, paid by both strip queries every bench run)
+    def _sl(arr: str, m: str) -> str:
         # sum of lengths of the first m elements (m may be 0 -> 0)
-        return F.aggregate(
-            F.slice(F.col(arr), F.lit(1), m),
-            F.lit(0).cast("long"),
-            lambda a, x: a + F.length(x),
+        return (
+            f"aggregate(slice({arr}, 1, {m}), CAST(0 AS BIGINT), "
+            "(a, x) -> a + length(x))"
         )
 
-    def _cut(r):
-        rs = r["region_start"]
-        re_ = rs + r["region_len"] - 1
-        return F.struct(
-            (_sl("_gps", rs) + _sl("_tks", rs - 1) + 1)
-            .cast("long")
-            .alias("cs"),
-            (_sl("_gps", re_) + _sl("_tks", re_)).cast("long").alias("ce"),
-        )
-
-    cuts = F.array_sort(F.transform("_regs", _cut))
-    rebuilt = F.aggregate(
-        cuts,
-        F.struct(
-            F.lit(0).cast("long").alias("pe"), F.lit("").alias("acc")
-        ),
-        lambda a, c: F.struct(
-            c["ce"].alias("pe"),
-            F.concat(
-                a["acc"],
-                F.col("_text").substr(a["pe"] + 1, c["cs"] - a["pe"] - 1),
-            ).alias("acc"),
-        ),
-        lambda a: F.concat(
-            a["acc"],
-            F.col("_text").substr(
-                a["pe"] + 1, F.length("_text") - a["pe"]
-            ),
-        ),
+    cs = f"CAST(({_sl('_gps', 'r.region_start')} + {_sl('_tks', 'r.region_start - 1')} + 1) AS BIGINT)"
+    ce = (
+        f"CAST(({_sl('_gps', 'r.region_start + r.region_len - 1')} + "
+        f"{_sl('_tks', 'r.region_start + r.region_len - 1')}) AS BIGINT)"
     )
-    n_dropped = F.aggregate(
-        F.col("_regs"),
-        F.lit(0).cast("long"),
-        lambda a, r: a + r["region_len"],
+    cuts = (
+        "array_sort(transform(_regs, r -> "
+        f"named_struct('cs', {cs}, 'ce', {ce})))"
     )
-    changed = changed_docs.select(
-        "doc_id", rebuilt.alias("_ktext"), n_dropped.alias("_nd")
+    rebuilt = (
+        f"aggregate({cuts}, "
+        "named_struct('pe', CAST(0 AS BIGINT), 'acc', ''), "
+        "(a, c) -> named_struct('pe', c.ce, 'acc', "
+        "concat(a.acc, substr(_text, a.pe + 1, c.cs - a.pe - 1))), "
+        "a -> concat(a.acc, substr(_text, a.pe + 1, length(_text) - a.pe)))"
+    )
+    n_dropped = (
+        "aggregate(_regs, CAST(0 AS BIGINT), (a, r) -> a + r.region_len)"
+    )
+    changed = changed_docs.selectExpr(
+        "doc_id", f"{rebuilt} AS _ktext", f"{n_dropped} AS _nd"
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
