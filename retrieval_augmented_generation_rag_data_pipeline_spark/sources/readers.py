@@ -21,12 +21,36 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# The fixed table contract of the driver's testdata (identical at every
+# scale factor — the generator is deterministic). Passing the schema
+# explicitly skips the per-construction parquet footer read + schema
+# inference: measured 0.12-0.17 s vs 0.03 s per spark.read at bench
+# scale, and the bench constructs every query fresh each run (round 16,
+# guide §1 — the cost is inside the timed region 64 queries x 3 sweeps
+# deep). Unknown table names fall back to inference; drift between
+# these DDLs and the files fails tests/test_sources.py loudly.
+SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey INT,r_name STRING",
+    "nation": "n_nationkey INT,n_name STRING,n_regionkey INT",
+    "customer": "c_custkey BIGINT,c_name STRING,c_nationkey INT,c_acctbal DOUBLE,c_mktsegment STRING",
+    "supplier": "s_suppkey BIGINT,s_name STRING,s_nationkey INT,s_acctbal DOUBLE",
+    "part": "p_partkey BIGINT,p_name STRING,p_brand STRING,p_type STRING,p_size INT,p_retailprice DOUBLE",
+    "orders": "o_orderkey BIGINT,o_custkey BIGINT,o_orderstatus STRING,o_totalprice DOUBLE,o_orderdate TIMESTAMP_NTZ,o_orderpriority STRING",
+    "lineitem": "l_orderkey BIGINT,l_partkey BIGINT,l_suppkey BIGINT,l_linenumber INT,l_quantity DOUBLE,l_extendedprice DOUBLE,l_discount DOUBLE,l_tax DOUBLE,l_returnflag STRING,l_linestatus STRING,l_shipdate TIMESTAMP_NTZ",
+    "events": "event_id BIGINT,ts TIMESTAMP_NTZ,user_id BIGINT,event_type STRING,value DOUBLE,props STRING",
+    "documents": "doc_id BIGINT,text STRING,lang STRING,source STRING,n_chars BIGINT",
+    "embeddings": "vec_id BIGINT,embedding ARRAY<FLOAT>,label INT",
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet table from a driver testdata scale dir."""
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ddl = SCHEMAS.get(name)
+    if ddl is None:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(ddl).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +65,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both paths produce the same micros values DuckDB surfaces for the
     same file (oracle parity), with a stable TIMESTAMP (ltz) schema.
+
+    On 4.1+ the native NTZ schema is known up front, so it is passed
+    explicitly — skipping the footer/schema-inference read like
+    ``load_table`` (round 16); the legacy-conf dance below only runs
+    on older runtimes where the surfaced type is conf-dependent.
     """
+    version = tuple(int(x) for x in spark.version.split(".")[:2])
+    if version >= (4, 1):
+        df = spark.read.schema(SCHEMAS["events"]).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
         prev = spark.conf.get(conf_key, None)

@@ -269,3 +269,25 @@ def test_scan_globs_overlap_comma_and_empty(spark, tmp_path):
     assert names == ["a,weird.csv", "b1.txt"]
     with pytest.raises(ValueError, match="at least one glob"):
         scan_globs(spark, base, [])
+
+
+def test_pinned_table_schemas_match_files(spark):
+    """The explicit SCHEMAS registry (round 16 — skips per-construction
+    parquet schema inference) must stay byte-identical to what
+    inference reads from the driver's files; drift here would silently
+    drop or re-type columns for every query."""
+    from retrieval_augmented_generation_rag_data_pipeline_spark.sources.readers import (
+        SCHEMAS,
+        TABLES,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for t in TABLES:
+        inferred = spark.read.parquet(f"{sf_dir}/{t}.parquet")._jdf.schema()
+        pinned = spark.read.schema(SCHEMAS[t]).parquet(
+            f"{sf_dir}/{t}.parquet"
+        )._jdf.schema()
+        assert pinned.toDDL() == inferred.toDDL(), (
+            f"{t}: pinned schema {pinned.toDDL()!r} != file schema "
+            f"{inferred.toDDL()!r} — regenerate readers.SCHEMAS"
+        )
