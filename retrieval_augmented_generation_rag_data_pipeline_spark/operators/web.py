@@ -124,12 +124,19 @@ def extract_host(
         # the query at bench scale). Same switch rationale as
         # range_parted_offsets' OFFSETS_MAP_MAX: above the threshold
         # (the full 10^4-row published PSL) the literal expression tree
-        # itself becomes the cost and the broadcast joins win.
+        # itself becomes the cost and the broadcast joins win. The IN
+        # list is ONE SQL string: Column.isin costs a py4j round trip
+        # per literal — 267 suffixes measured 0.5 s of construction
+        # chatter per URL query (round 16, the decontaminate lesson).
         for k in sorted(by_depth):
+            in_list = ",".join(
+                "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                for s in sorted(by_depth[k])
+            )
             out = out.withColumn(
                 f"_last{k}",
                 F.regexp_extract(F.col(host_col), _last_labels_re(k), 1),
-            ).withColumn(f"_m{k}", F.col(f"_last{k}").isin(sorted(by_depth[k])))
+            ).withColumn(f"_m{k}", F.expr(f"_last{k} IN ({in_list})"))
         match = {k: F.col(f"_m{k}") for k in by_depth}
         drop = [c for k in by_depth for c in (f"_last{k}", f"_m{k}")]
     else:
