@@ -181,21 +181,26 @@ def minhash_signature(hashes_col: str) -> Column:
     return F.expr(minhash_signature_sql(hashes_col))
 
 
-def simhash16(hashes: Column) -> Column:
-    """16-bit SimHash over a 60-bit token-hash array.
+def simhash16_sql(hashes_sql: str) -> str:
+    """SQL-string twin of ``simhash16`` (same tree, one parse — the
+    Column loop was ~2300 py4j round trips per construction).
 
     bit b is set iff sum over tokens of (2*((h>>b)&1) - 1) > 0.
     """
-    def voter(b: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("int")
+    votes = " + ".join(
+        f"(CASE WHEN aggregate({hashes_sql}, 0, (acc, h) -> "
+        f"acc + CAST((((shiftright(h, {b}) & 1) * 2) - 1) AS INT)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"(0 + {votes})"
 
-    total = F.lit(0)
-    for b in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0), voter(b))
-        total = total + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return total
+
+def simhash16(hashes: str) -> Column:
+    """Column form of ``simhash16_sql`` over a column referenced by
+    NAME (the minhash_signature convention — the SQL twin splices the
+    reference into one parsed string)."""
+    return F.expr(simhash16_sql(f"`{hashes}`"))
 
 
 def hyperplane_component(plane: int, dim: int) -> float:

@@ -253,11 +253,11 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, simhash) 16-bit SimHash over token hashes."""
-    hashed = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"),
-        hash_array(tokens(F.col(text_col))).alias("_h"),
+    hashed = ensure_parallelism(df).selectExpr(
+        f"`{id_col}` AS doc_id",
+        f"{hash_array_sql(tokens_sql(f'`{text_col}`'))} AS _h",
     )
-    return hashed.select("doc_id", simhash16(F.col("_h")).alias("simhash"))
+    return hashed.select("doc_id", simhash16("_h").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
