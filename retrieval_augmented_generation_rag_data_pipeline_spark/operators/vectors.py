@@ -54,6 +54,33 @@ def dot(a: Column, b: Column) -> Column:
     return guard + raw
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of ``dot`` over two array references — same tree
+    (guard first, then the sequential fold), ONE parse instead of ~50
+    py4j round trips; shared by every ANN scorer's hot projection
+    (round 16). Keep in lockstep with ``dot``."""
+    guard = (
+        f"coalesce(CAST(assert_true((({a} IS NULL) OR ({b} IS NULL)) OR "
+        f"(size({a}) = size({b})), 'dot(): vector length mismatch') "
+        "AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    )
+    raw = (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    return f"({guard} + {raw})"
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL-string twin of ``l2_norm`` (same tree, one parse)."""
+    return (
+        f"sqrt(aggregate(transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v))"
+    )
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -101,14 +128,16 @@ def cosine(a: Column, b: Column) -> Column:
 def _topk_per_query(scored, corpus_id: str, k: int, score_col: str = "sim"):
     """Shared per-query top-k tail: rank within query by score desc,
     tie-break lowest corpus id, keep k. One definition so a tie-break
-    or column change can never drift between the ANN variants."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(score_col), F.asc(corpus_id)
-    )
+    or column change can never drift between the ANN variants.
+    Emitted as SQL strings (round 16 py4j discipline)."""
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", corpus_id, score_col, "rank")
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id ORDER BY "
+            f"`{score_col}` DESC, `{corpus_id}` ASC) AS rank",
+        )
+        .filter(f"rank <= {int(k)}")
+        .selectExpr("query_id", f"`{corpus_id}`", f"`{score_col}`", "rank")
     )
 
 
@@ -138,34 +167,32 @@ def knn_topk(
     """
     from ..session import ensure_parallelism
 
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    q = queries.selectExpr(
+        f"`{query_id}` AS query_id", f"`{vec_col}` AS _qv"
     )
-    c = ensure_parallelism(corpus).select(
-        F.col(corpus_id).alias(corpus_id), F.col(vec_col).alias("_cv")
+    c = ensure_parallelism(corpus).selectExpr(
+        f"`{corpus_id}` AS `{corpus_id}`", f"`{vec_col}` AS _cv"
     )
     if metric == "cosine":
         # norms depend on ONE side each — computing cosine() per pair
         # would re-derive both inside the O(|Q|x|C|) loop (3 array
         # traversals per pair instead of 1). Same expressions on the
         # same arrays, so the factored sim is bit-identical.
-        q = q.withColumn("_qn", l2_norm(F.col("_qv")))
-        c = c.withColumn("_cn", l2_norm(F.col("_cv")))
+        q = q.selectExpr("*", f"{l2_norm_sql('_qv')} AS _qn")
+        c = c.selectExpr("*", f"{l2_norm_sql('_cv')} AS _cn")
         # try_divide: a zero vector (norm 0) must score NULL (ranked
         # last), not abort the job with ANSI DIVIDE_BY_ZERO
-        sim = F.try_divide(
-            dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
-        )
+        sim = f"try_divide({dot_sql('_qv', '_cv')}, _qn * _cn)"
     elif metric == "dot":
-        sim = dot(F.col("_qv"), F.col("_cv"))
+        sim = dot_sql("_qv", "_cv")
     else:
         raise ValueError(
             f"knn_topk: metric must be 'cosine' or 'dot', got {metric!r} — "
             "a silent fallback to raw inner product would return "
             "plausible-looking but wrong neighbors"
         )
-    scored = c.join(F.broadcast(q)).select(
-        "query_id", corpus_id, sim.alias("sim")
+    scored = c.join(F.broadcast(q)).selectExpr(
+        "query_id", f"`{corpus_id}`", f"{sim} AS sim"
     )
     return _topk_per_query(scored, corpus_id, k, "sim")
 
@@ -897,20 +924,18 @@ def ann_ivf_topk(
         probes = F.expr(
             f"transform(slice({_cell_rank_sql('_qv', dim, n_cells, centroids)}, 1, {nprobe}), s -> s.c)"
         )
-    cb = cb.withColumn(
-        "_cn", l2_norm(F.col("_cv"))  # once per corpus row, not per pair
+    cb = cb.selectExpr(
+        "*", f"{l2_norm_sql('_cv')} AS _cn"  # once per corpus row, not per pair
     )
     qb = qb.select(
         "query_id", "_qv", F.explode(probes).alias("_cell")
-    ).withColumn("_qn", l2_norm(F.col("_qv")))
-    scored = cb.join(F.broadcast(qb), "_cell").select(
+    ).selectExpr("*", f"{l2_norm_sql('_qv')} AS _qn")
+    # try_divide: a zero vector (norm 0) scores NULL (ranked last),
+    # never an ANSI DIVIDE_BY_ZERO job abort — same as cosine()
+    scored = cb.join(F.broadcast(qb), "_cell").selectExpr(
         "query_id",
-        corpus_id,
-        # try_divide: a zero vector (norm 0) scores NULL (ranked last),
-        # never an ANSI DIVIDE_BY_ZERO job abort — same as cosine()
-        F.try_divide(
-            dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
-        ).alias("sim"),
+        f"`{corpus_id}`",
+        f"try_divide({dot_sql('_qv', '_cv')}, _qn * _cn) AS sim",
     )
     return _topk_per_query(scored, corpus_id, k, "sim")
 
