@@ -18,6 +18,7 @@ from ..functions.hashing import (
     md5_long,
     minhash_signature,
     tokens,
+    tokens_sql,
     word_shingles,
 )
 from ..session import ensure_parallelism
@@ -67,39 +68,37 @@ def chunk_text(
     (two extra corpus-id shuffles). Real chunk rows never carry a NULL
     chunk_text, so the marker is unambiguous.
     """
-    toks = tokens(F.col(text_col))
-
-    def build_chunks(tk):
-        n_b = F.size(tk)
-        idx = F.sequence(F.lit(0), F.floor((n_b - 1) / chunk_words).cast("int"))
-        # guard: sequence(0, -1) for an empty doc would yield [0, -1]
-        # (negative step), emitting a bogus empty chunk — and a NULL
-        # text must yield no rows, same as the old filter
-        return F.when(
-            n_b > 0,
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.array_join(
-                        F.slice(tk, i * chunk_words + 1, chunk_words), " "
-                    ).alias("chunk_text"),
-                ),
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<chunk_idx:int,chunk_text:string>>")
-        )
-
-    chunks = let(toks, build_chunks)
-    explode_fn = F.explode_outer if keep_chunkless else F.explode
+    # the whole let-bound chunk builder is ONE SQL string (round 16
+    # py4j discipline — the Column form was ~350 round trips per
+    # construction, paid by chunk_documents, dedup_chunks and
+    # dedup_incremental every bench run); guard: sequence(0, -1) for
+    # an empty doc would yield [0, -1] (negative step), emitting a
+    # bogus empty chunk — and a NULL text must yield no rows, same as
+    # the old filter
+    w = int(chunk_words)
+    chunks = (
+        "element_at(transform(array("
+        + tokens_sql(f"`{text_col}`")
+        + "), tk -> CASE WHEN size(tk) > 0 THEN "
+        f"transform(sequence(0, CAST(FLOOR((size(tk) - 1) / {w}) AS INT)), "
+        "i -> named_struct('chunk_idx', i, 'chunk_text', "
+        f"array_join(slice(tk, i * {w} + 1, {w}), ' '))) "
+        "ELSE CAST(array() AS array<struct<chunk_idx:int,chunk_text:string>>)"
+        " END), 1)"
+    )
+    explode_fn = "explode_outer" if keep_chunkless else "explode"
     return (
-        df.select(F.col(id_col).alias("doc_id"), explode_fn(chunks).alias("c"))
-        .select(
-            "doc_id",
-            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
-            F.col("c.chunk_text").alias("chunk_text"),
+        df.selectExpr(
+            f"`{id_col}` AS doc_id", f"{explode_fn}({chunks}) AS c"
         )
-        .withColumn("n_words", F.size(F.split(F.col("chunk_text"), " ")).cast("long"))
+        .selectExpr(
+            "doc_id",
+            "CAST(c.chunk_idx AS BIGINT) AS chunk_idx",
+            "c.chunk_text AS chunk_text",
+        )
+        .selectExpr(
+            "*", "CAST(size(split(chunk_text, ' ')) AS BIGINT) AS n_words"
+        )
     )
 
 
