@@ -1360,9 +1360,17 @@ def retrieval_eval(spark, sf):
     kNN (queries side small by construction), the ANN side is the
     bucket equi-join — the metric join itself touches only the two
     top-k frames (O(queries x k) rows)."""
-    from ..operators.pinning import pin_all
+    from ..operators.pinning import pin, pin_all
 
-    emb = _t(spark, sf, "embeddings")
+    # the eval corpus is pinned ONCE and both index lineages read the
+    # checkpointed blocks (round 16, VERDICT item 6): unpinned, the
+    # exact-kNN and ANN pins each re-plan and re-scan the parquet —
+    # 4 scans where one suffices. Interleaved A/B at sf0.1 (the ivf
+    # twin): 2.03 -> 1.74 s median. Scale caveat: the pin MATERIALIZES
+    # the eval corpus — right for a gate-sized eval slice (this query's
+    # contract), wrong for a production-sized table; do not lift this
+    # shape onto an unbounded corpus.
+    emb = pin(_t(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1505,10 +1513,12 @@ def retrieval_eval_ivf(spark, sf):
     scoring runs inside probed cells only; the metric joins touch two
     O(queries x k) broadcast frames via the shared
     _retrieval_metrics."""
-    from ..operators.pinning import pin_all
+    from ..operators.pinning import pin, pin_all
     from ..operators.vectors import ann_ivfpq_topk_mem, default_pq_codebooks
 
-    emb = _t(spark, sf, "embeddings")
+    # shared pinned eval-corpus scan — see retrieval_eval; interleaved
+    # A/B at sf0.1: 2.03 -> 1.74 s median, rows identical
+    emb = pin(_t(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
